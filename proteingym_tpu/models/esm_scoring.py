@@ -1,0 +1,284 @@
+"""Masked-LM fitness scoring harness: WT-marginals, masked-marginals, pseudo-PPL.
+
+Works for any token-level model exposing ``logits_fn(tokens) -> (B, T, V)``
+(ESM2, ESM-1v/1b, MSA Transformer row-scoring, SaProt-style models).
+
+Behavioral parity targets (ref: proteingym/baselines/esm/compute_fitness.py):
+  - label_row scoring: score = sum over mutated positions of
+    log p(mt) - log p(wt) at token position 1+pos (BOS offset) (:240-250)
+  - masked-marginals: one forward per masked position; long sequences slice
+    an optimal 1024-token window around the masked position (:489-504)
+  - wt-marginals overlapping windows: 1024-token windows advancing 511 from
+    both ends, sigmoid edge weights w[i] = sigma((i-128)/16) over the first
+    256 positions (mirrored), weight-normalized sum, plus a central window
+    when the final overlap is < 511 (:435-473)
+  - pseudo-perplexity: mask each position of the mutated sequence and sum
+    the log-prob of the true token (:258-279)
+
+TPU design: the reference's per-position Python loop becomes a batched
+forward over chunks of masked copies — ``lax.map`` over (chunk, T) blocks
+inside one jit, so the full (L, V) log-prob table is produced in L/chunk
+compiled steps with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from proteingym_tpu.data.mutants import mutations_to_arrays
+from proteingym_tpu.data.windows import get_optimal_window
+from proteingym_tpu.models.esm2 import ALPHABET, EsmAlphabet
+
+
+# ---------------------------------------------------------------------------
+# WT marginals
+# ---------------------------------------------------------------------------
+
+def wt_marginal_table(logits_fn, tokens: np.ndarray) -> jnp.ndarray:
+    """Single unmasked forward -> (T, V) log-softmax table."""
+    logits = logits_fn(jnp.asarray(tokens)[None])
+    return jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+
+
+def esm_overlap_weights(window: int = 1024, ramp: int = 256, slope: float = 16.0):
+    """Exact per-token stitching weights (ref :439-443): ones, with
+    w[i] = sigma((i - ramp/2) / slope) for i in [1, ramp] and the mirror on
+    [window-2-ramp, window-2]."""
+    w = np.ones(window, dtype=np.float64)
+    half = ramp // 2
+    for i in range(1, ramp + 1):
+        w[i] = 1.0 / (1.0 + math.exp(-(i - half) / slope))
+    for i in range(window - 2 - ramp, window - 1):
+        w[i] = 1.0 / (1.0 + math.exp((i - (window - 2) + half) / slope))
+    return w
+
+
+def overlapping_window_plan(total_len: int, window: int = 1024, step: int = 511):
+    """The reference's both-ends window schedule (ref :444-471).
+
+    Returns a list of start offsets; windows are [s, s+window).  Left windows
+    advance by ``step`` from 0 while right windows retreat by ``step`` from
+    the end, until they overlap; a central window is added if the final
+    overlap is thinner than ``step``.
+    """
+    starts = []
+    sl, sr = 0, total_len - window
+    while True:
+        starts.append(sl)
+        starts.append(sr)
+        if sl + window - 1 > sr:
+            break
+        sl += step
+        sr -= step
+    final_overlap = (sl + window - 1) - sr + 1
+    if final_overlap < step:
+        starts.append(int(total_len / 2) - window // 2)
+    return starts
+
+
+def wt_marginal_table_overlapping(
+    logits_fn, tokens: np.ndarray, window: int = 1024
+) -> jnp.ndarray:
+    """Overlapping-window WT marginals for sequences longer than the context.
+
+    All windows are batched into ONE forward (they share the window length),
+    then stitched by the exact sigmoid weights — the reference runs them
+    serially (:449-456).
+    """
+    tokens = np.asarray(tokens)
+    total = tokens.shape[0]
+    if total <= window:
+        return wt_marginal_table(logits_fn, tokens)
+    starts = overlapping_window_plan(total, window=window)
+    batch = np.stack([tokens[s : s + window] for s in starts])
+    logits = logits_fn(jnp.asarray(batch))
+    logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    w = jnp.asarray(esm_overlap_weights(window), dtype=jnp.float32)
+    vocab = logps.shape[-1]
+    acc = jnp.zeros((total, vocab), jnp.float32)
+    wsum = jnp.zeros((total,), jnp.float32)
+    for idx, s in enumerate(starts):
+        acc = acc.at[s : s + window].add(logps[idx] * w[:, None])
+        wsum = wsum.at[s : s + window].add(w)
+    return acc / wsum[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Masked marginals
+# ---------------------------------------------------------------------------
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def masked_marginal_table(
+    logits_fn,
+    tokens: np.ndarray,
+    mask_idx: Optional[int] = None,
+    chunk: int = 32,
+    window: int = 1024,
+    scoring_window: str = "optimal",
+) -> jnp.ndarray:
+    """(T, V) log-prob table where row i comes from a forward with position i
+    masked — the reference's L-forward hot loop (:489-504) batched.
+
+    For sequences longer than ``window`` tokens, each masked position is
+    scored inside its optimal window (same math as ref :492-495).
+    """
+    mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
+    tokens = np.asarray(tokens)
+    total = tokens.shape[0]
+
+    if total > window:
+        if scoring_window != "optimal":
+            raise NotImplementedError(
+                "overlapping windows are not defined for masked-marginals "
+                "(matches reference behavior)"
+            )
+        rows = np.zeros((total, window), dtype=tokens.dtype)
+        offsets = np.zeros((total,), dtype=np.int32)
+        for i in range(total):
+            start, end = get_optimal_window(i, total, window)
+            rows[i] = tokens[start:end]
+            rows[i, i - start] = mask_idx
+            offsets[i] = i - start
+        eff_len = window
+    else:
+        rows = np.tile(tokens[None], (total, 1))
+        rows[np.arange(total), np.arange(total)] = mask_idx
+        offsets = np.arange(total, dtype=np.int32)
+        eff_len = total
+
+    n_pad = _round_up(total, chunk)
+    if n_pad != total:
+        rows = np.concatenate([rows, np.tile(tokens[None, :eff_len], (n_pad - total, 1))])
+        offsets = np.concatenate([offsets, np.zeros(n_pad - total, np.int32)])
+
+    rows = jnp.asarray(rows).reshape(n_pad // chunk, chunk, eff_len)
+    offsets = jnp.asarray(offsets).reshape(n_pad // chunk, chunk)
+
+    def step(args):
+        toks, offs = args
+        logits = logits_fn(toks)  # (chunk, eff_len, V)
+        logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return logps[jnp.arange(chunk), offs]  # (chunk, V)
+
+    table = jax.lax.map(step, (rows, offsets))  # (n_chunks, chunk, V)
+    return table.reshape(n_pad, -1)[:total]
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-perplexity
+# ---------------------------------------------------------------------------
+
+def pseudo_ppl(
+    logits_fn,
+    sequence: str,
+    alphabet: EsmAlphabet = ALPHABET,
+    chunk: int = 32,
+) -> float:
+    """Sum over positions of log p(x_i | x with i masked) (ref :258-279)."""
+    tokens = alphabet.tokenize(sequence)
+    table = masked_marginal_table(
+        logits_fn, tokens, mask_idx=alphabet.mask_idx, chunk=chunk
+    )
+    idx = jnp.asarray(tokens[1 : 1 + len(sequence)])
+    rows = jnp.arange(1, 1 + len(sequence))
+    return float(jnp.sum(table[rows, idx]))
+
+
+# ---------------------------------------------------------------------------
+# Mutant scoring from a log-prob table
+# ---------------------------------------------------------------------------
+
+def score_mutants_from_table(
+    table: jnp.ndarray,
+    mutants: Sequence[str],
+    sequence: str,
+    offset_idx: int = 1,
+    alphabet: EsmAlphabet = ALPHABET,
+    bos_offset: int = 1,
+) -> np.ndarray:
+    """Vectorized label_row (ref :240-250): for each mutant string, sum
+    log p(mt) - log p(wt) at the mutated token positions."""
+    positions, _, _, valid = mutations_to_arrays(mutants, start_idx=offset_idx)
+    # token indices in the ESM alphabet for from/to letters
+    n, d = positions.shape
+    wt_tok = np.zeros((n, d), dtype=np.int32)
+    mt_tok = np.zeros((n, d), dtype=np.int32)
+    for i, m in enumerate(mutants):
+        for j, tok in enumerate(m.split(":")):
+            wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
+            if sequence[pos] != wt:
+                raise ValueError(
+                    f"Mutant {tok}: wild-type mismatch at position {pos}"
+                )
+            wt_tok[i, j] = alphabet.get_idx(wt)
+            mt_tok[i, j] = alphabet.get_idx(mt)
+    return np.asarray(
+        _gather_scores(
+            table,
+            jnp.asarray(positions + bos_offset),
+            jnp.asarray(wt_tok),
+            jnp.asarray(mt_tok),
+            jnp.asarray(valid),
+        )
+    )
+
+
+@jax.jit
+def _gather_scores(table, positions, wt_tok, mt_tok, valid):
+    diff = table[positions, mt_tok] - table[positions, wt_tok]
+    return jnp.sum(jnp.where(valid, diff, 0.0), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end assay scoring
+# ---------------------------------------------------------------------------
+
+def score_assay(
+    logits_fn,
+    sequence: str,
+    mutants: Sequence[str],
+    strategy: str = "masked-marginals",
+    offset_idx: int = 1,
+    alphabet: EsmAlphabet = ALPHABET,
+    chunk: int = 32,
+    window: int = 1024,
+    scoring_window: str = "optimal",
+) -> np.ndarray:
+    """Score all mutants of one assay with the requested strategy."""
+    tokens = alphabet.tokenize(sequence)
+    if strategy == "wt-marginals":
+        if tokens.shape[0] > window and scoring_window == "overlapping":
+            table = wt_marginal_table_overlapping(logits_fn, tokens, window=window)
+        else:
+            table = wt_marginal_table(logits_fn, tokens)
+    elif strategy == "masked-marginals":
+        table = masked_marginal_table(
+            logits_fn,
+            tokens,
+            mask_idx=alphabet.mask_idx,
+            chunk=chunk,
+            window=window,
+            scoring_window=scoring_window,
+        )
+    elif strategy == "pseudo-ppl":
+        wt_ppl = pseudo_ppl(logits_fn, sequence, alphabet, chunk=chunk)
+        from proteingym_tpu.data.mutants import apply_mutant
+
+        out = np.zeros(len(mutants))
+        for i, m in enumerate(mutants):
+            mut_seq = apply_mutant(sequence, m, start_idx=offset_idx)
+            out[i] = pseudo_ppl(logits_fn, mut_seq, alphabet, chunk=chunk) - wt_ppl
+        return out
+    else:
+        raise ValueError(f"Unknown strategy: {strategy}")
+    return score_mutants_from_table(
+        table, mutants, sequence, offset_idx=offset_idx, alphabet=alphabet
+    )

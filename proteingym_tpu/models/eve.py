@@ -1,0 +1,413 @@
+"""EVE: Bayesian VAE over MSA one-hots, in functional JAX.
+
+Semantics match the reference EVE implementation
+(ref: proteingym/baselines/EVE/EVE/VAE_model.py:23-551,
+VAE_encoder.py:4-88, VAE_decoder.py:5-167, default_model_params.json):
+
+  encoder: MLP (2000-1000-300) -> z_dim=50 mean/logvar heads,
+           bias init 0.1 (mean) / -10 (logvar)
+  decoder: Bayesian MLP (300-1000-2000) with per-parameter (mean, logvar)
+           variational weights sampled each forward; optional 1x1 output
+           convolution (depth 40), optional sparsity tiles, softplus global
+           temperature scaler; outputs log-softmax over (L, q)
+  loss:    the reference's quirky "BCE": binary_cross_entropy_with_logits
+           applied to the LOG-SOFTMAX output vs the one-hot (VAE_model.py:155)
+           + KL(latent) + KL(decoder params)/Neff, with annealing warm-up
+  scoring: evol_index = -( mean_ELBO(mutant) - mean_ELBO(wt) ) over
+           num_samples MC draws (VAE_model.py:466-481)
+
+TPU design: the reference's 20k-sample loop becomes ``lax.map`` over chunks
+of samples inside one jit; training is a single jitted step with weighted
+categorical batch sampling on device.  The decoder's per-sample weight
+draws vectorize over the sample axis with vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class EveConfig:
+    seq_len: int
+    alphabet_size: int = 20
+    encoder_hidden: Tuple[int, ...] = (2000, 1000, 300)
+    decoder_hidden: Tuple[int, ...] = (300, 1000, 2000)
+    z_dim: int = 50
+    convolve_output: bool = True
+    convolution_depth: int = 40
+    include_temperature_scaler: bool = True
+    include_sparsity: bool = False
+    num_tiles_sparsity: int = 0
+    mu_bias_init: float = 0.1
+    logvar_init: float = -10.0
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _xavier(key, shape):
+    fan_in, fan_out = shape[1], shape[0]
+    std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+    return jax.random.normal(key, shape, jnp.float32) * std
+
+
+def _kaiming(key, shape):
+    # torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    bound = 1.0 / float(np.sqrt(shape[1]))
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_params(rng: jax.Array, config: EveConfig) -> Dict[str, Any]:
+    c = config
+    keys = iter(jax.random.split(rng, 64))
+    flat = c.seq_len * c.alphabet_size
+
+    enc_layers = []
+    in_dim = flat
+    for h in c.encoder_hidden:
+        enc_layers.append(
+            {
+                "w": _kaiming(next(keys), (h, in_dim)),
+                "b": jnp.full((h,), c.mu_bias_init),
+            }
+        )
+        in_dim = h
+    encoder = {
+        "layers": enc_layers,
+        "mean": {
+            "w": _kaiming(next(keys), (c.z_dim, in_dim)),
+            "b": jnp.full((c.z_dim,), c.mu_bias_init),
+        },
+        "logvar": {
+            "w": _kaiming(next(keys), (c.z_dim, in_dim)),
+            "b": jnp.full((c.z_dim,), c.logvar_init),
+        },
+    }
+
+    dec_layers = []
+    in_dim = c.z_dim
+    for h in c.decoder_hidden:
+        dec_layers.append(
+            {
+                "w_mean": _kaiming(next(keys), (h, in_dim)),
+                "b_mean": jnp.full((h,), c.mu_bias_init),
+                "w_logvar": jnp.full((h, in_dim), c.logvar_init),
+                "b_logvar": jnp.full((h,), c.logvar_init),
+            }
+        )
+        in_dim = h
+    channel = c.convolution_depth if c.convolve_output else c.alphabet_size
+    decoder = {
+        "layers": dec_layers,
+        "w_out_mean": _xavier(next(keys), (channel * c.seq_len, in_dim)),
+        "w_out_logvar": jnp.full((channel * c.seq_len, in_dim), c.logvar_init),
+        "b_out_mean": jnp.full((c.seq_len * c.alphabet_size,), c.mu_bias_init),
+        "b_out_logvar": jnp.full((c.seq_len * c.alphabet_size,), c.logvar_init),
+    }
+    if c.convolve_output:
+        decoder["conv_mean"] = _kaiming(next(keys), (c.alphabet_size, channel))
+        decoder["conv_logvar"] = jnp.full((c.alphabet_size, channel), c.logvar_init)
+    if c.include_sparsity:
+        tiles = c.decoder_hidden[-1] // c.num_tiles_sparsity
+        decoder["sparsity_mean"] = jnp.zeros((tiles, c.seq_len))
+        decoder["sparsity_logvar"] = jnp.full((tiles, c.seq_len), c.logvar_init)
+    if c.include_temperature_scaler:
+        decoder["temp_mean"] = jnp.ones((1,))
+        decoder["temp_logvar"] = jnp.full((1,), c.logvar_init)
+
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _sample(key, mean, logvar):
+    return mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape)
+
+
+def encode(params, config: EveConfig, x: jnp.ndarray):
+    """x: (B, L, q) one-hot -> (mu, logvar) each (B, z)."""
+    h = x.reshape(x.shape[0], -1)
+    for layer in params["encoder"]["layers"]:
+        h = jax.nn.relu(h @ layer["w"].T + layer["b"])
+    mu = h @ params["encoder"]["mean"]["w"].T + params["encoder"]["mean"]["b"]
+    logvar = h @ params["encoder"]["logvar"]["w"].T + params["encoder"]["logvar"]["b"]
+    return mu, logvar
+
+
+def decode(params, config: EveConfig, z: jnp.ndarray, rng: jax.Array):
+    """Bayesian decoder: samples weights, returns (B, L, q) log-softmax."""
+    c = config
+    dec = params["decoder"]
+    keys = iter(jax.random.split(rng, 4 + 2 * len(dec["layers"])))
+    h = z
+    for layer in dec["layers"]:
+        w = _sample(next(keys), layer["w_mean"], layer["w_logvar"])
+        b = _sample(next(keys), layer["b_mean"], layer["b_logvar"])
+        h = jax.nn.relu(h @ w.T + b)
+
+    w_out = _sample(next(keys), dec["w_out_mean"], dec["w_out_logvar"])
+    b_out = _sample(next(keys), dec["b_out_mean"], dec["b_out_logvar"])
+    channel = c.convolution_depth if c.convolve_output else c.alphabet_size
+    hidden = c.decoder_hidden[-1]
+
+    if c.convolve_output:
+        conv_w = _sample(next(keys), dec["conv_mean"], dec["conv_logvar"])
+        # (ref VAE_decoder.py:146-148): (L*H, channel) @ (channel, q)
+        w_out = w_out.reshape(c.seq_len * hidden, channel) @ conv_w.T.reshape(
+            channel, c.alphabet_size
+        )
+
+    if c.include_sparsity:
+        sp = _sample(next(keys), dec["sparsity_mean"], dec["sparsity_logvar"])
+        sp = jnp.tile(sp, (c.num_tiles_sparsity, 1))
+        sp = jax.nn.sigmoid(sp)[:, :, None]  # (H, L, 1)
+        w_out = w_out.reshape(hidden, c.seq_len, c.alphabet_size) * sp
+
+    w_out = w_out.reshape(c.seq_len * c.alphabet_size, hidden)
+    logits = h @ w_out.T + b_out
+
+    if c.include_temperature_scaler:
+        temp = _sample(next(keys), dec["temp_mean"], dec["temp_logvar"])
+        logits = jnp.log(1.0 + jnp.exp(temp[0])) * logits
+
+    logits = logits.reshape(-1, c.seq_len, c.alphabet_size)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Loss pieces (exact reference quirks)
+# ---------------------------------------------------------------------------
+
+def _bce_with_logits(logits, targets):
+    """torch.F.binary_cross_entropy_with_logits, elementwise, no reduction."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def _kld_diag_gaussians(mu, logvar, p_mu=0.0, p_logvar=0.0):
+    """KL(q || p) for diagonal Gaussians (ref VAE_model.py:74-81)."""
+    kld = (
+        0.5 * (p_logvar - logvar)
+        + 0.5 * (jnp.exp(logvar) + (mu - p_mu) ** 2) / (jnp.exp(p_logvar) + 1e-20)
+        - 0.5
+    )
+    return jnp.sum(kld)
+
+
+def kld_latent(mu, logvar):
+    """Per-sequence KL(q(z|x) || N(0, I)) (ref :156)."""
+    return -0.5 * jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
+
+
+def kld_decoder_params(params, config: EveConfig) -> jnp.ndarray:
+    """KL of every decoder variational parameter vs its prior (ref :92-147)."""
+    dec = params["decoder"]
+    total = 0.0
+    for layer in dec["layers"]:
+        total += _kld_diag_gaussians(layer["w_mean"], layer["w_logvar"])
+        total += _kld_diag_gaussians(layer["b_mean"], layer["b_logvar"])
+    total += _kld_diag_gaussians(dec["w_out_mean"], dec["w_out_logvar"])
+    total += _kld_diag_gaussians(dec["b_out_mean"], dec["b_out_logvar"])
+    if config.include_sparsity:
+        from scipy.special import erfinv
+
+        logit_scale_sigma = 4.0
+        logit_scale_mu = (
+            2.0**0.5 * logit_scale_sigma * float(erfinv(2.0 * 0.01 - 1.0))
+        )
+        total += _kld_diag_gaussians(
+            dec["sparsity_mean"],
+            dec["sparsity_logvar"],
+            logit_scale_mu,
+            float(np.log(logit_scale_sigma**2)),
+        )
+    if config.convolve_output:
+        total += _kld_diag_gaussians(dec["conv_mean"], dec["conv_logvar"])
+    if config.include_temperature_scaler:
+        total += _kld_diag_gaussians(dec["temp_mean"], dec["temp_logvar"])
+    return total
+
+
+def elbo_components(params, config: EveConfig, x, rng):
+    """Per-sequence (ELBO, BCE, KLD) — ref all_likelihood_components (:466-481).
+
+    Note the reference quirk: "BCE" is sigmoid-BCE applied to log-softmax
+    outputs, not categorical cross-entropy.
+    """
+    k1, k2 = jax.random.split(rng)
+    mu, logvar = encode(params, config, x)
+    z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(k1, mu.shape)
+    recon_log = decode(params, config, z, k2)
+    bce = jnp.sum(
+        _bce_with_logits(
+            recon_log.reshape(x.shape[0], -1), x.reshape(x.shape[0], -1)
+        ),
+        axis=1,
+    )
+    kld = kld_latent(mu, logvar)
+    return -(bce + kld), bce, kld
+
+
+def loss_fn(params, config: EveConfig, x, rng, neff, warm_up_scale=1.0,
+            kl_latent_scale=1.0, kl_global_scale=1.0):
+    """Mean negative ELBO + warm-up-scaled KL terms (ref :149-163)."""
+    elbo, bce, kld = elbo_components(params, config, x, rng)
+    bce_mean = jnp.mean(bce)
+    kld_mean = jnp.mean(kld)
+    kld_params_norm = kld_decoder_params(params, config) / neff
+    neg_elbo = bce_mean + warm_up_scale * (
+        kl_latent_scale * kld_mean + kl_global_scale * kld_params_norm
+    )
+    return neg_elbo, (bce_mean, kld_mean, kld_params_norm)
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+def make_train_step(config: EveConfig, learning_rate=1e-4, annealing_warm_up=0,
+                    grad_clip_norm: Optional[float] = None):
+    opt_chain = []
+    if grad_clip_norm:
+        opt_chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    opt_chain.append(optax.adam(learning_rate))
+    optimizer = optax.chain(*opt_chain)
+
+    def train_step(params, opt_state, rng, onehot, probs, neff, step):
+        """One step: weighted batch draw + ELBO grad + Adam update."""
+        k_batch, k_elbo = jax.random.split(rng)
+        idx = jax.random.choice(
+            k_batch, onehot.shape[0], (256,), replace=True, p=probs
+        )
+        x = onehot[idx]
+        warm = jnp.where(
+            annealing_warm_up > 0,
+            jnp.minimum(step / jnp.maximum(annealing_warm_up, 1), 1.0),
+            1.0,
+        )
+
+        def lf(p):
+            return loss_fn(p, config, x, k_elbo, neff, warm)
+
+        (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return optimizer.init, train_step
+
+
+def train(
+    matrix_onehot: np.ndarray,
+    weights: np.ndarray,
+    config: EveConfig,
+    steps: int = 400_000,
+    learning_rate: float = 1e-4,
+    seed: int = 0,
+    log_every: int = 0,
+):
+    """Train EVE on (N, L, q) one-hots with cluster weights."""
+    rng = jax.random.PRNGKey(seed)
+    rng, init_key = jax.random.split(rng)
+    params = init_params(init_key, config)
+    init_opt, train_step = make_train_step(config, learning_rate)
+    opt_state = init_opt(params)
+    onehot = jnp.asarray(matrix_onehot, jnp.float32)
+    probs = jnp.asarray(weights / weights.sum(), jnp.float32)
+    neff = float(weights.sum())
+    step_jit = jax.jit(train_step, donate_argnums=(0, 1))
+    for step in range(steps):
+        rng, k = jax.random.split(rng)
+        params, opt_state, loss = step_jit(
+            params, opt_state, k, onehot, probs, neff, step
+        )
+        if log_every and step % log_every == 0:
+            print(f"step {step}: loss={float(loss):.3f}")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Scoring (delta-ELBO evolutionary indices)
+# ---------------------------------------------------------------------------
+
+def mean_elbos(
+    params,
+    config: EveConfig,
+    onehots: np.ndarray,
+    num_samples: int = 20_000,
+    chunk: int = 256,
+    seed: int = 0,
+) -> np.ndarray:
+    """Mean ELBO per sequence over num_samples MC draws (ref :466-477).
+
+    The reference loops num_samples times per batch; here each chunk of
+    samples is one vmapped forward inside lax.map — sample-parallel on TPU.
+    """
+    x = jnp.asarray(onehots, jnp.float32)
+    n_chunks = (num_samples + chunk - 1) // chunk
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks * chunk).reshape(
+        n_chunks, chunk, -1
+    )
+
+    @jax.jit
+    def chunk_mean(keys_chunk):
+        def one(key):
+            elbo, _, _ = elbo_components(params, config, x, key)
+            return elbo
+
+        return jnp.mean(jax.vmap(one)(keys_chunk), axis=0)
+
+    total = jnp.zeros(x.shape[0])
+    for i in range(n_chunks):
+        total = total + chunk_mean(keys[i])
+    return np.asarray(total / n_chunks)
+
+
+def evol_indices(
+    params,
+    config: EveConfig,
+    wt_onehot: np.ndarray,
+    mut_onehots: np.ndarray,
+    num_samples: int = 20_000,
+    chunk: int = 256,
+    seed: int = 0,
+) -> np.ndarray:
+    """evol_index = -(mean_ELBO(mut) - mean_ELBO(wt)) (ref :478-481).
+
+    Higher = more deleterious (the registry flips sign at merge time,
+    config.json EVE directionality = -1).
+    """
+    batch = np.concatenate([wt_onehot[None], mut_onehots], axis=0)
+    elbos = mean_elbos(params, config, batch, num_samples, chunk, seed)
+    return -(elbos[1:] - elbos[0])
+
+
+def onehot_mutants(
+    focus_codes: np.ndarray, mutants, alphabet: str, aa_to_idx=None
+) -> np.ndarray:
+    """Build (M, L, q) one-hots for mutant strings in focus coordinates."""
+    from proteingym_tpu.data.mutants import parse_mutant
+
+    if aa_to_idx is None:
+        aa_to_idx = {a: i for i, a in enumerate(alphabet)}
+    q = len(alphabet)
+    out = np.zeros((len(mutants), len(focus_codes), q), dtype=np.float32)
+    base = np.eye(q, dtype=np.float32)[focus_codes]
+    for i, m in enumerate(mutants):
+        x = base.copy()
+        for f, pos, t in parse_mutant(m):
+            x[pos - 1] = 0.0
+            x[pos - 1, aa_to_idx[t]] = 1.0
+        out[i] = x
+    return out

@@ -1,0 +1,94 @@
+"""Device meshes and parameter sharding rules.
+
+The reference has no intra-model distribution beyond naive GPT-2 layer-to-
+GPU pipelining (ref: tranception/model_pytorch.py:393-423) and shards work
+across assays with SLURM arrays.  The TPU-native equivalents (SURVEY.md §2.4):
+
+  - data axis:  mutant batches / masked-position chunks (vmap + pjit)
+  - model axis: tensor parallelism over attention heads + FFN hidden dim,
+    for >=3B models (ESM2-3B/15B, ProGen-XL class)
+
+Shardings are expressed as PartitionSpec trees over a named Mesh; XLA
+inserts the all-reduce/all-gather collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = 1,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+    axis_names=("data", "model"),
+) -> Mesh:
+    """Build a (data, model) mesh from the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = data * model
+    if len(devices) < need:
+        raise ValueError(f"Need {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(data, model)
+    return Mesh(grid, axis_names)
+
+
+def default_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """All devices on the data axis (inference-scale default)."""
+    devices = list(devices if devices is not None else jax.devices())
+    return make_mesh(data=len(devices), model=1, devices=devices)
+
+
+def esm_param_sharding(params, mesh: Mesh) -> Dict:
+    """Tensor-parallel PartitionSpecs for an ESM params pytree.
+
+    Megatron-style: q/k/v and fc1 shard their output (head/hidden) dim over
+    'model'; out and fc2 shard their input dim; embeddings shard the hidden
+    dim; layernorms and biases of sharded-input layers are replicated.
+    """
+
+    def layer_spec():
+        return {
+            "attn_ln": {"scale": P(), "bias": P()},
+            "q": {"kernel": P(None, "model"), "bias": P("model")},
+            "k": {"kernel": P(None, "model"), "bias": P("model")},
+            "v": {"kernel": P(None, "model"), "bias": P("model")},
+            "out": {"kernel": P("model", None), "bias": P()},
+            "ffn_ln": {"scale": P(), "bias": P()},
+            "fc1": {"kernel": P(None, "model"), "bias": P("model")},
+            "fc2": {"kernel": P("model", None), "bias": P()},
+        }
+
+    spec = {
+        "embed_tokens": P(None, "model"),
+        "layers": [layer_spec() for _ in params["layers"]],
+        "final_ln": {"scale": P(), "bias": P()},
+        "lm_head": {
+            "dense": {"kernel": P(None, "model"), "bias": P("model")},
+            "ln": {"scale": P(), "bias": P()},
+            "bias": P(),
+        },
+    }
+    if "embed_positions" in params:
+        spec["embed_positions"] = P(None, "model")
+    if "emb_ln_before" in params:
+        spec["emb_ln_before"] = {"scale": P(), "bias": P()}
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def replicate(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, shardings):
+    """Place a params pytree onto the mesh according to shardings."""
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, s), params, shardings
+    )

@@ -8,7 +8,7 @@ scipy/sklearn.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# the axon site customization force-selects the TPU tunnel backend at jax
+# import; override it after import (backends aren't initialized yet)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
