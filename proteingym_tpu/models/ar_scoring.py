@@ -104,6 +104,10 @@ def batched_ar_loglik(
     batch_size: int = 64,
     bucket_granularity: int = 32,
     aggregate: str = "sum",
+    fusion: Optional[Callable] = None,
+    window_starts: Optional[np.ndarray] = None,
+    window_ends: Optional[np.ndarray] = None,
+    reverse: bool = False,
 ) -> np.ndarray:
     """Teacher-forced log-likelihood of each token row.
 
@@ -113,6 +117,10 @@ def batched_ar_loglik(
 
     Rows are grouped into (bucketed-length, batch) blocks; each block is one
     jitted forward.
+
+    ``fusion`` (optional, see models/retrieval.make_fusion) rewrites the
+    shifted log-probs with retrieval priors; it receives each block's
+    (shift_logps, targets, window_starts, window_ends, reverse).
     """
     n = len(token_rows)
     lengths = np.asarray([len(r) for r in token_rows])
@@ -120,13 +128,21 @@ def batched_ar_loglik(
     out = np.zeros(n, dtype=np.float64)
 
     @jax.jit
-    def block_loglik(tokens):
+    def block_loglik(tokens, starts, ends):
         logits = logits_fn(tokens)  # (B, T, V)
         logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         targets = tokens[:, 1:]
-        token_ll = jnp.take_along_axis(logps[:, :-1], targets[..., None], -1)[..., 0]
+        shift_logps = logps[:, :-1]
+        if fusion is not None:
+            shift_logps = fusion(shift_logps, targets, starts, ends, reverse)
+        token_ll = jnp.take_along_axis(shift_logps, targets[..., None], -1)[..., 0]
         mask = (targets != pad_id).astype(jnp.float32)
         return jnp.sum(token_ll * mask, axis=1)
+
+    if window_starts is None:
+        window_starts = np.zeros(n, dtype=np.int32)
+    if window_ends is None:
+        window_ends = lengths.astype(np.int32)
 
     order = np.argsort(buckets, kind="stable")
     i = 0
@@ -140,8 +156,15 @@ def batched_ar_loglik(
         rows = np.full((len(blk), bucket), pad_id, dtype=np.int32)
         for bi, ridx in enumerate(blk):
             rows[bi, : lengths[ridx]] = token_rows[ridx]
-        lls = np.asarray(block_loglik(jnp.asarray(rows)))
-        out[np.asarray(blk)] = lls[: len(blk)]
+        blk_idx = np.asarray(blk)
+        lls = np.asarray(
+            block_loglik(
+                jnp.asarray(rows),
+                jnp.asarray(window_starts[blk_idx], dtype=jnp.int32),
+                jnp.asarray(window_ends[blk_idx], dtype=jnp.int32),
+            )
+        )
+        out[blk_idx] = lls[: len(blk)]
         i = j
     return out
 
@@ -159,6 +182,7 @@ def score_mutants_ar(
     reverse_logits_fn: Optional[Callable] = None,
     batch_size: int = 64,
     indel_mode: bool = False,
+    fusion: Optional[Callable] = None,
 ) -> pd.DataFrame:
     """Full AR scoring pipeline with mirroring and per-window WT deltas.
 
@@ -183,7 +207,16 @@ def score_mutants_ar(
             tokenize(p.sliced_sequence[::-1] if reverse else p.sliced_sequence)
             for p in plans
         ]
-        lls = batched_ar_loglik(fn, rows, pad_id, batch_size=batch_size)
+        lls = batched_ar_loglik(
+            fn,
+            rows,
+            pad_id,
+            batch_size=batch_size,
+            fusion=fusion,
+            window_starts=np.asarray([p.window_start for p in plans], np.int32),
+            window_ends=np.asarray([p.window_end for p in plans], np.int32),
+            reverse=reverse,
+        )
         frame = pd.DataFrame(
             {
                 "mutated_sequence": [p.mutated_sequence for p in plans],

@@ -1,0 +1,316 @@
+"""Inference-time retrieval: MSA pseudocount priors, EVE VAE priors, and
+log-prob fusion for Tranception / TranceptEVE scoring.
+
+Behavioral parity targets:
+  - MSA prior: weighted pseudocounts with base rate 1e-5, Hamming<0.2
+    filter vs the focus sequence
+    (ref: tranception/tranception/utils/msa_utils.py:63-138).
+  - Fusion: fused = (1-beta) * ((1-alpha) * AR + alpha * MSA) + beta * EVE
+    on the AA vocabulary slice inside the (window x MSA) overlap; log-probs
+    are mixed WITHOUT renormalization
+    (ref: trancepteve/trancepteve/model_pytorch.py:1090-1120; the
+    Tranception-only case is beta=0, ref tranception model_pytorch.py:806-830).
+  - alpha/beta auto-set from processed MSA / EVE-MSA depth
+    (ref: trancepteve/model_pytorch.py:722-763).
+  - EVE prior: log-space average of ``num_samples`` Bayesian-decoder
+    outputs of the WT-encoded latent, scattered into full-sequence
+    coordinates with -inf at non-focus columns
+    (ref: trancepteve/model_pytorch.py:975-1001).
+  - Prior recalibration: iterative temperature matching of the prior's
+    mean log-prob to the transformer's (ref :855-905).
+
+TPU design: the reference fuses per sequence in a Python loop with dynamic
+slices; here fusion is a single masked gather over (batch, time) position
+indices, jit-safe for any mix of windows and flips in one batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -np.inf
+
+
+# ---------------------------------------------------------------------------
+# MSA pseudocount prior (Tranception retrieval)
+# ---------------------------------------------------------------------------
+
+def hamming_filter(
+    sequences: Sequence[str],
+    weights: Optional[np.ndarray] = None,
+    min_similarity: float = 0.2,
+) -> List[int]:
+    """Indices of sequences with Hamming similarity >= min_similarity to the
+    first (focus) sequence (ref msa_utils.py:80-90: dot of one-hots over
+    dot(ref, ref); gaps/invalid chars contribute 0)."""
+    focus = sequences[0]
+    denom = sum(1 for c in focus if c in _AA_SET)
+    keep = []
+    for i, seq in enumerate(sequences):
+        matches = sum(
+            1
+            for a, b in zip(focus, seq)
+            if a in _AA_SET and a == b
+        )
+        if denom and matches / denom >= min_similarity:
+            keep.append(i)
+    return keep
+
+
+_AA_ORDER = "ACDEFGHIKLMNPQRSTVWY"
+_AA_SET = set(_AA_ORDER)
+
+
+def msa_prior(
+    sequences: Sequence[str],
+    weights: Optional[np.ndarray],
+    msa_start: int,
+    msa_end: int,
+    full_len: int,
+    n_special: int = 5,
+    base_rate: float = 1e-5,
+    filter_msa: bool = True,
+) -> np.ndarray:
+    """Weighted-pseudocount AA prior over a 25-token Tranception-style vocab.
+
+    sequences: aligned rows (same length, focus columns only, focus first).
+    Returns (full_len, n_special+20) probabilities; rows outside
+    [msa_start, msa_end) are zero (the log prior is only consulted inside
+    the overlap). msa_start/msa_end are 0-indexed full-sequence coords.
+    """
+    if weights is None:
+        weights = np.ones(len(sequences))
+    weights = np.asarray(weights, dtype=np.float64)
+    if filter_msa:
+        keep = hamming_filter(sequences)
+        sequences = [sequences[i] for i in keep]
+        weights = weights[keep]
+
+    vocab_size = n_special + len(_AA_ORDER)
+    L = len(sequences[0])
+    if msa_end - msa_start != L:
+        raise ValueError(
+            f"MSA window [{msa_start},{msa_end}) does not match alignment "
+            f"width {L}"
+        )
+    aa_idx = {a: n_special + i for i, a in enumerate(_AA_ORDER)}
+    # one-hots: (N, L, V); non-AA chars (gaps etc.) are all-zero rows,
+    # exactly as the reference's vocab-keyed one-hot.
+    onehots = np.zeros((len(sequences), L, vocab_size), dtype=np.float64)
+    for n, seq in enumerate(sequences):
+        for j, c in enumerate(seq.upper()):
+            k = aa_idx.get(c)
+            if k is not None:
+                onehots[n, j, k] = 1.0
+    weighted = (onehots + base_rate) * weights[:, None, None]
+    norm = weighted.sum(axis=-1).sum(axis=0)  # (L,)
+    avg = weighted.sum(axis=0) / norm[:, None]
+
+    prior = np.zeros((full_len, vocab_size), dtype=np.float64)
+    prior[msa_start:msa_end, :] = avg
+    return prior
+
+
+def log_msa_prior(*args, **kwargs) -> np.ndarray:
+    with np.errstate(divide="ignore"):
+        return np.log(msa_prior(*args, **kwargs))
+
+
+# ---------------------------------------------------------------------------
+# EVE ensemble prior (TranceptEVE)
+# ---------------------------------------------------------------------------
+
+def eve_log_prior(
+    eve_params_list,
+    eve_config,
+    focus_seq: str,
+    focus_cols: np.ndarray,
+    msa_start: int,
+    full_len: int,
+    num_samples: int = 200_000,
+    rng: Optional[jax.Array] = None,
+    n_special: int = 5,
+    sample_chunk: int = 512,
+) -> np.ndarray:
+    """Ensemble-averaged EVE log prior in full-sequence coordinates.
+
+    For each VAE: encode the WT focus sequence, draw ``num_samples`` latents,
+    average the decoder's log-softmax outputs in log space
+    (ref trancepteve/model_pytorch.py:988-1001), then average over models.
+    Non-focus columns and special-token columns are -inf
+    (ref :996-999).
+
+    Returns (full_len, n_special+20) float32.
+    """
+    from proteingym_tpu.models import eve as eve_mod
+
+    if rng is None:
+        rng = jax.random.PRNGKey(42)
+    aa_idx = {a: i for i, a in enumerate(_AA_ORDER)}
+    onehot = np.zeros((1, len(focus_seq), len(_AA_ORDER)), dtype=np.float32)
+    for j, c in enumerate(focus_seq):
+        k = aa_idx.get(c.upper())
+        if k is not None:
+            onehot[0, j, k] = 1.0
+    x = jnp.asarray(onehot)
+
+    @jax.jit
+    def prior_one_model(params, key):
+        mu, logvar = eve_mod.encode(params, eve_config, x)
+
+        def chunk(carry, key):
+            ks = jax.random.split(key, sample_chunk + 1)
+            z = jax.vmap(
+                lambda k: eve_mod._sample(k, mu, logvar)
+            )(ks[1:])  # (chunk, 1, z)
+            recon = jax.vmap(
+                lambda zz, kk: eve_mod.decode(params, eve_config, zz, kk)
+            )(z, jax.random.split(ks[0], sample_chunk))
+            return carry + recon.sum(axis=0), None
+
+        n_chunks = max(1, num_samples // sample_chunk)
+        keys = jax.random.split(key, n_chunks)
+        total, _ = jax.lax.scan(
+            chunk, jnp.zeros((1, len(focus_seq), len(_AA_ORDER))), keys
+        )
+        return (total / (n_chunks * sample_chunk))[0]  # (L, 20)
+
+    acc = 0.0
+    for i, params in enumerate(eve_params_list):
+        acc = acc + np.asarray(prior_one_model(params, jax.random.fold_in(rng, i)))
+    recon_log = acc / len(eve_params_list)
+
+    vocab_size = n_special + len(_AA_ORDER)
+    prior = np.full((full_len, vocab_size), NEG_INF, dtype=np.float32)
+    cols = msa_start + np.asarray(focus_cols)
+    prior[cols, n_special:] = recon_log
+    return prior
+
+
+# ---------------------------------------------------------------------------
+# Depth-based aggregation weights (ref trancepteve/model_pytorch.py:722-763)
+# ---------------------------------------------------------------------------
+
+def msa_alpha(msa_depth: int, indel_mode: bool = False,
+              retrieval_type: str = "TranceptEVE") -> float:
+    if retrieval_type == "Tranception":
+        return 0.6
+    if indel_mode:
+        return 0.0 if msa_depth < 10 else 0.5
+    if msa_depth < 10:
+        return 0.0
+    if msa_depth < 10**2:
+        return 0.1
+    if msa_depth < 10**3:
+        return 0.3
+    if msa_depth < 10**5:
+        return 0.4
+    return 0.5
+
+
+def eve_beta(eve_depth: int, indel_mode: bool = False,
+             retrieval_type: str = "TranceptEVE") -> float:
+    if retrieval_type == "Tranception":
+        return 0.0
+    if indel_mode:
+        return 0.0 if eve_depth < 10 else 0.1
+    if eve_depth < 10:
+        return 0.0
+    if eve_depth < 10**2:
+        return 0.3
+    if eve_depth < 10**3:
+        return 0.6
+    if eve_depth < 10**5:
+        return 0.7
+    return 0.8
+
+
+# ---------------------------------------------------------------------------
+# Prior recalibration (ref trancepteve/model_pytorch.py:870-905)
+# ---------------------------------------------------------------------------
+
+def recalibrate_log_prior(
+    log_prior_slice: np.ndarray,
+    target_mean: float,
+    distance_stop_criterion: float = 0.001,
+    max_steps: int = 1000,
+) -> np.ndarray:
+    """Iteratively temperature-scale a log-prob table so its mean matches
+    ``target_mean`` (the transformer's mean WT log-prob)."""
+    out = np.asarray(log_prior_slice, dtype=np.float64)
+    loss = abs(out.mean() - target_mean)
+    step = 0
+    while loss > distance_stop_criterion:
+        t = out.mean() / target_mean
+        shifted = out / t
+        out = shifted - _logsumexp_rows(shifted)
+        loss = abs(out.mean() - target_mean)
+        step += 1
+        if step > max_steps:
+            break
+    return out
+
+
+def _logsumexp_rows(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
+
+
+# ---------------------------------------------------------------------------
+# Fusion kernel (jit-safe, batched over mixed windows/flips)
+# ---------------------------------------------------------------------------
+
+def make_fusion(
+    msa_log_prior: np.ndarray,
+    msa_start: int,
+    msa_end: int,
+    alpha: float,
+    eve_prior: Optional[np.ndarray] = None,
+    beta: float = 0.0,
+    n_special: int = 5,
+):
+    """Build a fusion callable for ar_scoring.batched_ar_loglik.
+
+    The callable maps (shift_logps (B,T,V), targets (B,T), window_starts (B,),
+    window_ends (B,), reverse: bool) -> fused shift log-probs. Position of
+    shift index t in full-sequence coordinates is start+t (L->R) or
+    end-1-t (R->L); fusion applies only where that position lies inside
+    [msa_start, msa_end) and the target token is a real amino acid — which
+    reproduces the reference's min/max_logits_slice arithmetic without a
+    per-sequence loop.
+
+    Non-focus columns (EVE prior rows of -inf) fall back to the MSA-only
+    mixture, matching ref trancepteve/model_pytorch.py:1121-1131.
+    """
+    msa_lp = jnp.asarray(msa_log_prior, dtype=jnp.float32)
+    eve_lp = None if eve_prior is None else jnp.asarray(eve_prior, jnp.float32)
+    vocab = msa_lp.shape[-1]
+
+    def fuse(shift_logps, targets, starts, ends, reverse):
+        T = shift_logps.shape[1]
+        t_idx = jnp.arange(T)[None, :]  # (1, T)
+        if reverse:
+            pos = ends[:, None] - 1 - t_idx
+        else:
+            pos = starts[:, None] + t_idx
+        in_range = (pos >= msa_start) & (pos < msa_end)
+        is_aa = targets >= n_special
+        mask = (in_range & is_aa)[..., None]  # (B, T, 1)
+        pos_c = jnp.clip(pos, 0, msa_lp.shape[0] - 1)
+        msa_rows = msa_lp[pos_c]  # (B, T, V)
+
+        aa_cols = (jnp.arange(vocab) >= n_special)[None, None, :]
+        mixed = (1.0 - alpha) * shift_logps + alpha * msa_rows
+        if eve_lp is not None:
+            eve_rows = eve_lp[pos_c]
+            finite = jnp.isfinite(eve_rows)
+            beta_eff = jnp.where(finite, beta, 0.0)
+            safe_eve = jnp.where(finite, eve_rows, 0.0)
+            mixed = (1.0 - beta_eff) * mixed + beta_eff * safe_eve
+        return jnp.where(mask & aa_cols, mixed, shift_logps)
+
+    return fuse
