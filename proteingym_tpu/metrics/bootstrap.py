@@ -8,6 +8,7 @@ jit-able on device if needed.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -54,7 +55,10 @@ def bootstrap_standard_error_functional_categories(
             columns = group.select_dtypes(include=[np.number]).columns
         n = values.shape[0]
         idx = rng.integers(0, n, size=(number_assay_reshuffle, n))
-        means = np.nanmean(values[idx], axis=1)
+        with warnings.catch_warnings():
+            # all-NaN model columns (absent scores) legitimately yield NaN
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            means = np.nanmean(values[idx], axis=1)
         replicates = means if replicates is None else replicates + means
         n_categories += 1
     combined = replicates / n_categories

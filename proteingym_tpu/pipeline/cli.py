@@ -1,0 +1,237 @@
+"""pgym: single CLI replacing the reference's 53 bash scoring scripts.
+
+Subcommands mirror the pipeline layers (SURVEY.md §7 P9):
+
+  pgym score     — run one model over one/many assays (L2)
+  pgym merge     — join per-model score files per assay (L3)
+  pgym evaluate  — metrics + aggregation + leaderboards (L4)
+  pgym weights   — precompute MSA sequence weights (L1)
+  pgym models    — list available scorers
+
+Replaces env-var bash config (ref scripts/zero_shot_config.sh:11-106) with
+flags; resume comes from the task manifest (skip-existing generalized,
+ref esm/compute_fitness.py:365-370), observability from JSONL telemetry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+
+def _parse_extra(pairs):
+    out = {}
+    for pair in pairs or []:
+        k, _, v = pair.partition("=")
+        for cast in (int, float):
+            try:
+                v = cast(v)
+                break
+            except (TypeError, ValueError):
+                continue
+        out[k] = v
+    return out
+
+
+def cmd_score(args) -> int:
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.pipeline.manifest import Manifest
+    from proteingym_tpu.pipeline.scorers import SCORERS, ScoreContext
+    from proteingym_tpu.pipeline.telemetry import EventLog
+
+    if args.model not in SCORERS:
+        print(f"Unknown model '{args.model}'. Available: {sorted(SCORERS)}")
+        return 2
+    reference = load_reference(args.dms_reference)
+    if args.dms_id:
+        records = [reference[args.dms_id]]
+    elif args.dms_index is not None:
+        records = [reference[args.dms_index]]
+    else:
+        records = list(reference)
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    log = EventLog(output_dir / "events.jsonl", echo=not args.quiet)
+    manifest = Manifest(output_dir / "manifest.jsonl")
+    scorer = SCORERS[args.model]
+
+    failures = 0
+    for rec in records:
+        task = f"{args.model}/{rec.DMS_id}"
+        out_path = output_dir / f"{rec.DMS_id}.csv"
+        if manifest.is_done(task) and out_path.exists() and not args.overwrite:
+            log.emit("task_skipped", task=task)
+            continue
+        dms_path = Path(args.dms_dir) / (rec.DMS_filename or f"{rec.DMS_id}.csv")
+        if not dms_path.exists():
+            log.emit("task_missing_input", task=task, path=str(dms_path))
+            continue
+        dms_frame = pd.read_csv(dms_path)
+        if "mutated_sequence" not in dms_frame and "mutant" in dms_frame:
+            from proteingym_tpu.data.mutants import apply_mutant
+
+            dms_frame["mutated_sequence"] = [
+                apply_mutant(rec.target_seq, m) for m in dms_frame["mutant"]
+            ]
+        ctx = ScoreContext(
+            record=rec,
+            dms_frame=dms_frame,
+            msa_dir=Path(args.msa_dir) if args.msa_dir else None,
+            weights_dir=Path(args.weights_dir) if args.weights_dir else None,
+            checkpoint=args.checkpoint,
+            structure_dir=Path(args.structure_dir) if args.structure_dir else None,
+            indel_mode=args.indel_mode,
+            batch_size=args.batch_size,
+            extra=_parse_extra(args.extra),
+        )
+        try:
+            with log.phase("score", task=task, n_mutants=len(dms_frame)):
+                scores = scorer(ctx)
+            scores.to_csv(out_path, index=False)
+            manifest.mark_done(task, rows=len(scores))
+        except Exception as e:  # noqa: BLE001 — per-assay isolation
+            failures += 1
+            manifest.mark_failed(task, error=repr(e))
+            log.emit("task_failed", task=task, error=repr(e))
+            if args.fail_fast:
+                raise
+    return 1 if failures else 0
+
+
+def cmd_merge(args) -> int:
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.data.registry import load_registry
+    from proteingym_tpu.merge.merge import filesystem_loaders, merge_all
+
+    reference = load_reference(args.dms_reference)
+    registry = load_registry(
+        args.config, dataset=args.dataset, mutation_type=args.mutation_type
+    )
+    dms_loader, score_loader = filesystem_loaders(args.dms_dir, args.scores_root)
+    merge_all(
+        reference,
+        registry,
+        dms_loader,
+        score_loader,
+        args.output_dir,
+        mutation_type=args.mutation_type,
+    )
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.data.registry import load_registry
+    from proteingym_tpu.metrics.aggregate import (
+        directory_scores_loader, evaluate_benchmark,
+    )
+
+    reference = load_reference(args.dms_reference)
+    registry = load_registry(
+        args.config,
+        dataset=args.dataset,
+        mutation_type=args.mutation_type,
+        constants_path=args.constants,
+    )
+    evaluate_benchmark(
+        reference,
+        registry,
+        directory_scores_loader(args.merged_dir),
+        args.output_dir,
+        indel_mode=args.mutation_type == "indels",
+        bootstrap_samples=args.bootstrap_samples,
+        write_html=not args.no_html,
+    )
+    return 0
+
+
+def cmd_weights(args) -> int:
+    from proteingym_tpu.msa.parser import load_msa
+    from proteingym_tpu.msa.weights import sequence_weights
+
+    msa = load_msa(args.msa)
+    w = sequence_weights(msa.matrix, theta=args.theta)
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+    np.save(args.output, w)
+    print(f"N={len(w)} Neff={w.sum():.2f} -> {args.output}")
+    return 0
+
+
+def cmd_models(args) -> int:
+    from proteingym_tpu.pipeline.scorers import SCORERS
+
+    for name in sorted(SCORERS):
+        print(name)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pgym", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("score", help="score assays with one model")
+    s.add_argument("--model", required=True)
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--dms-reference", required=True)
+    s.add_argument("--dms-dir", required=True)
+    s.add_argument("--dms-id", default=None)
+    s.add_argument("--dms-index", type=int, default=None)
+    s.add_argument("--msa-dir", default=None)
+    s.add_argument("--weights-dir", default=None)
+    s.add_argument("--structure-dir", default=None)
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--batch-size", type=int, default=32)
+    s.add_argument("--indel-mode", action="store_true")
+    s.add_argument("--overwrite", action="store_true")
+    s.add_argument("--fail-fast", action="store_true")
+    s.add_argument("--quiet", action="store_true")
+    s.add_argument("--extra", nargs="*", metavar="KEY=VAL")
+    s.set_defaults(fn=cmd_score)
+
+    m = sub.add_parser("merge", help="merge per-model scores per assay")
+    m.add_argument("--dms-reference", required=True)
+    m.add_argument("--dms-dir", required=True)
+    m.add_argument("--scores-root", required=True)
+    m.add_argument("--config", required=True)
+    m.add_argument("--output-dir", required=True)
+    m.add_argument("--dataset", default="DMS")
+    m.add_argument("--mutation-type", default="substitutions",
+                   choices=["substitutions", "indels"])
+    m.set_defaults(fn=cmd_merge)
+
+    e = sub.add_parser("evaluate", help="metrics + leaderboards")
+    e.add_argument("--dms-reference", required=True)
+    e.add_argument("--merged-dir", required=True)
+    e.add_argument("--config", required=True)
+    e.add_argument("--constants", default=None)
+    e.add_argument("--output-dir", required=True)
+    e.add_argument("--dataset", default="DMS")
+    e.add_argument("--mutation-type", default="substitutions",
+                   choices=["substitutions", "indels"])
+    e.add_argument("--bootstrap-samples", type=int, default=10000)
+    e.add_argument("--no-html", action="store_true")
+    e.set_defaults(fn=cmd_evaluate)
+
+    w = sub.add_parser("weights", help="precompute MSA sequence weights")
+    w.add_argument("--msa", required=True)
+    w.add_argument("--theta", type=float, default=0.2)
+    w.add_argument("--output", required=True)
+    w.set_defaults(fn=cmd_weights)
+
+    lm = sub.add_parser("models", help="list available scorers")
+    lm.set_defaults(fn=cmd_models)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

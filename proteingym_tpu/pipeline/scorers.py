@@ -1,0 +1,323 @@
+"""Scorer plugin registry: one callable contract for every model family.
+
+The reference's L2 contract is "read one assay CSV, write <DMS_id>.csv with
+a model-score column" (SURVEY.md §1, L2). Here each scorer is a function
+
+    scorer(ctx: ScoreContext) -> pd.DataFrame   # with a score column
+
+registered by name; the CLI (pipeline/cli.py) resolves names to scorers and
+handles reference-row lookup, IO, manifests, and telemetry. New model
+families plug in with @register_scorer and become CLI-visible for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+log = logging.getLogger(__name__)
+
+SCORERS: Dict[str, Callable] = {}
+
+
+def register_scorer(name: str):
+    def deco(fn):
+        SCORERS[name] = fn
+        return fn
+    return deco
+
+
+@dataclasses.dataclass
+class ScoreContext:
+    """Everything a scorer may need for one (model, assay) task."""
+
+    record: "AssayRecord"  # reference row
+    dms_frame: pd.DataFrame  # cleaned assay frame (mutant, mutated_sequence, ...)
+    msa_dir: Optional[Path] = None
+    weights_dir: Optional[Path] = None
+    checkpoint: Optional[str] = None  # model checkpoint path or preset name
+    structure_dir: Optional[Path] = None
+    indel_mode: bool = False
+    batch_size: int = 32
+    extra: dict = dataclasses.field(default_factory=dict)
+
+    # -- shared lazy resources ------------------------------------------------
+    _msa = None
+    _weights = None
+
+    def load_msa(self, theta: Optional[float] = None):
+        """Load + preprocess the assay's MSA, computing/caching weights."""
+        if self._msa is not None:
+            return self._msa
+        from proteingym_tpu.msa.parser import load_msa
+        from proteingym_tpu.msa.weights import sequence_weights
+
+        if self.msa_dir is None or self.record.MSA_filename is None:
+            raise FileNotFoundError(
+                f"No MSA available for {self.record.DMS_id}"
+            )
+        msa = load_msa(Path(self.msa_dir) / self.record.MSA_filename)
+        theta = theta if theta is not None else (self.record.MSA_theta or 0.2)
+
+        weights = None
+        if self.weights_dir is not None and self.record.weight_file_name:
+            wpath = Path(self.weights_dir) / self.record.weight_file_name
+            if wpath.exists():
+                weights = np.load(wpath)
+        if weights is None or len(weights) != msa.num_sequences:
+            weights = sequence_weights(msa.matrix, theta=theta)
+            if self.weights_dir is not None and self.record.weight_file_name:
+                Path(self.weights_dir).mkdir(parents=True, exist_ok=True)
+                np.save(Path(self.weights_dir) / self.record.weight_file_name,
+                        weights)
+        self._msa = dataclasses.replace(msa, weights=weights)
+        return self._msa
+
+    @property
+    def msa_start0(self) -> int:
+        """0-indexed MSA start in full-sequence coordinates."""
+        return (self.record.MSA_start or 1) - 1
+
+
+def _mutant_offset_to_msa(ctx: ScoreContext, mutants) -> list:
+    """Shift mutants from DMS coords into MSA-region coords
+    (ref utils/scoring_utils.py:54-76)."""
+    from proteingym_tpu.data.mutants import set_mutant_offset
+
+    if ctx.record.MSA_start in (None, 1):
+        return list(mutants)
+    return [set_mutant_offset(m, ctx.record.MSA_start) for m in mutants]
+
+
+# ---------------------------------------------------------------------------
+# Alignment-based scorers (runnable from MSAs alone)
+# ---------------------------------------------------------------------------
+
+@register_scorer("site_independent")
+def score_site_independent(ctx: ScoreContext) -> pd.DataFrame:
+    """Weighted single-site frequency model (ref EVmutation/score_mutants.py:14
+    via to_independent_model; trained natively here)."""
+    from proteingym_tpu.models.potts import train_site_independent
+
+    msa = ctx.load_msa()
+    model = _trained_site_independent(msa, ctx)
+    return _score_potts(model, ctx, "Site_Independent_score")
+
+
+@register_scorer("potts")
+@register_scorer("evmutation")
+def score_potts(ctx: ScoreContext) -> pd.DataFrame:
+    """Potts model: load a plmc .model checkpoint when given, else train by
+    pseudolikelihood from the MSA (SURVEY.md §2.3 plmc replacement)."""
+    from proteingym_tpu.models.potts import read_plmc_model, train_potts_plm
+
+    if ctx.checkpoint:
+        model = read_plmc_model(ctx.checkpoint)
+    else:
+        msa = ctx.load_msa()
+        model = train_potts_plm(
+            msa.matrix,
+            msa.weights,
+            "-ACDEFGHIKLMNPQRSTVWY",
+            _index_list(msa, ctx),
+            msa.focus_seq_trimmed,
+            steps=int(ctx.extra.get("plm_steps", 300)),
+        )
+    return _score_potts(model, ctx, "EVmutation_score")
+
+
+def _index_list(msa, ctx: ScoreContext) -> np.ndarray:
+    start = msa.focus_start if msa.focus_start is not None else (
+        ctx.record.MSA_start or 1
+    )
+    return np.asarray(msa.focus_cols) + start
+
+
+def _trained_site_independent(msa, ctx: ScoreContext):
+    from proteingym_tpu.models.potts import train_site_independent
+
+    return train_site_independent(
+        msa.matrix,
+        msa.weights,
+        "-ACDEFGHIKLMNPQRSTVWY",
+        _index_list(msa, ctx),
+        msa.focus_seq_trimmed,
+    )
+
+
+def _score_potts(model, ctx: ScoreContext, column: str) -> pd.DataFrame:
+    out = ctx.dms_frame.copy()
+    out[column] = np.asarray(model.delta_hamiltonians(out["mutant"].tolist()))
+    return out
+
+
+@register_scorer("hmm")
+def score_hmm(ctx: ScoreContext) -> pd.DataFrame:
+    """Profile-HMM forward log-odds vs WT (ref HMM/score_hmm.py:9-111;
+    native forward algorithm, no HMMER binaries)."""
+    from proteingym_tpu.models.hmm import build_profile_hmm, score_sequences
+
+    msa = ctx.load_msa()
+    hmm = build_profile_hmm(msa.matrix, msa.weights)
+    seqs = ctx.dms_frame["mutated_sequence"].tolist()
+    wt = ctx.record.target_seq
+    if not ctx.indel_mode:
+        # substitution assays score the MSA-covered slice
+        s0, s1 = ctx.msa_start0, ctx.record.MSA_end or len(wt)
+        seqs = [s[s0:s1] for s in seqs]
+        wt = wt[s0:s1]
+    lls = score_sequences(hmm, seqs + [wt])
+    out = ctx.dms_frame.copy()
+    out["HMM_score"] = lls[:-1] - lls[-1]
+    return out
+
+
+@register_scorer("eve")
+def score_eve(ctx: ScoreContext) -> pd.DataFrame:
+    """EVE VAE: train from the MSA (or restore an orbax checkpoint), then
+    evol indices over MC samples (ref EVE/compute_evol_indices_DMS.py)."""
+    import jax
+
+    from proteingym_tpu.models import eve as eve_mod
+
+    msa = ctx.load_msa()
+    cfg = eve_mod.EveConfig(
+        seq_len=msa.seq_len,
+        **ctx.extra.get("eve_config", {}),
+    )
+    if ctx.checkpoint:
+        from proteingym_tpu.pipeline.checkpoints import restore_pytree
+
+        params = restore_pytree(ctx.checkpoint)
+    else:
+        params = eve_mod.train(
+            msa.one_hot(),
+            msa.weights,
+            cfg,
+            steps=int(ctx.extra.get("train_steps", 10000)),
+            seed=int(ctx.extra.get("seed", 42)),
+        )
+
+    # map DMS-coordinate mutants to trimmed-focus-column coordinates
+    # (positions outside focus columns are unscorable -> NaN, as in the
+    # reference's focus-col filtering)
+    alphabet = "ACDEFGHIKLMNPQRSTVWY"
+    focus_codes = np.asarray(
+        [alphabet.index(c) for c in msa.focus_seq_trimmed.upper()]
+    )
+    msa_start = ctx.record.MSA_start or 1
+    col_to_focus = {
+        int(c): i for i, c in enumerate(np.asarray(msa.focus_cols))
+    }
+    from proteingym_tpu.data.mutants import parse_mutant
+
+    remapped, valid = [], []
+    for m in ctx.dms_frame["mutant"].tolist():
+        try:
+            toks = []
+            for f, pos, t in parse_mutant(m):
+                fi = col_to_focus[pos - msa_start]
+                if alphabet[focus_codes[fi]] != f or t not in alphabet:
+                    raise KeyError(m)
+                toks.append(f"{f}{fi + 1}{t}")
+            remapped.append(":".join(toks))
+            valid.append(True)
+        except (KeyError, ValueError, IndexError):
+            remapped.append(None)
+            valid.append(False)
+    valid = np.asarray(valid)
+    onehots = eve_mod.onehot_mutants(
+        focus_codes, [m for m in remapped if m is not None], alphabet
+    )
+    wt_onehot = np.eye(len(alphabet), dtype=np.float32)[focus_codes]
+    scores = eve_mod.evol_indices(
+        params,
+        cfg,
+        wt_onehot,
+        onehots,
+        num_samples=int(ctx.extra.get("num_samples", 2000)),
+        seed=int(ctx.extra.get("seed", 42)),
+    )
+    out = ctx.dms_frame.copy()
+    col = np.full(len(out), np.nan)
+    col[valid] = np.asarray(scores)
+    out["evol_indices"] = col
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PLM scorers (need converted checkpoints)
+# ---------------------------------------------------------------------------
+
+@register_scorer("esm")
+def score_esm(ctx: ScoreContext) -> pd.DataFrame:
+    """ESM2/ESM-1v masked-marginal scoring (ref esm/compute_fitness.py:282-543)."""
+    from proteingym_tpu.models import esm2 as esm_mod
+    from proteingym_tpu.models.esm_scoring import score_assay
+    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+
+    params, config = load_esm_checkpoint(ctx.checkpoint)
+
+    def logits_fn(tokens):
+        return esm_mod.apply(params, config, tokens)
+
+    scores = score_assay(
+        logits_fn,
+        ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(),
+        strategy=ctx.extra.get("scoring_strategy", "masked-marginals"),
+        chunk=ctx.batch_size,
+        window=config.max_positions,
+    )
+    out = ctx.dms_frame.copy()
+    out[f"{config.name}_score"] = np.asarray(scores)
+    return out
+
+
+@register_scorer("tranception")
+@register_scorer("trancepteve")
+def score_tranception(ctx: ScoreContext) -> pd.DataFrame:
+    """Tranception / TranceptEVE AR scoring with optional retrieval
+    (ref tranception/score_tranception_proteingym.py:14-122,
+    trancepteve/score_trancepteve.py:15-209)."""
+    from proteingym_tpu.models.tranception import TranceptionConfig, init_params
+    from proteingym_tpu.models.trancepteve import (
+        RetrievalConfig, build_priors, score_trancepteve,
+    )
+    from proteingym_tpu.pipeline.checkpoints import load_tranception_checkpoint
+
+    params, config = load_tranception_checkpoint(ctx.checkpoint)
+    retrieval_type = ctx.extra.get("retrieval_type")
+    msa_lp = eve_lp = None
+    alpha = beta = 0.0
+    rcfg = None
+    if retrieval_type:
+        msa = ctx.load_msa()
+        rcfg = RetrievalConfig(
+            retrieval_type=retrieval_type,
+            msa_start=ctx.msa_start0,
+            msa_end=ctx.record.MSA_end or len(ctx.record.target_seq),
+            indel_mode=ctx.indel_mode,
+        )
+        msa_lp, eve_lp, alpha, beta = build_priors(
+            msa.sequences(), msa.weights, ctx.record.target_seq, rcfg,
+        )
+    return score_trancepteve(
+        params,
+        config,
+        ctx.dms_frame["mutant"].tolist(),
+        ctx.dms_frame["mutated_sequence"].tolist(),
+        ctx.record.target_seq,
+        rcfg=rcfg,
+        msa_log_prior=msa_lp,
+        eve_log_prior=eve_lp,
+        alpha=alpha,
+        beta=beta,
+        batch_size=ctx.batch_size,
+        indel_mode=ctx.indel_mode,
+    )

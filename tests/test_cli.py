@@ -1,0 +1,167 @@
+"""End-to-end CLI: score -> merge -> evaluate on a synthetic benchmark."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from proteingym_tpu.pipeline.cli import main
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """Synthetic benchmark world: 2 assays, MSAs, DMS files, config."""
+    root = tmp_path_factory.mktemp("world")
+    rs = np.random.RandomState(0)
+    rows = []
+    for k, dms_id in enumerate(["PROT_A_Test_2026", "PROT_B_Test_2026"]):
+        L = 30
+        target = "".join(AA[i] for i in rs.randint(0, 20, L))
+        # MSA (a2m) around the target
+        msa_lines = [f">{dms_id}_focus/1-{L}", target]
+        for i in range(40):
+            s = list(target)
+            for p in rs.choice(L, 6, replace=False):
+                s[p] = AA[rs.randint(20)]
+            msa_lines += [f">hom{i}", "".join(s)]
+        msa_dir = root / "msa"
+        msa_dir.mkdir(exist_ok=True)
+        (msa_dir / f"{dms_id}.a2m").write_text("\n".join(msa_lines) + "\n")
+        # DMS assay: single substitutions with a planted signal
+        muts, seqs = [], []
+        for p in range(L):
+            for m in AA[:3]:
+                if m != target[p]:
+                    muts.append(f"{target[p]}{p + 1}{m}")
+                    seqs.append(target[:p] + m + target[p + 1 :])
+        score = rs.normal(size=len(muts))
+        dms = pd.DataFrame(
+            {
+                "mutant": muts,
+                "mutated_sequence": seqs,
+                "DMS_score": score,
+                "DMS_score_bin": (score > np.median(score)).astype(int),
+            }
+        )
+        dms_dir = root / "dms"
+        dms_dir.mkdir(exist_ok=True)
+        dms.to_csv(dms_dir / f"{dms_id}.csv", index=False)
+        rows.append(
+            {
+                "DMS_id": dms_id,
+                "DMS_filename": f"{dms_id}.csv",
+                "UniProt_ID": f"PROT_{'AB'[k]}",
+                "target_seq": target,
+                "seq_len": L,
+                "taxon": "Prokaryote",
+                "includes_multiple_mutants": False,
+                "DMS_total_number_mutants": len(muts),
+                "coarse_selection_type": "Activity",
+                "selection_type": "Activity",
+                "MSA_filename": f"{dms_id}.a2m",
+                "MSA_start": 1,
+                "MSA_end": L,
+                "MSA_theta": 0.2,
+                "MSA_Neff_L_category": "Medium",
+                "weight_file_name": f"{dms_id}_w.npy",
+            }
+        )
+    ref_csv = root / "reference.csv"
+    pd.DataFrame(rows).to_csv(ref_csv, index=False)
+    config = {
+        "model_list_zero_shot_substitutions_DMS": {
+            "Site_Independent": {
+                "input_score_name": "Site_Independent_score",
+                "location": "site_independent",
+                "directionality": 1,
+                "key": "mutant",
+                "model_type": "Alignment-based model",
+            },
+            "HMM": {
+                "input_score_name": "HMM_score",
+                "location": "hmm",
+                "directionality": 1,
+                "key": "mutant",
+                "model_type": "Alignment-based model",
+            },
+        }
+    }
+    (root / "config.json").write_text(json.dumps(config))
+    return root
+
+
+def test_models_lists_scorers(capsys):
+    assert main(["models"]) == 0
+    out = capsys.readouterr().out
+    for name in ["site_independent", "potts", "hmm", "eve", "esm", "tranception"]:
+        assert name in out
+
+
+def test_score_merge_evaluate(world):
+    base = [
+        "--dms-reference", str(world / "reference.csv"),
+        "--dms-dir", str(world / "dms"),
+    ]
+    for model, loc in [("site_independent", "site_independent"), ("hmm", "hmm")]:
+        rc = main(
+            ["score", "--model", model, *base,
+             "--msa-dir", str(world / "msa"),
+             "--weights-dir", str(world / "weights"),
+             "--output-dir", str(world / "scores" / loc),
+             "--quiet", "--fail-fast"]
+        )
+        assert rc == 0
+        for dms_id in ["PROT_A_Test_2026", "PROT_B_Test_2026"]:
+            f = world / "scores" / loc / f"{dms_id}.csv"
+            assert f.exists()
+            frame = pd.read_csv(f)
+            assert frame.iloc[:, -1].notna().all()
+
+    # resume: second run skips everything (manifest)
+    rc = main(
+        ["score", "--model", "site_independent", *base,
+         "--msa-dir", str(world / "msa"),
+         "--weights-dir", str(world / "weights"),
+         "--output-dir", str(world / "scores" / "site_independent"),
+         "--quiet"]
+    )
+    assert rc == 0
+    events = [
+        json.loads(line)
+        for line in (world / "scores" / "site_independent" / "events.jsonl")
+        .read_text().splitlines()
+    ]
+    assert any(e["event"] == "task_skipped" for e in events)
+
+    rc = main(
+        ["merge", *base,
+         "--scores-root", str(world / "scores"),
+         "--config", str(world / "config.json"),
+         "--output-dir", str(world / "merged")]
+    )
+    assert rc == 0
+    merged = pd.read_csv(world / "merged" / "PROT_A_Test_2026.csv")
+    assert {"Site_Independent", "HMM"} <= set(merged.columns)
+
+    rc = main(
+        ["evaluate",
+         "--dms-reference", str(world / "reference.csv"),
+         "--merged-dir", str(world / "merged"),
+         "--config", str(world / "config.json"),
+         "--output-dir", str(world / "bench"),
+         "--bootstrap-samples", "50",
+         "--no-html"]
+    )
+    assert rc == 0
+    summary = pd.read_csv(
+        world / "bench" / "Spearman"
+        / "Summary_performance_DMS_substitutions_Spearman.csv"
+    )
+    assert set(summary["Model_name"]) == {"Site_Independent", "HMM"}
+    assert "Average_Spearman" in summary.columns
