@@ -37,6 +37,7 @@ class ModelEntry:
     directionality: int
     key: str
     model_type: str
+    label_name: str = ""  # supervised models: target column in score files
 
 
 class ModelRegistry:
@@ -88,9 +89,10 @@ def load_registry(
             name=name,
             input_score_name=spec["input_score_name"],
             location=spec["location"],
-            directionality=int(spec["directionality"]),
+            directionality=int(spec.get("directionality", 1)),
             key=spec["key"],
             model_type=spec.get("model_type", ""),
+            label_name=spec.get("label_name", ""),
         )
     clean_names = model_details = model_references = None
     if constants_path is not None:
@@ -112,6 +114,7 @@ def registry_from_dict(models: Dict[str, dict]) -> ModelRegistry:
                 directionality=int(spec.get("directionality", 1)),
                 key=spec.get("key", "mutant"),
                 model_type=spec.get("model_type", ""),
+                label_name=spec.get("label_name", ""),
             )
             for name, spec in models.items()
         }

@@ -1,0 +1,417 @@
+"""MSA Transformer (ESM-MSA-1b): axial attention over (rows, columns).
+
+Architecture semantics match the reference vendored model
+(ref: proteingym/baselines/esm/esm/model/msa_transformer.py:21-238,
+esm/axial_attention.py:37-297):
+
+  - embedding: token embed + learned column positions (per row) +
+    learned per-row MSA position embedding (1, 1024, 1, D)
+  - tied row attention: scores summed over rows, scaled by
+    head_dim^-0.5 / sqrt(num_rows); one softmax over columns shared by
+    every row (axial_attention.py:77-79, einsum "rinhd,rjnhd->hnij")
+  - column attention: per-column attention over rows
+    (einsum "icnhd,jcnhd->hcnij")
+  - layer order: row attention, column attention, FFN, each pre-LN
+    residual; emb LN before and after; Roberta LM head tied to embeddings
+  - rows are [CLS] + aligned sequence, no EOS (alphabet prepend_bos=True,
+    append_eos=False)
+
+Scoring (ref esm/compute_fitness.py:373-396): mask position i of the FIRST
+row (the query/wild-type), read log-softmax at [row 0, pos i]; per-seed
+weighted MSA subsample with the WT always kept (:26-73). The reference's
+per-position Python loop becomes a batched chunked forward: the mask
+position varies over the batch axis.
+
+TPU design: pure functional apply; both attentions are einsums that lower
+onto the MXU; the (R*C) token grid stays resident in HBM once per chunk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from proteingym_tpu.models.esm2 import ALPHABET, EsmAlphabet
+
+
+@dataclasses.dataclass(frozen=True)
+class MsaTransformerConfig:
+    name: str = "esm_msa1b_t12_100M"
+    num_layers: int = 12
+    embed_dim: int = 768
+    num_heads: int = 12
+    ffn_dim: int = 3072
+    alphabet_size: int = 33
+    max_positions: int = 1024
+    max_rows: int = 1024
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+PRESETS = {"esm_msa1b_t12_100M": MsaTransformerConfig()}
+
+
+def init_params(rng: jax.Array, config: MsaTransformerConfig) -> Dict[str, Any]:
+    c = config
+    keys = jax.random.split(rng, 4 + 10 * c.num_layers)
+    kit = iter(keys)
+
+    def dense(key, n_in, n_out):
+        return {
+            "w": jax.random.normal(key, (n_in, n_out), jnp.float32) * 0.02,
+            "b": jnp.zeros(n_out, jnp.float32),
+        }
+
+    def ln():
+        return {"g": jnp.ones(c.embed_dim, jnp.float32),
+                "b": jnp.zeros(c.embed_dim, jnp.float32)}
+
+    params: Dict[str, Any] = {
+        "embed_tokens": jax.random.normal(
+            next(kit), (c.alphabet_size, c.embed_dim), jnp.float32
+        ) * 0.02,
+        "embed_positions": jax.random.normal(
+            next(kit), (c.max_positions + 2, c.embed_dim), jnp.float32
+        ) * 0.02,
+        "msa_position_embedding": 0.01 * jax.random.normal(
+            next(kit), (c.max_rows, 1, c.embed_dim), jnp.float32
+        ),
+        "emb_ln_before": ln(),
+        "emb_ln_after": ln(),
+        "layers": [],
+        "lm_head": {
+            "dense": dense(next(kit), c.embed_dim, c.embed_dim),
+            "ln": ln(),
+            "bias": jnp.zeros(c.alphabet_size, jnp.float32),
+        },
+    }
+    for _ in range(c.num_layers):
+        layer = {}
+        for attn in ("row_attn", "col_attn"):
+            layer[attn] = {
+                "q": dense(next(kit), c.embed_dim, c.embed_dim),
+                "k": dense(next(kit), c.embed_dim, c.embed_dim),
+                "v": dense(next(kit), c.embed_dim, c.embed_dim),
+                "o": dense(next(kit), c.embed_dim, c.embed_dim),
+                "ln": ln(),
+            }
+        layer["ffn"] = {
+            "fc1": dense(next(kit), c.embed_dim, c.ffn_dim),
+            "fc2": dense(next(kit), c.ffn_dim, c.embed_dim),
+            "ln": ln(),
+        }
+        params["layers"].append(layer)
+    return params
+
+
+def _ln(x, p, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (
+        jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+        + p["b"]
+    ).astype(x.dtype)
+
+
+def _gelu(x):
+    x32 = x.astype(jnp.float32)
+    return (x32 * 0.5 * (1.0 + jax.lax.erf(x32 / np.sqrt(2.0)))).astype(x.dtype)
+
+
+def _heads(z, b, r, cdim, h, hd):
+    return z.reshape(b, r, cdim, h, hd)
+
+
+def _row_attention(x, p, config, pad_mask):
+    """Tied row attention. x: (B, R, C, D); pad_mask: (B, R, C) bool."""
+    c = config
+    b, r, cols, _ = x.shape
+    q = _heads(_dense(x, p["q"]), b, r, cols, c.num_heads, c.head_dim)
+    k = _heads(_dense(x, p["k"]), b, r, cols, c.num_heads, c.head_dim)
+    v = _heads(_dense(x, p["v"]), b, r, cols, c.num_heads, c.head_dim)
+    scaling = c.head_dim ** -0.5 / np.sqrt(r)
+    q = q * scaling
+    # zero out padded positions so the row-sum is unaffected (ref :123-126)
+    q = q * (1.0 - pad_mask[..., None, None].astype(q.dtype))
+    scores = jnp.einsum(
+        "brihd,brjhd->bhij", q, k, preferred_element_type=jnp.float32
+    )  # summed over rows (tied)
+    col_pad = pad_mask[:, 0]  # (B, C): key-side mask from the first row
+    scores = jnp.where(col_pad[:, None, None, :], -10000.0, scores)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum(
+        "bhij,brjhd->brihd", probs, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return _dense(ctx.reshape(b, r, cols, c.embed_dim), p["o"])
+
+
+def _col_attention(x, p, config, pad_mask):
+    """Per-column attention over rows. x: (B, R, C, D)."""
+    c = config
+    b, r, cols, _ = x.shape
+    if r == 1:
+        # softmax over a single row is identity on V (ref axial_attention
+        # ColumnSelfAttention num_rows==1 shortcut)
+        v = _dense(x, p["v"])
+        return _dense(v, p["o"])
+    q = _heads(_dense(x, p["q"]), b, r, cols, c.num_heads, c.head_dim)
+    k = _heads(_dense(x, p["k"]), b, r, cols, c.num_heads, c.head_dim)
+    v = _heads(_dense(x, p["v"]), b, r, cols, c.num_heads, c.head_dim)
+    q = q * (c.head_dim ** -0.5)
+    scores = jnp.einsum(
+        "bichd,bjchd->bhcij", q, k, preferred_element_type=jnp.float32
+    )
+    scores = jnp.where(
+        pad_mask.transpose(0, 2, 1)[:, None, :, None, :], -10000.0, scores
+    )
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum(
+        "bhcij,bjchd->bichd", probs, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return _dense(ctx.reshape(b, r, cols, c.embed_dim), p["o"])
+
+
+def apply(
+    params: Dict[str, Any],
+    config: MsaTransformerConfig,
+    tokens: jnp.ndarray,
+) -> jnp.ndarray:
+    """tokens: (B, R, C) int32 -> (B, R, C, V) f32 logits."""
+    c = config
+    b, r, cols = tokens.shape
+    pad_mask = tokens == ALPHABET.padding_idx
+
+    x = params["embed_tokens"].astype(c.dtype)[tokens]
+    # learned positions over columns (ESM-1b convention: cumsum of non-pad
+    # plus padding_idx offset)
+    positions = (
+        jnp.cumsum((~pad_mask).astype(jnp.int32), axis=-1) * (~pad_mask)
+        + ALPHABET.padding_idx
+    )
+    x = x + params["embed_positions"].astype(c.dtype)[positions]
+    x = x + params["msa_position_embedding"][:r].astype(c.dtype)[None]
+    x = _ln(x, params["emb_ln_before"])
+    x = x * (1.0 - pad_mask[..., None].astype(x.dtype))
+
+    for layer in params["layers"]:
+        x = x + _row_attention(
+            _ln(x, layer["row_attn"]["ln"]), layer["row_attn"], c, pad_mask
+        )
+        x = x + _col_attention(
+            _ln(x, layer["col_attn"]["ln"]), layer["col_attn"], c, pad_mask
+        )
+        y = _ln(x, layer["ffn"]["ln"])
+        y = _dense(_gelu(_dense(y, layer["ffn"]["fc1"])), layer["ffn"]["fc2"])
+        x = x + y
+
+    x = _ln(x, params["emb_ln_after"])
+    h = params["lm_head"]
+    y = _gelu(_dense(x, h["dense"]))
+    y = _ln(y, h["ln"])
+    logits = jnp.dot(
+        y,
+        params["embed_tokens"].astype(y.dtype).T,
+        preferred_element_type=jnp.float32,
+    ) + h["bias"]
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Weighted MSA subsampling (ref esm/compute_fitness.py:26-73)
+# ---------------------------------------------------------------------------
+
+def sample_msa_weighted(
+    sequences: Sequence[str],
+    weights: np.ndarray,
+    nseq: int,
+    seed: int,
+    focus_index: int = 0,
+) -> List[str]:
+    """WT always kept first; remaining rows drawn with replacement with
+    probability proportional to their cluster weights."""
+    import random as pyrandom
+
+    rng = pyrandom.Random(seed)
+    others = [i for i in range(len(sequences)) if i != focus_index]
+    out = [sequences[focus_index]]
+    if others:
+        w = np.asarray([weights[i] for i in others], dtype=np.float64)
+        w = w / w.sum()
+        picks = rng.choices(others, weights=w.tolist(), k=nseq - 1)
+        out.extend(sequences[i] for i in picks)
+    return [s.upper() for s in out]
+
+
+def tokenize_msa(
+    sequences: Sequence[str], alphabet: EsmAlphabet = ALPHABET
+) -> np.ndarray:
+    """(R, C+1) tokens: each row is [CLS] + sequence (no EOS)."""
+    rows = []
+    for seq in sequences:
+        ids = [alphabet.cls_idx] + [alphabet.get_idx(ch) for ch in seq]
+        rows.append(ids)
+    return np.asarray(rows, dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Masked-marginal scoring (batched over masked positions)
+# ---------------------------------------------------------------------------
+
+def masked_marginal_table_msa(
+    logits_fn,
+    msa_tokens: np.ndarray,
+    mask_idx: Optional[int] = None,
+    chunk: int = 4,
+    window: int = 1024,
+) -> jnp.ndarray:
+    """(C, V) log-prob table; row i from a forward with first-row position i
+    masked (ref :381-396 batched over the mask position). Long MSAs use the
+    optimal window around each masked position (ref :386-390)."""
+    from proteingym_tpu.data.windows import get_optimal_window
+
+    mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
+    msa_tokens = np.asarray(msa_tokens)
+    r, total = msa_tokens.shape
+
+    if total > window:
+        grids = np.zeros((total, r, window), dtype=msa_tokens.dtype)
+        offsets = np.zeros(total, dtype=np.int32)
+        for i in range(total):
+            start, end = get_optimal_window(i, total, window)
+            grids[i] = msa_tokens[:, start:end]
+            grids[i, 0, i - start] = mask_idx
+            offsets[i] = i - start
+        eff = window
+    else:
+        grids = np.tile(msa_tokens[None], (total, 1, 1))
+        grids[np.arange(total), 0, np.arange(total)] = mask_idx
+        offsets = np.arange(total, dtype=np.int32)
+        eff = total
+
+    n_pad = ((total + chunk - 1) // chunk) * chunk
+    if n_pad != total:
+        grids = np.concatenate(
+            [grids, np.tile(msa_tokens[None, :, :eff], (n_pad - total, 1, 1))]
+        )
+        offsets = np.concatenate([offsets, np.zeros(n_pad - total, np.int32)])
+
+    grids = jnp.asarray(grids).reshape(n_pad // chunk, chunk, r, eff)
+    offsets = jnp.asarray(offsets).reshape(n_pad // chunk, chunk)
+
+    def step(args):
+        toks, offs = args
+        logits = logits_fn(toks)  # (chunk, R, eff, V)
+        logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return logps[jnp.arange(toks.shape[0]), 0, offs]  # (chunk, V)
+
+    table = jax.lax.map(step, (grids, offsets))
+    return table.reshape(n_pad, -1)[:total]
+
+
+def score_assay_msa_transformer(
+    params,
+    config: MsaTransformerConfig,
+    sequence: str,
+    mutants: Sequence[str],
+    msa_sequences: Sequence[str],
+    msa_weights: np.ndarray,
+    nseq: int = 384,
+    seeds: Sequence[int] = (1, 2, 3, 4, 5),
+    offset_idx: int = 1,
+    chunk: int = 4,
+) -> np.ndarray:
+    """Ensemble masked-marginal scores over MSA subsample seeds
+    (ref :530-542 averages the per-seed columns)."""
+    from proteingym_tpu.models.esm_scoring import score_mutants_from_table
+
+    def logits_fn(toks):
+        return apply(params, config, toks)
+
+    per_seed = []
+    for seed in seeds:
+        sampled = sample_msa_weighted(msa_sequences, msa_weights, nseq, seed)
+        tokens = tokenize_msa(sampled)
+        table = masked_marginal_table_msa(logits_fn, tokens, chunk=chunk)
+        per_seed.append(
+            score_mutants_from_table(
+                table, mutants, sequence, offset_idx=offset_idx
+            )
+        )
+    return np.mean(np.stack(per_seed), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion (fairseq esm_msa1b state_dict -> pytree)
+# ---------------------------------------------------------------------------
+
+def convert_torch_state_dict(
+    state_dict, config: MsaTransformerConfig
+) -> Dict[str, Any]:
+    import numpy as onp
+
+    def get(key):
+        v = state_dict[key]
+        return onp.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+            dtype=onp.float32,
+        )
+
+    def dense(prefix):
+        return {"w": jnp.asarray(get(f"{prefix}.weight").T),
+                "b": jnp.asarray(get(f"{prefix}.bias"))}
+
+    def ln(prefix):
+        return {"g": jnp.asarray(get(f"{prefix}.weight")),
+                "b": jnp.asarray(get(f"{prefix}.bias"))}
+
+    pfx = ""
+    if any(k.startswith("encoder.") for k in state_dict):
+        pfx = "encoder."
+    params: Dict[str, Any] = {
+        "embed_tokens": jnp.asarray(get(f"{pfx}embed_tokens.weight")),
+        "embed_positions": jnp.asarray(get(f"{pfx}embed_positions.weight")),
+        "msa_position_embedding": jnp.asarray(
+            get(f"{pfx}msa_position_embedding")[0]
+        ),
+        "emb_ln_before": ln(f"{pfx}emb_layer_norm_before"),
+        "emb_ln_after": ln(f"{pfx}emb_layer_norm_after"),
+        "lm_head": {
+            "dense": dense(f"{pfx}lm_head.dense"),
+            "ln": ln(f"{pfx}lm_head.layer_norm"),
+            "bias": jnp.asarray(get(f"{pfx}lm_head.bias")),
+        },
+        "layers": [],
+    }
+    for i in range(config.num_layers):
+        lp = f"{pfx}layers.{i}"
+        layer = {}
+        for attn, mod in (
+            ("row_attn", "row_self_attention"),
+            ("col_attn", "column_self_attention"),
+        ):
+            layer[attn] = {
+                "q": dense(f"{lp}.{mod}.layer.q_proj"),
+                "k": dense(f"{lp}.{mod}.layer.k_proj"),
+                "v": dense(f"{lp}.{mod}.layer.v_proj"),
+                "o": dense(f"{lp}.{mod}.layer.out_proj"),
+                "ln": ln(f"{lp}.{mod}.layer_norm"),
+            }
+        layer["ffn"] = {
+            "fc1": dense(f"{lp}.feed_forward_layer.layer.fc1"),
+            "fc2": dense(f"{lp}.feed_forward_layer.layer.fc2"),
+            "ln": ln(f"{lp}.feed_forward_layer.layer_norm"),
+        }
+        params["layers"].append(layer)
+    return params

@@ -150,6 +150,87 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_merge_supervised(args) -> int:
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.data.registry import load_registry
+    from proteingym_tpu.merge.supervised import (
+        merge_supervised, supervised_filesystem_loaders,
+    )
+
+    reference = load_reference(args.dms_reference)
+    registry = load_registry(
+        args.config, dataset="DMS_supervised", mutation_type=args.mutation_type
+    )
+    dms_loader, score_loader = supervised_filesystem_loaders(
+        args.dms_dir, args.scores_root
+    )
+    merge_supervised(
+        reference,
+        registry,
+        dms_loader,
+        score_loader,
+        output_dir=args.output_dir,
+        mutation_type=args.mutation_type,
+    )
+    return 0
+
+
+def cmd_evaluate_supervised(args) -> int:
+    import json
+
+    import pandas as pd
+
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.metrics.supervised import evaluate_supervised
+
+    reference = load_reference(args.dms_reference)
+    long_scores = pd.read_csv(args.input_scoring_file)
+    kwargs = {}
+    if args.constants:
+        with open(args.constants) as f:
+            constants = json.load(f)
+        kwargs = dict(
+            clean_names=constants.get("supervised_clean_names"),
+            model_types=constants.get("supervised_model_types"),
+            model_references=constants.get("supervised_model_references"),
+            model_details=constants.get("supervised_model_details"),
+        )
+    evaluate_supervised(
+        long_scores,
+        reference,
+        args.output_dir,
+        mutation_type=args.mutation_type,
+        top_model=args.top_model,
+        bootstrap_samples=args.bootstrap_samples,
+        write_html=not args.no_html,
+        **kwargs,
+    )
+    return 0
+
+
+def cmd_evaluate_clinical(args) -> int:
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.data.registry import load_registry
+    from proteingym_tpu.metrics.aggregate import directory_scores_loader
+    from proteingym_tpu.metrics.clinical import evaluate_clinical
+
+    reference = load_reference(args.clinical_reference)
+    registry = load_registry(
+        args.config, dataset="clinical", mutation_type=args.mutation_type
+    )
+    evaluate_clinical(
+        reference,
+        registry,
+        directory_scores_loader(args.merged_dir),
+        args.output_dir,
+        mutation_type=args.mutation_type,
+        label_column=args.label_column,
+        bootstrap_samples=args.bootstrap_samples,
+        write_html=not args.no_html,
+    )
+    return 0
+
+
 def cmd_weights(args) -> int:
     from proteingym_tpu.msa.parser import load_msa
     from proteingym_tpu.msa.weights import sequence_weights
@@ -216,6 +297,42 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--bootstrap-samples", type=int, default=10000)
     e.add_argument("--no-html", action="store_true")
     e.set_defaults(fn=cmd_evaluate)
+
+    ms = sub.add_parser("merge-supervised", help="merge supervised CV scores")
+    ms.add_argument("--dms-reference", required=True)
+    ms.add_argument("--dms-dir", required=True)
+    ms.add_argument("--scores-root", required=True)
+    ms.add_argument("--config", required=True)
+    ms.add_argument("--output-dir", required=True)
+    ms.add_argument("--mutation-type", default="substitutions",
+                    choices=["substitutions", "indels"])
+    ms.set_defaults(fn=cmd_merge_supervised)
+
+    es = sub.add_parser("evaluate-supervised",
+                        help="supervised Spearman/MSE leaderboards")
+    es.add_argument("--dms-reference", required=True)
+    es.add_argument("--input-scoring-file", required=True,
+                    help="long-format merged scores CSV")
+    es.add_argument("--constants", default=None)
+    es.add_argument("--output-dir", required=True)
+    es.add_argument("--mutation-type", default="substitutions",
+                    choices=["substitutions", "indels"])
+    es.add_argument("--top-model", default=None)
+    es.add_argument("--bootstrap-samples", type=int, default=10000)
+    es.add_argument("--no-html", action="store_true")
+    es.set_defaults(fn=cmd_evaluate_supervised)
+
+    ec = sub.add_parser("evaluate-clinical", help="clinical AUC leaderboard")
+    ec.add_argument("--clinical-reference", required=True)
+    ec.add_argument("--merged-dir", required=True)
+    ec.add_argument("--config", required=True)
+    ec.add_argument("--output-dir", required=True)
+    ec.add_argument("--mutation-type", default="substitutions",
+                    choices=["substitutions", "indels"])
+    ec.add_argument("--label-column", default=None)
+    ec.add_argument("--bootstrap-samples", type=int, default=10000)
+    ec.add_argument("--no-html", action="store_true")
+    ec.set_defaults(fn=cmd_evaluate_clinical)
 
     w = sub.add_parser("weights", help="precompute MSA sequence weights")
     w.add_argument("--msa", required=True)
