@@ -279,6 +279,115 @@ def score_esm(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
+@register_scorer("msa_transformer")
+def score_msa_transformer(ctx: ScoreContext) -> pd.DataFrame:
+    """MSA Transformer ensemble masked-marginals
+    (ref esm/compute_fitness.py:355-400)."""
+    import jax
+
+    from proteingym_tpu.models import msa_transformer as mt
+
+    config = mt.PRESETS.get(ctx.checkpoint or "", mt.MsaTransformerConfig())
+    if ctx.checkpoint and ctx.checkpoint not in mt.PRESETS:
+        from proteingym_tpu.pipeline.checkpoints import _load_torch_state_dict
+
+        state, _ = _load_torch_state_dict(Path(ctx.checkpoint))
+        params = mt.convert_torch_state_dict(state, config)
+    else:
+        params = mt.init_params(jax.random.PRNGKey(0), config)
+    msa = ctx.load_msa()
+    scores = mt.score_assay_msa_transformer(
+        params,
+        config,
+        ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(),
+        msa.sequences(),
+        msa.weights,
+        nseq=int(ctx.extra.get("msa_samples", 384)),
+        seeds=tuple(range(1, 1 + int(ctx.extra.get("num_seeds", 5)))),
+        chunk=max(1, ctx.batch_size // 8),
+    )
+    out = ctx.dms_frame.copy()
+    out["esm_msa1b_ensemble"] = scores
+    return out
+
+
+@register_scorer("progen2")
+def score_progen2(ctx: ScoreContext) -> pd.DataFrame:
+    """ProGen2 AR scoring: absolute mirrored log-lik over AA-restricted
+    logits (ref progen2/compute_fitness.py:34-87)."""
+    import jax
+
+    from proteingym_tpu.models import ar_zoo
+    from proteingym_tpu.models.ar_scoring import score_mutants_ar
+
+    preset = ctx.checkpoint or "progen2-small"
+    config = ar_zoo.PROGEN2_PRESETS.get(preset)
+    if config is None:
+        raise ValueError(f"Unknown ProGen2 preset {preset}")
+    params = ctx.extra.get("params")
+    if params is None:
+        params = ar_zoo.progen2_init(jax.random.PRNGKey(0), config)
+    fn = ar_zoo.progen2_restricted_logits_fn(params, config)
+    aa_tok = {c: i for i, c in enumerate("ABCDEFGHIKLMNOPQRSTUVWXYZ")}
+
+    def tokenize(s):
+        return np.asarray([aa_tok.get(c, aa_tok["X"]) for c in s], np.int32)
+
+    frame = score_mutants_ar(
+        fn,
+        tokenize,
+        pad_id=aa_tok["X"],
+        mutants=ctx.dms_frame["mutant"].tolist(),
+        mutated_sequences=ctx.dms_frame["mutated_sequence"].tolist(),
+        target_seq=None,  # absolute scores, no WT delta (ref semantics)
+        model_context_len=config.n_ctx,
+        batch_size=ctx.batch_size,
+    )
+    out = ctx.dms_frame.merge(
+        frame.rename(columns={"avg_score": f"{config.name}_score"}),
+        on="mutated_sequence",
+        how="left",
+    )
+    return out
+
+
+@register_scorer("unirep")
+def score_unirep(ctx: ScoreContext) -> pd.DataFrame:
+    """UniRep mLSTM AR surprisal, optional per-family evotuning
+    (ref unirep/unirep_inference.py, unirep_evotune.py)."""
+    import jax
+
+    from proteingym_tpu.models import unirep as ur
+    from proteingym_tpu.models.ar_scoring import batched_ar_loglik
+
+    config = ur.UniRepConfig(
+        hidden_dim=int(ctx.extra.get("hidden_dim", 1900)),
+        embed_dim=int(ctx.extra.get("embed_dim", 10)),
+    )
+    if ctx.checkpoint:
+        params = ur.convert_tf_weights(ctx.checkpoint, config)
+    else:
+        params = ur.init_params(jax.random.PRNGKey(0), config)
+    if ctx.extra.get("evotune_steps"):
+        msa = ctx.load_msa()
+        params = ur.evotune(
+            params, config, msa.sequences(),
+            steps=int(ctx.extra["evotune_steps"]),
+            weights=msa.weights,
+        )
+    tok = ur.UniRepTokenizer()
+    seqs = ctx.dms_frame["mutated_sequence"].tolist()
+    rows = [tok.encode(s) for s in seqs]
+    lls = batched_ar_loglik(
+        lambda t: ur.apply(params, config, t), rows, tok.PAD,
+        batch_size=ctx.batch_size,
+    )
+    out = ctx.dms_frame.copy()
+    out["unirep_score"] = lls / np.asarray([len(s) for s in seqs])
+    return out
+
+
 @register_scorer("tranception")
 @register_scorer("trancepteve")
 def score_tranception(ctx: ScoreContext) -> pd.DataFrame:
