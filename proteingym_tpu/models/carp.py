@@ -1,0 +1,216 @@
+"""CARP: ByteNet-style dilated-convolution masked protein LM.
+
+The reference (ref: proteingym/baselines/carp_mif/compute_fitness.py, via
+the external ``sequence_models`` package) scores with CARP checkpoints
+(600k - 640M params) using ESM-style marginals: log p(mt) - log p(wt) at
+mutated positions from either a wild-type forward or per-position masked
+forwards (label_row at compute_fitness.py:13-29).
+
+Architecture (ByteNet LM, Microsoft ByteNet adapted to proteins):
+  token embedding -> N residual blocks, each
+    LN -> GELU -> 1x1 conv (d -> d/2) -> LN -> GELU ->
+    dilated conv k=5 (d/2 -> d/2) -> LN -> GELU -> 1x1 conv (d/2 -> d)
+  with dilations cycling 1,2,4,...,128; final LN -> vocab head.
+  Convolutions are NON-causal (CARP is a masked LM, not AR).
+
+TPU design: dilated 1-D convs lower to lax.conv_general_dilated with
+rhs_dilation — MXU-friendly; the masked-marginal table batches the mask
+position over the batch axis as with ESM (models/esm_scoring.py).
+
+Alphabet: sequence_models PROTEIN_ALPHABET ordering —
+'ACDEFGHIKLMNPQRSTVWYBZXJOU' + specials ('-', gap; '*', mask; '#'/'@').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# sequence_models.constants: CAN_AAS + AMB_AAS + OTHER_AAS + specials
+CARP_ALPHABET = list("ACDEFGHIKLMNPQRSTVWYBZXJOU") + ["-", "*", "#", "@"]
+CARP_MASK_IDX = CARP_ALPHABET.index("#")
+CARP_PAD_IDX = CARP_ALPHABET.index("-")
+
+
+class CarpTokenizer:
+    mask_idx = CARP_MASK_IDX
+    pad_idx = CARP_PAD_IDX
+
+    def __init__(self):
+        self.tok_to_idx = {t: i for i, t in enumerate(CARP_ALPHABET)}
+
+    def get_idx(self, c: str) -> int:
+        return self.tok_to_idx.get(c, self.tok_to_idx["X"])
+
+    def encode(self, seq: str) -> np.ndarray:
+        return np.asarray([self.get_idx(c) for c in seq], dtype=np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class CarpConfig:
+    name: str = "carp_640M"
+    num_layers: int = 56
+    embed_dim: int = 1280
+    kernel_size: int = 5
+    max_dilation: int = 128
+    vocab_size: int = 30
+    dtype: Any = jnp.bfloat16
+
+
+CARP_PRESETS = {
+    "carp_600k": CarpConfig("carp_600k", 16, 128),
+    "carp_38M": CarpConfig("carp_38M", 16, 1024),
+    "carp_76M": CarpConfig("carp_76M", 32, 1024),
+    "carp_640M": CarpConfig("carp_640M", 56, 1280),
+}
+
+
+def _dilation_schedule(c: CarpConfig):
+    out = []
+    d = 1
+    for _ in range(c.num_layers):
+        out.append(d)
+        d *= 2
+        if d > c.max_dilation:
+            d = 1
+    return out
+
+
+def init_params(rng: jax.Array, c: CarpConfig) -> Dict[str, Any]:
+    keys = iter(jax.random.split(rng, 2 + 3 * c.num_layers))
+    d, dh = c.embed_dim, c.embed_dim // 2
+
+    def dense(key, n_in, n_out):
+        return {
+            "w": jax.random.normal(key, (n_in, n_out), jnp.float32)
+            * np.sqrt(2.0 / n_in),
+            "b": jnp.zeros(n_out, jnp.float32),
+        }
+
+    def conv(key):
+        return {
+            "w": jax.random.normal(key, (c.kernel_size, dh, dh), jnp.float32)
+            * np.sqrt(2.0 / (c.kernel_size * dh)),
+            "b": jnp.zeros(dh, jnp.float32),
+        }
+
+    def ln(dim):
+        return {"g": jnp.ones(dim, jnp.float32), "b": jnp.zeros(dim, jnp.float32)}
+
+    params: Dict[str, Any] = {
+        "embed": jax.random.normal(next(keys), (c.vocab_size, d), jnp.float32)
+        * 0.02,
+        "final_ln": ln(d),
+        "head": dense(next(keys), d, c.vocab_size),
+        "layers": [],
+    }
+    for _ in range(c.num_layers):
+        params["layers"].append(
+            {
+                "ln1": ln(d), "down": dense(next(keys), d, dh),
+                "ln2": ln(dh), "conv": conv(next(keys)),
+                "ln3": ln(dh), "up": dense(next(keys), dh, d),
+            }
+        )
+    return params
+
+
+def _ln(x, p, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (x @ p["w"].astype(x.dtype) + p["b"]).astype(x.dtype)
+
+
+def _dilated_conv(x, p, dilation: int):
+    """(B, T, C) non-causal dilated conv, SAME padding."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        p["w"].astype(jnp.float32),
+        window_strides=(1,),
+        padding="SAME",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return (y + p["b"]).astype(x.dtype)
+
+
+def apply(params, c: CarpConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) -> (B, T, V) f32 logits."""
+    x = params["embed"].astype(c.dtype)[tokens]
+    gelu = jax.nn.gelu
+    for layer, dilation in zip(params["layers"], _dilation_schedule(c)):
+        y = gelu(_ln(x, layer["ln1"]))
+        y = _dense(y, layer["down"])
+        y = gelu(_ln(y, layer["ln2"]))
+        y = _dilated_conv(y, layer["conv"], dilation)
+        y = gelu(_ln(y, layer["ln3"]))
+        y = _dense(y, layer["up"])
+        x = x + y
+    x = _ln(x, params["final_ln"])
+    return _dense(x.astype(jnp.float32), params["head"])
+
+
+def score_assay(
+    params,
+    c: CarpConfig,
+    sequence: str,
+    mutants: Sequence[str],
+    strategy: str = "masked-marginals",
+    chunk: int = 16,
+    offset_idx: int = 1,
+) -> np.ndarray:
+    """Marginal scoring (ref compute_fitness.py label_row; note the
+    reference DIVIDES by the number of mutated positions, unlike ESM)."""
+    tok = CarpTokenizer()
+    tokens = tok.encode(sequence)
+
+    def logits_fn(t):
+        return apply(params, c, t)
+
+    if strategy == "wt-marginals":
+        logps = jax.nn.log_softmax(
+            logits_fn(jnp.asarray(tokens[None])).astype(jnp.float32), -1
+        )[0]
+        table = np.asarray(logps)
+    else:
+        total = len(tokens)
+        rows = np.tile(tokens[None], (total, 1))
+        rows[np.arange(total), np.arange(total)] = tok.mask_idx
+        n_pad = ((total + chunk - 1) // chunk) * chunk
+        if n_pad != total:
+            rows = np.concatenate([rows, np.tile(tokens[None], (n_pad - total, 1))])
+        rows_j = jnp.asarray(rows).reshape(n_pad // chunk, chunk, total)
+        offs = jnp.asarray(
+            np.concatenate([np.arange(total), np.zeros(n_pad - total)]).astype(
+                np.int32
+            )
+        ).reshape(n_pad // chunk, chunk)
+
+        def step(args):
+            r, o = args
+            lp = jax.nn.log_softmax(logits_fn(r).astype(jnp.float32), -1)
+            return lp[jnp.arange(r.shape[0]), o]
+
+        table = np.asarray(
+            jax.lax.map(step, (rows_j, offs)).reshape(n_pad, -1)[:total]
+        )
+
+    out = np.zeros(len(mutants))
+    for i, m in enumerate(mutants):
+        toks = m.split(":")
+        for t in toks:
+            wt, pos, mt = t[0], int(t[1:-1]) - offset_idx, t[-1]
+            if sequence[pos] != wt:
+                raise ValueError(f"WT mismatch in {t}")
+            out[i] += table[pos, tok.get_idx(mt)] - table[pos, tok.get_idx(wt)]
+        out[i] /= len(toks)  # ref label_row averages over positions
+    return out

@@ -174,6 +174,15 @@ def sequence_weights(
         )
     if use_pallas:
         counts = num_cluster_members_pallas(matrix, identity_threshold)
+    elif jax.default_backend() == "cpu":
+        # host path: OpenMP C++ kernel (the numba replacement, SURVEY §2.3),
+        # NumPy/JAX fallback inside when the toolchain is absent
+        from proteingym_tpu import native
+
+        if native.get_lib() is not None:
+            counts = native.cluster_counts(matrix, identity_threshold)
+        else:
+            counts = num_cluster_members(matrix, identity_threshold, block=block)
     else:
         counts = num_cluster_members(matrix, identity_threshold, block=block)
     counts = np.asarray(counts)

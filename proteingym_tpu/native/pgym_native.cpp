@@ -1,0 +1,204 @@
+// pgym_native: C++ runtime kernels for the host-side (CPU) paths.
+//
+// TPU-native replacements for the reference's external compiled
+// dependencies (SURVEY.md §2.3):
+//   - sequence_weights : numba O(N^2 L) cluster-weight kernel
+//     (ref proteingym/utils/weights.py:114-216) — OpenMP-parallel C++,
+//     gaps excluded, asymmetric identity denominator per row.
+//   - hhfilter_mask    : hh-suite hhfilter equivalent (coverage + pairwise
+//     identity filtering; ref esm/compute_fitness.py:85-89 shells out).
+//   - affine_align     : affine-gap global pairwise alignment (Gotoh) used
+//     for indel retrieval re-alignment where the reference shells out to
+//     Clustal Omega (ref tranception/utils/msa_utils.py:168-173).
+//
+// Exposed with a plain C ABI for ctypes (no pybind11 in this image).
+//
+// Encoding contract: sequences are int8 matrices, 0 = gap, 1..q-1 = amino
+// acids (the MSA parser's '-ACDEFGHIKLMNPQRSTVWY' codes).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <cmath>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// sequence weights
+// ---------------------------------------------------------------------------
+
+// counts[i] = #{ j : matches(i,j) / L_nongap(i) > identity_threshold }
+// matches counts positions where both are the same non-gap code.
+// (ref weights.py:114-161 — note the ASYMMETRIC denominator: row i's
+// non-gap length.)
+void pgym_cluster_counts(const int8_t* matrix, int64_t n, int64_t L,
+                         double identity_threshold, int64_t* counts) {
+    std::vector<int64_t> nongap(n);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t c = 0;
+        const int8_t* row = matrix + i * L;
+        for (int64_t k = 0; k < L; ++k) c += (row[k] != 0);
+        nongap[i] = c;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        const int8_t* ri = matrix + i * L;
+        if (nongap[i] == 0) { counts[i] = 0; continue; }
+        const double denom = static_cast<double>(nongap[i]);
+        int64_t cnt = 0;
+        for (int64_t j = 0; j < n; ++j) {
+            const int8_t* rj = matrix + j * L;
+            int64_t m = 0;
+            for (int64_t k = 0; k < L; ++k) {
+                m += (ri[k] != 0) & (ri[k] == rj[k]);
+            }
+            cnt += (static_cast<double>(m) / denom) > identity_threshold;
+        }
+        counts[i] = cnt;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// hhfilter-equivalent mask
+// ---------------------------------------------------------------------------
+
+// keep[i] = 1 if sequence i passes:
+//   (a) coverage: non-gap fraction >= min_coverage
+//   (b) max pairwise identity: among ALREADY-KEPT earlier sequences, no
+//       kept j < i with identity(i, j) > max_identity (greedy, order-
+//       preserving — the focus/first sequence always survives)
+//   (c) min identity to the first (query) sequence >= min_query_identity
+// Identity = matches / min(nongap_i, nongap_j).
+void pgym_hhfilter_mask(const int8_t* matrix, int64_t n, int64_t L,
+                        double min_coverage, double max_identity,
+                        double min_query_identity, uint8_t* keep) {
+    std::vector<int64_t> nongap(n);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t c = 0;
+        const int8_t* row = matrix + i * L;
+        for (int64_t k = 0; k < L; ++k) c += (row[k] != 0);
+        nongap[i] = c;
+    }
+    auto identity = [&](int64_t a, int64_t b) -> double {
+        const int8_t* ra = matrix + a * L;
+        const int8_t* rb = matrix + b * L;
+        int64_t m = 0;
+        for (int64_t k = 0; k < L; ++k) m += (ra[k] != 0) & (ra[k] == rb[k]);
+        int64_t d = std::min(nongap[a], nongap[b]);
+        return d > 0 ? static_cast<double>(m) / static_cast<double>(d) : 0.0;
+    };
+    std::vector<int64_t> kept;
+    for (int64_t i = 0; i < n; ++i) {
+        keep[i] = 0;
+        if (i == 0) { keep[i] = 1; kept.push_back(i); continue; }
+        double cov = L > 0 ? static_cast<double>(nongap[i]) / L : 0.0;
+        if (cov < min_coverage) continue;
+        if (min_query_identity > 0.0 && identity(i, 0) < min_query_identity)
+            continue;
+        bool redundant = false;
+        if (max_identity < 1.0) {
+            for (int64_t j : kept) {
+                if (identity(i, j) > max_identity) { redundant = true; break; }
+            }
+        }
+        if (!redundant) { keep[i] = 1; kept.push_back(i); }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// affine-gap global alignment (Gotoh)
+// ---------------------------------------------------------------------------
+
+// Aligns seq a (len la) to seq b (len lb) with match/mismatch scores and
+// affine gaps; writes the aligned index of each position of a into
+// out_a2b (length la): out_a2b[i] = column index in the alignment, and
+// out_b_cols (length lb) likewise. Returns the alignment length.
+// Scores are x100 ints to stay exact.
+int64_t pgym_affine_align(const int8_t* a, int64_t la, const int8_t* b,
+                          int64_t lb, int32_t match, int32_t mismatch,
+                          int32_t gap_open, int32_t gap_extend,
+                          int32_t* out_a2b, int32_t* out_b2a) {
+    const int64_t W = lb + 1;
+    const int32_t NEG = INT32_MIN / 4;
+    std::vector<int32_t> M((la + 1) * W, NEG), X((la + 1) * W, NEG),
+        Y((la + 1) * W, NEG);
+    // traceback: 0=M,1=X(gap in b / a consumed),2=Y(gap in a / b consumed)
+    std::vector<uint8_t> tbM((la + 1) * W), tbX((la + 1) * W), tbY((la + 1) * W);
+    M[0] = 0;
+    for (int64_t j = 1; j <= lb; ++j) {
+        Y[j] = gap_open + static_cast<int32_t>(j - 1) * gap_extend;
+        tbY[j] = 2;
+    }
+    for (int64_t i = 1; i <= la; ++i) {
+        X[i * W] = gap_open + static_cast<int32_t>(i - 1) * gap_extend;
+        tbX[i * W] = 1;
+    }
+    for (int64_t i = 1; i <= la; ++i) {
+        for (int64_t j = 1; j <= lb; ++j) {
+            const int64_t c = i * W + j, d = (i - 1) * W + (j - 1);
+            const int32_t s = (a[i - 1] == b[j - 1] && a[i - 1] != 0)
+                                  ? match : mismatch;
+            int32_t best = M[d]; uint8_t t = 0;
+            if (X[d] > best) { best = X[d]; t = 1; }
+            if (Y[d] > best) { best = Y[d]; t = 2; }
+            M[c] = best + s; tbM[c] = t;
+
+            const int64_t u = (i - 1) * W + j;
+            int32_t xo = M[u] + gap_open, xe = X[u] + gap_extend;
+            if (xo >= xe) { X[c] = xo; tbX[c] = 0; }
+            else { X[c] = xe; tbX[c] = 1; }
+
+            const int64_t l = i * W + (j - 1);
+            int32_t yo = M[l] + gap_open, ye = Y[l] + gap_extend;
+            if (yo >= ye) { Y[c] = yo; tbY[c] = 0; }
+            else { Y[c] = ye; tbY[c] = 2; }
+        }
+    }
+    // traceback from the best terminal state
+    int64_t i = la, j = lb;
+    const int64_t end = la * W + lb;
+    uint8_t state = 0;
+    int32_t best = M[end];
+    if (X[end] > best) { best = X[end]; state = 1; }
+    if (Y[end] > best) { best = Y[end]; state = 2; }
+
+    std::vector<int32_t> cols_a, cols_b;  // reversed alignment ops
+    while (i > 0 || j > 0) {
+        const int64_t c = i * W + j;
+        if (state == 0) {
+            uint8_t prev = tbM[c];
+            cols_a.push_back(static_cast<int32_t>(i - 1));
+            cols_b.push_back(static_cast<int32_t>(j - 1));
+            --i; --j; state = prev;
+        } else if (state == 1) {
+            uint8_t prev = tbX[c];
+            cols_a.push_back(static_cast<int32_t>(i - 1));
+            cols_b.push_back(-1);
+            --i; state = prev;
+        } else {
+            uint8_t prev = tbY[c];
+            cols_a.push_back(-1);
+            cols_b.push_back(static_cast<int32_t>(j - 1));
+            --j; state = prev;
+        }
+    }
+    const int64_t alen = static_cast<int64_t>(cols_a.size());
+    for (int64_t kx = 0; kx < la; ++kx) out_a2b[kx] = -1;
+    for (int64_t kx = 0; kx < lb; ++kx) out_b2a[kx] = -1;
+    for (int64_t k2 = 0; k2 < alen; ++k2) {
+        const int64_t col = alen - 1 - k2;  // forward column index
+        int32_t ia = cols_a[k2], ib = cols_b[k2];
+        if (ia >= 0) out_a2b[ia] = static_cast<int32_t>(col);
+        if (ib >= 0) out_b2a[ib] = static_cast<int32_t>(col);
+    }
+    return alen;
+}
+
+}  // extern "C"

@@ -388,6 +388,40 @@ def score_unirep(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
+@register_scorer("protein_mpnn")
+def score_protein_mpnn(ctx: ScoreContext) -> pd.DataFrame:
+    """ProteinMPNN: mean -NLL over decoding orders, conditioned on the
+    backbone (ref protein_mpnn/compute_fitness.py:180-230)."""
+    import jax
+
+    from proteingym_tpu.data.structures import parse_pdb_backbone
+    from proteingym_tpu.models import protein_mpnn as mpnn
+
+    config = mpnn.MpnnConfig()
+    if ctx.checkpoint:
+        from proteingym_tpu.pipeline.checkpoints import _load_torch_state_dict
+
+        state, _ = _load_torch_state_dict(Path(ctx.checkpoint))
+        params = mpnn.convert_torch_state_dict(state, config)
+    else:
+        params = mpnn.init_params(jax.random.PRNGKey(0), config)
+    if ctx.structure_dir is None:
+        raise FileNotFoundError("protein_mpnn needs --structure-dir")
+    pdb = Path(ctx.structure_dir) / f"{ctx.record.UniProt_ID}.pdb"
+    if not pdb.exists():
+        pdb = Path(ctx.structure_dir) / f"{ctx.record.DMS_id}.pdb"
+    coords, _ = parse_pdb_backbone(pdb)
+    seqs = ctx.dms_frame["mutated_sequence"].tolist()
+    scores = mpnn.score_sequences(
+        params, config, coords, seqs,
+        n_orders=int(ctx.extra.get("num_seq_per_target", 10)),
+        batch_size=ctx.batch_size,
+    )
+    out = ctx.dms_frame.copy()
+    out["pmpnn_ll"] = scores
+    return out
+
+
 @register_scorer("tranception")
 @register_scorer("trancepteve")
 def score_tranception(ctx: ScoreContext) -> pd.DataFrame:

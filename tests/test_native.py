@@ -1,0 +1,108 @@
+"""Native C++ kernels: parity with the JAX/numba-equivalent paths."""
+
+import numpy as np
+import pytest
+
+from proteingym_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    native.get_lib() is None, reason="native toolchain unavailable"
+)
+
+
+def _random_msa(rs, n=40, L=30, q=21):
+    mat = rs.randint(1, q, size=(n, L)).astype(np.int8)
+    mat[rs.rand(n, L) < 0.1] = 0  # gaps
+    return mat
+
+
+class TestClusterCounts:
+    def test_matches_jax_weights_kernel(self):
+        from proteingym_tpu.msa.weights import num_cluster_members
+
+        rs = np.random.RandomState(0)
+        mat = _random_msa(rs)
+        native_counts = native.cluster_counts(mat, 0.8)
+        jax_counts = np.asarray(num_cluster_members(mat, 0.8))
+        np.testing.assert_array_equal(native_counts, jax_counts)
+
+    def test_identical_rows_cluster(self):
+        mat = np.ones((5, 10), dtype=np.int8) * 3
+        counts = native.cluster_counts(mat, 0.8)
+        np.testing.assert_array_equal(counts, [5] * 5)
+
+    def test_all_gap_row_zero(self):
+        mat = np.ones((3, 8), dtype=np.int8)
+        mat[1] = 0
+        counts = native.cluster_counts(mat, 0.8)
+        assert counts[1] == 0
+
+
+class TestHhfilter:
+    def test_first_sequence_always_kept(self):
+        rs = np.random.RandomState(1)
+        mat = _random_msa(rs, n=20)
+        keep = native.hhfilter_mask(mat, min_coverage=0.99)
+        assert keep[0]
+
+    def test_coverage_filter(self):
+        rs = np.random.RandomState(2)
+        mat = _random_msa(rs, n=10, L=20)
+        mat[3, :15] = 0  # 75% gaps
+        keep = native.hhfilter_mask(mat, min_coverage=0.5, max_identity=1.0)
+        assert not keep[3]
+
+    def test_identity_filter_drops_duplicates(self):
+        rs = np.random.RandomState(3)
+        row = rs.randint(1, 21, 30).astype(np.int8)
+        mat = np.stack([row, row, row])
+        keep = native.hhfilter_mask(mat, min_coverage=0.0, max_identity=0.9)
+        assert keep[0] and not keep[1] and not keep[2]
+
+    def test_matches_python_fallback(self):
+        rs = np.random.RandomState(4)
+        mat = _random_msa(rs, n=25, L=18)
+        fast = native.hhfilter_mask(mat, 0.5, 0.85, 0.1)
+        lib, native._lib = native._lib, None
+        failed = native._build_failed
+        native._build_failed = True
+        try:
+            slow = native.hhfilter_mask(mat, 0.5, 0.85, 0.1)
+        finally:
+            native._lib, native._build_failed = lib, failed
+        np.testing.assert_array_equal(fast, slow)
+
+
+class TestAffineAlign:
+    def test_identical_sequences(self):
+        a = np.arange(1, 11, dtype=np.int8)
+        alen, ca, cb = native.affine_align(a, a)
+        assert alen == 10
+        np.testing.assert_array_equal(ca, np.arange(10))
+        np.testing.assert_array_equal(cb, np.arange(10))
+
+    def test_single_deletion(self):
+        a = np.array([1, 2, 3, 4, 5, 6], dtype=np.int8)
+        b = np.array([1, 2, 4, 5, 6], dtype=np.int8)  # 3 deleted
+        alen, ca, cb = native.affine_align(a, b)
+        assert alen == 6
+        # b's residues align to a's columns skipping the deletion column
+        np.testing.assert_array_equal(ca, np.arange(6))
+        assert list(cb) == [0, 1, 3, 4, 5]
+
+    def test_single_insertion(self):
+        a = np.array([1, 2, 4, 5], dtype=np.int8)
+        b = np.array([1, 2, 3, 4, 5], dtype=np.int8)
+        alen, ca, cb = native.affine_align(a, b)
+        assert alen == 5
+        np.testing.assert_array_equal(cb, np.arange(5))
+        assert list(ca) == [0, 1, 3, 4]
+
+    def test_affine_prefers_one_long_gap(self):
+        # with affine gaps, a 2-residue gap should be contiguous
+        a = np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.int8)
+        b = np.array([1, 2, 5, 6, 7, 8], dtype=np.int8)
+        alen, ca, cb = native.affine_align(a, b)
+        assert alen == 8
+        gap_cols = sorted(set(range(8)) - set(cb.tolist()))
+        assert gap_cols == [2, 3]  # contiguous
