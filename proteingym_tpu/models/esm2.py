@@ -215,15 +215,20 @@ def _attention(x, layer, config: EsmConfig, padding_mask):
     q = _dense(x, layer["q"]).reshape(b, t, h, hd)
     k = _dense(x, layer["k"]).reshape(b, t, h, hd)
     v = _dense(x, layer["v"]).reshape(b, t, h, hd)
-    q = q * (hd ** -0.5)
     if config.use_rotary:
         q, k = apply_rotary(q, k)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    if padding_mask is not None:
-        scores = jnp.where(padding_mask[:, None, None, :], -jnp.inf, scores)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-    ctx = ctx.astype(x.dtype).reshape(b, t, d)
+    # fused Pallas attention on TPU, XLA einsum elsewhere
+    from proteingym_tpu.ops.flash_attention import mha
+
+    key_mask = None if padding_mask is None else ~padding_mask
+    ctx = mha(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        key_mask=key_mask,
+        sm_scale=hd ** -0.5,
+    )
+    ctx = ctx.transpose(0, 2, 1, 3).astype(x.dtype).reshape(b, t, d)
     return _dense(ctx, layer["out"])
 
 

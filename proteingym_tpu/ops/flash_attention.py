@@ -1,0 +1,177 @@
+"""Fused multi-head attention Pallas kernel for TPU.
+
+Replaces the reference's flash_attn CUDA kernels (PoET, ref
+poet/models/modules/attention_flash.py:12-27) and accelerates every
+transformer in the zoo (ESM2/MSA-T/Tranception/AR zoo).
+
+Design (pallas_guide.md): grid over (batch*heads, q blocks); each program
+loads its q block plus the full K/V rows into VMEM (protein contexts are
+<= 2k tokens, so K/V fit comfortably: 2048 x 128 x 2B = 512 KB/head) and
+computes a masked f32 softmax + two MXU matmuls in one fused kernel — no
+(T, T) probability tensor ever round-trips through HBM, which is the
+bandwidth win that matters at these lengths.
+
+Supports: padding masks, causal masks, additive per-head key biases
+(grouped ALiBi). Falls back to a pure-XLA einsum path off-TPU (and is
+exercised in interpret mode in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_BLOCK_Q = 128
+NEG_INF = -1e30
+
+try:  # Pallas is TPU/interpret-only; import guarded for exotic builds
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, kmask_ref, bias_ref, o_ref,
+                      *, sm_scale: float, causal: bool, block_q: int):
+    """One (head, q-block) program.
+
+    q_ref: (block_q, D); k_ref/v_ref: (T, D); kmask_ref: (1, T) int32
+    (1 = valid key); bias_ref: (1, T) f32 additive key bias; o_ref:
+    (block_q, D).
+    """
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, T)
+    scores = scores + bias_ref[0][None, :]
+    valid = kmask_ref[0][None, :] > 0
+    if causal:
+        i = pl.program_id(1)
+        q_pos = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 0
+        )
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        valid = valid & (k_pos <= q_pos)
+    scores = jnp.where(valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / jnp.maximum(denom, 1e-30)
+    o = jax.lax.dot_general(
+        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def flash_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention. q/k/v: (B, H, T, D); key_mask: (B, T) bool;
+    bias: (H, T) additive key bias (ALiBi-style) or None.
+    Returns (B, H, T, D) in q.dtype."""
+    b, h, t, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    t_pad = _round_up(t, block_q)
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    if key_mask is None:
+        key_mask = jnp.ones((b, t), bool)
+    kmask = jnp.pad(key_mask.astype(jnp.int32), [(0, 0), (0, t_pad - t)])
+    kmask = jnp.broadcast_to(kmask[:, None, :], (b, h, t_pad)).reshape(
+        b * h, t_pad
+    )
+    if bias is None:
+        bias_full = jnp.zeros((h, t_pad), jnp.float32)
+    else:
+        bias_full = jnp.pad(bias.astype(jnp.float32), [(0, 0), (0, t_pad - t)])
+    bias_full = jnp.broadcast_to(bias_full[None], (b, h, t_pad)).reshape(
+        b * h, t_pad
+    )
+
+    qf = q.reshape(b * h, t_pad, d)
+    kf = k.reshape(b * h, t_pad, d)
+    vf = v.reshape(b * h, t_pad, d)
+
+    grid = (b * h, t_pad // block_q)
+    kernel = functools.partial(
+        _attention_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, t_pad, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, t_pad, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, t_pad), lambda g, i: (g, 0)),
+            pl.BlockSpec((1, t_pad), lambda g, i: (g, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
+        interpret=interpret,
+    )(qf, kf, vf, kmask, bias_full)
+    return out.reshape(b, h, t_pad, d)[:, :, :t]
+
+
+def reference_mha(
+    q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None
+):
+    """Pure-XLA reference path (also the non-TPU fallback)."""
+    b, h, t, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * sm_scale
+    if bias is not None:
+        scores = scores + bias[None, :, None, :]
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, None, :], scores, NEG_INF)
+    if causal:
+        cm = jnp.tril(jnp.ones((t, t), bool))
+        scores = jnp.where(cm[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v.astype(jnp.float32)
+    ).astype(q.dtype)
+
+
+def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None):
+    """Dispatch: Pallas kernel on TPU, XLA einsum elsewhere."""
+    if _HAVE_PALLAS and jax.default_backend() == "tpu":
+        return flash_mha(
+            q, k, v, key_mask=key_mask, bias=bias, causal=causal,
+            sm_scale=sm_scale,
+        )
+    return reference_mha(
+        q, k, v, key_mask=key_mask, bias=bias, causal=causal, sm_scale=sm_scale
+    )

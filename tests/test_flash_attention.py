@@ -1,0 +1,74 @@
+"""Pallas fused attention: interpret-mode parity with the XLA reference."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from proteingym_tpu.ops.flash_attention import flash_mha, mha, reference_mha
+
+
+def _qkv(rs, b=2, h=3, t=64, d=32):
+    q = jnp.asarray(rs.randn(b, h, t, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, h, t, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, h, t, d).astype(np.float32))
+    return q, k, v
+
+
+class TestParity:
+    def test_plain(self):
+        rs = np.random.RandomState(0)
+        q, k, v = _qkv(rs)
+        got = flash_mha(q, k, v, interpret=True, block_q=32)
+        want = reference_mha(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_causal(self):
+        rs = np.random.RandomState(1)
+        q, k, v = _qkv(rs, t=48)
+        got = flash_mha(q, k, v, causal=True, interpret=True, block_q=16)
+        want = reference_mha(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_padding_mask(self):
+        rs = np.random.RandomState(2)
+        q, k, v = _qkv(rs, b=2, t=40)
+        mask = np.ones((2, 40), bool)
+        mask[0, 30:] = False
+        mask[1, 10:] = False
+        got = flash_mha(q, k, v, key_mask=jnp.asarray(mask), interpret=True,
+                        block_q=8)
+        want = reference_mha(q, k, v, key_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_alibi_bias(self):
+        rs = np.random.RandomState(3)
+        q, k, v = _qkv(rs, h=4, t=32)
+        slopes = np.array([0.25, 0.125, 0.0625, 0.03125])
+        bias = jnp.asarray(-slopes[:, None] * np.arange(32)[None, :],
+                           jnp.float32)
+        got = flash_mha(q, k, v, bias=bias, causal=True, interpret=True,
+                        block_q=16)
+        want = reference_mha(q, k, v, bias=bias, causal=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_unaligned_length_pads(self):
+        rs = np.random.RandomState(4)
+        q, k, v = _qkv(rs, t=37)  # not a multiple of block_q
+        got = flash_mha(q, k, v, interpret=True, block_q=16)
+        want = reference_mha(q, k, v)
+        assert got.shape == want.shape == (2, 3, 37, 32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_dispatch_cpu_uses_reference(self):
+        rs = np.random.RandomState(5)
+        q, k, v = _qkv(rs, t=16)
+        got = mha(q, k, v)
+        want = reference_mha(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
