@@ -1,0 +1,346 @@
+"""PoET: tiered autoregressive transformer over sequences-of-sequences.
+
+Architecture parity with the reference
+(ref: proteingym/baselines/PoET/poet/models/poet.py:687-1485,
+poet/models/modules/transformer.py:532-720, transformer_rotary.py:71-131):
+
+  input  [$ seq1 * $ seq2 * ... $ query *]   (one flattened token row)
+  each layer (pre-LN):
+    x += self_attn(norm1(x))   — WITHIN-segment causal attention, rotary
+                                  positions reset per segment
+    x += multi_attn(norm2(x))  — causal attention over the WHOLE
+                                  sequence-of-sequences (also rotary with
+                                  per-segment positions; use_multi_rotary)
+    x += linear2(gelu(linear1(norm3(x))))   (linear2 zero-init)
+  final LayerNorm (norm=True models) -> untied vocab head.
+
+Alphabet (ref poet/alphabets.py Uniprot21(include_gap, include_startstop,
+distinct_startstop)): 'ARNDCQEGHILKMFPSTWYV'(0-19), '-'=20, '*'=21 (start),
+'$'=22 (stop), X/mask=23; O/U/B/Z map to K/C/N/Q synonyms. n_vocab=24.
+
+Scoring (ref PoET/scripts/score.py:130-349): fitness = log p(query |
+sampled family context), ensembled over weighted context samples; family
+members are weight-sampled into a token budget (NeighborsSampler role).
+
+TPU design: the reference packs variable-length segments with flash-attn
+varlen CUDA kernels; here segments are described by (segment_ids,
+positions) arrays and both attention tiers are dense masked attentions on
+padded rows — static shapes for jit, MXU-shaped einsums, and the Pallas
+fused kernel applies on the multi tier.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+POET_CHARS = "ARNDCQEGHILKMFPSTWYV"
+GAP, START, STOP, MASK_X = 20, 21, 22, 23
+_SYNONYM = {"O": 11, "U": 4, "B": 2, "Z": 5}  # K, C, N, Q
+
+
+class PoetAlphabet:
+    n_vocab = 24
+    start_token = START
+    stop_token = STOP
+    pad = MASK_X  # padding reuses mask id; masked out via positions anyway
+
+    def __init__(self):
+        self.aa_to_idx = {c: i for i, c in enumerate(POET_CHARS)}
+
+    def encode(self, seq: str) -> np.ndarray:
+        out = []
+        for ch in seq.upper():
+            if ch in self.aa_to_idx:
+                out.append(self.aa_to_idx[ch])
+            elif ch == "-":
+                out.append(GAP)
+            else:
+                out.append(_SYNONYM.get(ch, MASK_X))
+        return np.asarray(out, dtype=np.int32)
+
+
+ALPHABET = PoetAlphabet()
+
+
+@dataclasses.dataclass(frozen=True)
+class PoetConfig:
+    name: str = "poet_200m"
+    num_layers: int = 12
+    hidden_dim: int = 1024
+    num_heads: int = 16
+    ffn_dim: int = 4096
+    n_vocab: int = 24
+    final_norm: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.hidden_dim // self.num_heads
+
+
+def init_params(rng: jax.Array, c: PoetConfig) -> Dict[str, Any]:
+    keys = iter(jax.random.split(rng, 2 + 10 * c.num_layers))
+
+    def dense(n_in, n_out, zero=False):
+        w = (
+            jnp.zeros((n_in, n_out), jnp.float32)
+            if zero
+            else jax.random.normal(next(keys), (n_in, n_out), jnp.float32)
+            * 0.02
+        )
+        return {"w": w, "b": jnp.zeros(n_out, jnp.float32)}
+
+    def ln():
+        return {"g": jnp.ones(c.hidden_dim, jnp.float32),
+                "b": jnp.zeros(c.hidden_dim, jnp.float32)}
+
+    params: Dict[str, Any] = {
+        "token_embed": jax.random.normal(
+            next(keys), (c.n_vocab, c.hidden_dim), jnp.float32
+        ) * 0.02,
+        "final_norm": ln() if c.final_norm else None,
+        "head": dense(c.hidden_dim, c.n_vocab),
+        "layers": [],
+    }
+    for _ in range(c.num_layers):
+        layer = {
+            "norm1": ln(), "norm2": ln(), "norm3": ln(),
+            "self": {k: dense(c.hidden_dim, c.hidden_dim) for k in "qkvo"},
+            "multi": {k: dense(c.hidden_dim, c.hidden_dim) for k in "qkvo"},
+            "fc1": dense(c.hidden_dim, c.ffn_dim),
+            "fc2": dense(c.ffn_dim, c.hidden_dim, zero=True),  # ref :585
+        }
+        params["layers"].append(layer)
+    return params
+
+
+def _ln(x, p, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (
+        jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+        + p["b"]
+    ).astype(x.dtype)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _rope_by_positions(x, positions, base=10000.0):
+    """x: (B, T, H, hd); positions: (B, T) per-segment position ids."""
+    hd = x.shape[-1]
+    inv = 1.0 / (base ** (np.arange(0, hd, 2) / hd))
+    freqs = positions[..., None].astype(jnp.float32) * inv[None, None]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (B, T, hd)
+    cos = jnp.cos(emb)[:, :, None, :].astype(x.dtype)
+    sin = jnp.sin(emb)[:, :, None, :].astype(x.dtype)
+    return x * cos + _rotate_half(x) * sin
+
+
+def _masked_attention(x, p, c, mask, positions, rotary=True):
+    """x: (B, T, D); mask: (B, T, T) bool allowed pairs."""
+    b, t, d = x.shape
+    h, hd = c.num_heads, c.head_dim
+    q = _dense(x, p["q"]).reshape(b, t, h, hd)
+    k = _dense(x, p["k"]).reshape(b, t, h, hd)
+    v = _dense(x, p["v"]).reshape(b, t, h, hd)
+    if rotary:
+        q = _rope_by_positions(q, positions)
+        k = _rope_by_positions(k, positions)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / np.sqrt(hd)
+    scores = jnp.where(mask[:, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return _dense(ctx.reshape(b, t, d), p["o"])
+
+
+def apply(
+    params,
+    c: PoetConfig,
+    tokens: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    positions: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """tokens/segment_ids/positions/valid: (B, T) -> (B, T, V) f32 logits."""
+    causal = positions_causal = None
+    b, t = tokens.shape
+    x = params["token_embed"].astype(c.dtype)[tokens]
+
+    causal = jnp.tril(jnp.ones((t, t), bool))[None]
+    pair_valid = valid[:, :, None] & valid[:, None, :]
+    same_seg = segment_ids[:, :, None] == segment_ids[:, None, :]
+    self_mask = causal & pair_valid & same_seg
+    multi_mask = causal & pair_valid
+
+    for layer in params["layers"]:
+        x = x + _masked_attention(
+            _ln(x, layer["norm1"]), layer["self"], c, self_mask, positions
+        )
+        x = x + _masked_attention(
+            _ln(x, layer["norm2"]), layer["multi"], c, multi_mask, positions
+        )
+        y = _ln(x, layer["norm3"])
+        y32 = jax.nn.gelu(_dense(y, layer["fc1"]).astype(jnp.float32))
+        x = x + _dense(y32.astype(x.dtype), layer["fc2"])
+
+    if params["final_norm"] is not None:
+        x = _ln(x, params["final_norm"])
+    return _dense(x.astype(jnp.float32), params["head"])
+
+
+# ---------------------------------------------------------------------------
+# Context building + scoring
+# ---------------------------------------------------------------------------
+
+def sample_context(
+    sequences: Sequence[str],
+    weights: Optional[np.ndarray],
+    max_tokens: int,
+    seed: int,
+) -> List[str]:
+    """Weight-proportional family sampling into a token budget (the
+    reference's NeighborsSampler role, ref poet/msa/sampling.py). Gaps are
+    stripped (PoET consumes unaligned sequences)."""
+    rng = np.random.default_rng(seed)
+    seqs = [s.replace("-", "").replace(".", "").upper() for s in sequences]
+    if weights is None:
+        weights = np.ones(len(seqs))
+    p = np.asarray(weights, np.float64)
+    p = p / p.sum()
+    order = rng.choice(len(seqs), size=len(seqs), replace=False, p=p)
+    picked, used = [], 0
+    for i in order:
+        need = len(seqs[i]) + 2
+        if used + need > max_tokens:
+            continue
+        picked.append(seqs[i])
+        used += need
+    return picked
+
+
+def build_rows(
+    context: Sequence[str], queries: Sequence[str]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One row per query: [start ctx1 stop | start ctx2 stop | ... |
+    start query stop]. Returns (tokens, segment_ids, positions, valid,
+    query_token_mask) padded to a common length."""
+    ctx_toks, ctx_segs, ctx_pos = [], [], []
+    for si, seq in enumerate(context):
+        enc = ALPHABET.encode(seq)
+        seg = np.concatenate([[START], enc, [STOP]])
+        ctx_toks.append(seg)
+        ctx_segs.append(np.full(len(seg), si, np.int32))
+        ctx_pos.append(np.arange(len(seg), dtype=np.int32))
+    base_toks = (
+        np.concatenate(ctx_toks) if ctx_toks else np.zeros(0, np.int32)
+    )
+    base_segs = (
+        np.concatenate(ctx_segs) if ctx_segs else np.zeros(0, np.int32)
+    )
+    base_pos = np.concatenate(ctx_pos) if ctx_pos else np.zeros(0, np.int32)
+
+    rows, segs, poss, valids, qmasks = [], [], [], [], []
+    qseg = len(context)
+    for q in queries:
+        enc = ALPHABET.encode(q.replace("-", ""))
+        seg = np.concatenate([[START], enc, [STOP]])
+        rows.append(np.concatenate([base_toks, seg]).astype(np.int32))
+        segs.append(
+            np.concatenate([base_segs, np.full(len(seg), qseg, np.int32)])
+        )
+        poss.append(
+            np.concatenate([base_pos, np.arange(len(seg), dtype=np.int32)])
+        )
+        v = np.ones(len(rows[-1]), bool)
+        valids.append(v)
+        qm = np.zeros(len(rows[-1]), bool)
+        qm[len(base_toks) + 1 :] = True  # predicted: residues + stop
+        qmasks.append(qm)
+
+    t = max(len(r) for r in rows)
+    n = len(rows)
+    tokens = np.full((n, t), MASK_X, np.int32)
+    segments = np.zeros((n, t), np.int32)
+    positions = np.zeros((n, t), np.int32)
+    valid = np.zeros((n, t), bool)
+    qmask = np.zeros((n, t), bool)
+    for i in range(n):
+        ln_i = len(rows[i])
+        tokens[i, :ln_i] = rows[i]
+        segments[i, :ln_i] = segs[i]
+        positions[i, :ln_i] = poss[i]
+        valid[i, :ln_i] = valids[i]
+        qmask[i, :ln_i] = qmasks[i]
+    return tokens, segments, positions, valid, qmask
+
+
+def score_queries(
+    params,
+    c: PoetConfig,
+    context: Sequence[str],
+    queries: Sequence[str],
+    batch_size: int = 8,
+) -> np.ndarray:
+    """log p(query | context) summed over query tokens (incl. stop)."""
+    tokens, segments, positions, valid, qmask = build_rows(context, queries)
+
+    @jax.jit
+    def block(tok, seg, pos, val, qm):
+        logits = apply(params, c, tok, seg, pos, val)
+        logps = jax.nn.log_softmax(logits, axis=-1)
+        targets = tok[:, 1:]
+        ll = jnp.take_along_axis(logps[:, :-1], targets[..., None], -1)[..., 0]
+        return jnp.sum(jnp.where(qm[:, 1:], ll, 0.0), axis=1)
+
+    out = np.zeros(len(queries))
+    for s in range(0, len(queries), batch_size):
+        e = min(s + batch_size, len(queries))
+        out[s:e] = np.asarray(
+            block(
+                jnp.asarray(tokens[s:e]),
+                jnp.asarray(segments[s:e]),
+                jnp.asarray(positions[s:e]),
+                jnp.asarray(valid[s:e]),
+                jnp.asarray(qmask[s:e]),
+            )
+        )
+    return out
+
+
+def score_assay_poet(
+    params,
+    c: PoetConfig,
+    mutated_sequences: Sequence[str],
+    msa_sequences: Sequence[str],
+    msa_weights: Optional[np.ndarray] = None,
+    max_context_tokens: int = 4096,
+    n_context_samples: int = 2,
+    seed: int = 0,
+    batch_size: int = 8,
+) -> np.ndarray:
+    """Ensemble over weighted context samples (ref scripts/score.py)."""
+    acc = np.zeros(len(mutated_sequences))
+    for s in range(n_context_samples):
+        ctx = sample_context(
+            msa_sequences, msa_weights, max_context_tokens, seed + s
+        )
+        acc += score_queries(params, c, ctx, mutated_sequences,
+                             batch_size=batch_size)
+    return acc / n_context_samples

@@ -422,6 +422,31 @@ def score_protein_mpnn(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
+@register_scorer("poet")
+def score_poet(ctx: ScoreContext) -> pd.DataFrame:
+    """PoET family-conditioned AR scoring (ref PoET/scripts/score.py)."""
+    import jax
+
+    from proteingym_tpu.models import poet
+
+    config = poet.PoetConfig()
+    params = poet.init_params(jax.random.PRNGKey(0), config)
+    msa = ctx.load_msa()
+    scores = poet.score_assay_poet(
+        params,
+        config,
+        ctx.dms_frame["mutated_sequence"].tolist(),
+        msa.sequences(),
+        msa.weights,
+        max_context_tokens=int(ctx.extra.get("max_context_tokens", 4096)),
+        n_context_samples=int(ctx.extra.get("n_context_samples", 2)),
+        batch_size=ctx.batch_size,
+    )
+    out = ctx.dms_frame.copy()
+    out["PoET_score"] = scores
+    return out
+
+
 @register_scorer("tranception")
 @register_scorer("trancepteve")
 def score_tranception(ctx: ScoreContext) -> pd.DataFrame:
