@@ -40,13 +40,13 @@ except Exception:  # pragma: no cover
 
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, kmask_ref, bias_ref, o_ref,
+def _attention_kernel(q_ref, k_ref, v_ref, kbias_ref, o_ref,
                       *, sm_scale: float, causal: bool, block_q: int):
     """One (head, q-block) program.
 
-    q_ref: (block_q, D); k_ref/v_ref: (T, D); kmask_ref: (1, T) int32
-    (1 = valid key); bias_ref: (1, T) f32 additive key bias; o_ref:
-    (block_q, D).
+    q_ref: (1, block_q, D); k_ref/v_ref: (1, T, D); kbias_ref: (1, 8, T)
+    f32 additive key bias with NEG_INF at padded keys (row 0 used; the
+    sublane dim is 8 to satisfy TPU tiling); o_ref: (1, block_q, D).
     """
     q = q_ref[0].astype(jnp.float32) * sm_scale
     k = k_ref[0].astype(jnp.float32)
@@ -54,16 +54,15 @@ def _attention_kernel(q_ref, k_ref, v_ref, kmask_ref, bias_ref, o_ref,
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, T)
-    scores = scores + bias_ref[0][None, :]
-    valid = kmask_ref[0][None, :] > 0
+    # key_bias row carries both the additive bias and the -inf padding mask
+    scores = scores + kbias_ref[0, 0][None, :]
     if causal:
         i = pl.program_id(1)
         q_pos = i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, 0
         )
         k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        valid = valid & (k_pos <= q_pos)
-    scores = jnp.where(valid, scores, NEG_INF)
+        scores = jnp.where(k_pos <= q_pos, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -103,18 +102,18 @@ def flash_mha(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
+    # fold padding mask + additive bias into one f32 key-bias row, laid out
+    # (B*H, 8, T) so its block satisfies the (8, 128) TPU tile minimum
     if key_mask is None:
         key_mask = jnp.ones((b, t), bool)
-    kmask = jnp.pad(key_mask.astype(jnp.int32), [(0, 0), (0, t_pad - t)])
-    kmask = jnp.broadcast_to(kmask[:, None, :], (b, h, t_pad)).reshape(
-        b * h, t_pad
-    )
-    if bias is None:
-        bias_full = jnp.zeros((h, t_pad), jnp.float32)
-    else:
-        bias_full = jnp.pad(bias.astype(jnp.float32), [(0, 0), (0, t_pad - t)])
-    bias_full = jnp.broadcast_to(bias_full[None], (b, h, t_pad)).reshape(
-        b * h, t_pad
+    kmask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    kbias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)  # (B, T)
+    kbias = jnp.broadcast_to(kbias[:, None, :], (b, h, t_pad))
+    if bias is not None:
+        bias_p = jnp.pad(bias.astype(jnp.float32), [(0, 0), (0, t_pad - t)])
+        kbias = kbias + bias_p[None]
+    kbias = jnp.broadcast_to(
+        kbias.reshape(b * h, 1, t_pad), (b * h, 8, t_pad)
     )
 
     qf = q.reshape(b * h, t_pad, d)
@@ -133,12 +132,11 @@ def flash_mha(
             pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
             pl.BlockSpec((1, t_pad, d), lambda g, i: (g, 0, 0)),
             pl.BlockSpec((1, t_pad, d), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, t_pad), lambda g, i: (g, 0)),
-            pl.BlockSpec((1, t_pad), lambda g, i: (g, 0)),
+            pl.BlockSpec((1, 8, t_pad), lambda g, i: (g, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
         interpret=interpret,
-    )(qf, kf, vf, kmask, bias_full)
+    )(qf, kf, vf, kbias)
     return out.reshape(b, h, t_pad, d)[:, :, :t]
 
 
