@@ -177,6 +177,76 @@ def score_hmm(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
+@register_scorer("gemme")
+def score_gemme(ctx: ScoreContext) -> pd.DataFrame:
+    """Native GEMME-class evolutionary-distance predictor
+    (ref gemme/compute_fitness.py wraps the external package)."""
+    from proteingym_tpu.data.mutants import set_mutant_offset
+    from proteingym_tpu.models import gemme as gemme_mod
+
+    msa = ctx.load_msa()
+    model = gemme_mod.fit_gemme(msa.matrix, msa.weights)
+    muts = ctx.dms_frame["mutant"].tolist()
+    scores = _score_focus_model(
+        ctx, msa, lambda wt, remapped: gemme_mod.score_mutants(
+            model, wt, remapped, mode=ctx.extra.get("mode", "combined")
+        ), muts,
+    )
+    out = ctx.dms_frame.copy()
+    out["GEMME_score"] = scores
+    return out
+
+
+@register_scorer("siterm")
+def score_siterm(ctx: ScoreContext) -> pd.DataFrame:
+    """SiteRM per-site rate-matrix model (ref SiteRM/compute_fitness.py;
+    native cherry extraction + F81 fit, no FastTree/cherryml)."""
+    from proteingym_tpu.models import siterm as siterm_mod
+
+    msa = ctx.load_msa()
+    model = siterm_mod.fit_siterm(
+        msa.matrix, msa.weights,
+        max_pairs=ctx.extra.get("max_pairs"),
+    )
+    muts = ctx.dms_frame["mutant"].tolist()
+    scores = _score_focus_model(
+        ctx, msa,
+        lambda wt, remapped: siterm_mod.score_mutants(model, wt, remapped),
+        muts,
+    )
+    out = ctx.dms_frame.copy()
+    out["SiteRM_score"] = scores
+    return out
+
+
+def _score_focus_model(ctx: ScoreContext, msa, score_fn, mutants) -> np.ndarray:
+    """Remap DMS-coordinate mutants into trimmed-focus coordinates and run
+    ``score_fn(wt_focus_seq, remapped_mutants)``; unmappable mutants -> NaN."""
+    from proteingym_tpu.data.mutants import parse_mutant
+
+    msa_start = ctx.record.MSA_start or 1
+    col_to_focus = {int(c): i for i, c in enumerate(np.asarray(msa.focus_cols))}
+    wt = msa.focus_seq_trimmed.upper()
+    remapped, valid = [], []
+    for m in mutants:
+        try:
+            toks = []
+            for f, pos, t in parse_mutant(m):
+                fi = col_to_focus[pos - msa_start]
+                if wt[fi] != f:
+                    raise KeyError(m)
+                toks.append(f"{f}{fi + 1}{t}")
+            remapped.append(":".join(toks))
+            valid.append(True)
+        except (KeyError, ValueError, IndexError):
+            valid.append(False)
+    valid = np.asarray(valid)
+    scores = score_fn(wt, remapped)
+    out = np.full(len(mutants), np.nan)
+    out[valid] = np.asarray(scores)
+    return out
+
+
 @register_scorer("eve")
 def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     """EVE VAE: train from the MSA (or restore an orbax checkpoint), then

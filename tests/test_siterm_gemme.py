@@ -1,0 +1,134 @@
+"""SiteRM (per-site rate matrices) and GEMME-class evolutionary models."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from proteingym_tpu.models import gemme, siterm
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def _msa(rs, n=60, L=12, conserved_every=2):
+    """Even positions conserved, odd variable; returns codes (1..20)."""
+    consensus = rs.randint(1, 21, L)
+    mat = np.tile(consensus, (n, 1)).astype(np.int8)
+    for r in range(1, n):
+        for j in range(1, L, conserved_every):
+            if rs.rand() < 0.6:
+                mat[r, j] = rs.randint(1, 21)
+    return mat, consensus
+
+
+class TestCherries:
+    def test_pairs_disjoint_and_similar(self):
+        rs = np.random.RandomState(0)
+        mat, _ = _msa(rs, n=20)
+        pairs = siterm.cherry_pairs(mat)
+        flat = [i for p in pairs for i in p]
+        assert len(flat) == len(set(flat))
+        assert len(pairs) == 10
+
+
+class TestSiteRm:
+    def test_transition_probs_are_stochastic(self):
+        rs = np.random.RandomState(1)
+        mat, _ = _msa(rs)
+        model = siterm.fit_siterm(mat)
+        p = model.transition_prob()
+        np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-6)
+        assert (p >= 0).all()
+
+    def test_conserved_positions_get_lower_rates(self):
+        rs = np.random.RandomState(2)
+        mat, _ = _msa(rs, n=100)
+        model = siterm.fit_siterm(mat)
+        # even positions conserved -> lower substitution rate
+        assert model.mu[::2].mean() < model.mu[1::2].mean()
+
+    def test_scoring_penalizes_conserved_sites_more(self):
+        rs = np.random.RandomState(3)
+        mat, consensus = _msa(rs, n=100)
+        model = siterm.fit_siterm(mat)
+        wt = "".join(AA[c - 1] for c in consensus)
+
+        def mut(pos):
+            new = AA[(consensus[pos] - 1 + 7) % 20]
+            return f"{wt[pos]}{pos + 1}{new}"
+
+        s = siterm.score_mutants(model, wt, [mut(4), mut(5)])
+        assert s[0] < s[1] < 0  # conserved site (4) worse than variable (5)
+
+    def test_expm_path_matches_closed_form(self):
+        rs = np.random.RandomState(4)
+        mat, consensus = _msa(rs, n=40)
+        model = siterm.fit_siterm(mat)
+        wt = "".join(AA[c - 1] for c in consensus)
+        muts = [f"{wt[1]}2{AA[(consensus[1]+3) % 20]}"]
+        closed = siterm.score_mutants(model, wt, muts)
+        # build the equivalent F81 generator: Q[a,b] = mu*pi[b] (a!=b)
+        L, q = model.pi.shape
+        Q = np.zeros((L, q, q))
+        for i in range(L):
+            Q[i] = model.mu[i] * np.tile(model.pi[i], (q, 1))
+            np.fill_diagonal(Q[i], 0.0)
+            np.fill_diagonal(Q[i], -Q[i].sum(1))
+        via_expm = siterm.score_from_rate_matrices(Q, model.t, wt, muts)
+        np.testing.assert_allclose(closed, via_expm, rtol=1e-4)
+
+    def test_wt_scores_zero(self):
+        rs = np.random.RandomState(5)
+        mat, consensus = _msa(rs)
+        model = siterm.fit_siterm(mat)
+        wt = "".join(AA[c - 1] for c in consensus)
+        assert siterm.score_mutants(model, wt, ["WT"])[0] == 0.0
+
+
+class TestGemme:
+    def test_conserved_positions_penalized_more(self):
+        rs = np.random.RandomState(6)
+        mat, consensus = _msa(rs, n=120)
+        model = gemme.fit_gemme(mat)
+        wt = "".join(AA[c - 1] for c in consensus)
+
+        def mut(pos):
+            new = AA[(consensus[pos] - 1 + 7) % 20]
+            return f"{wt[pos]}{pos + 1}{new}"
+
+        s = gemme.score_mutants(model, wt, [mut(6), mut(7)])
+        assert s[0] < s[1]
+
+    def test_variant_seen_in_close_homolog_scores_better(self):
+        rs = np.random.RandomState(7)
+        L = 10
+        consensus = rs.randint(1, 21, L)
+        # family: one very close homolog carries aa X at pos 3;
+        # a distant homolog carries aa Y at pos 3
+        close = consensus.copy()
+        x_aa = (consensus[3] % 20) + 1
+        close[3] = x_aa
+        far = rs.randint(1, 21, L)
+        y_aa = (consensus[3] + 9) % 20 + 1
+        if y_aa == x_aa:
+            y_aa = (y_aa % 20) + 1
+        far[3] = y_aa
+        mat = np.stack([consensus, close, consensus, far]).astype(np.int8)
+        model = gemme.fit_gemme(mat)
+        wt = "".join(AA[c - 1] for c in consensus)
+        m_close = f"{wt[3]}4{AA[x_aa - 1]}"
+        m_far = f"{wt[3]}4{AA[y_aa - 1]}"
+        s = gemme.score_mutants(model, wt, [m_close, m_far],
+                                mode="epistatic")
+        assert s[0] > s[1]
+
+    def test_modes_and_wt(self):
+        rs = np.random.RandomState(8)
+        mat, consensus = _msa(rs)
+        model = gemme.fit_gemme(mat)
+        wt = "".join(AA[c - 1] for c in consensus)
+        for mode in ["combined", "epistatic", "independent"]:
+            s = gemme.score_mutants(model, wt, ["WT", f"{wt[0]}1{AA[5]}"],
+                                    mode=mode)
+            assert s[0] == 0.0
+            assert np.isfinite(s).all()
