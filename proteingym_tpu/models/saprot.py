@@ -1,0 +1,138 @@
+"""SaProt: structure-aware vocabulary masked LM (AA x 3Di tokens).
+
+Semantics match the reference
+(ref: proteingym/baselines/saprot/compute_fitness.py:17-75):
+
+  - vocabulary: 5 specials + (seq char) x (3Di char) pairs laid out in
+    contiguous 3Di blocks per seq char, seq chars include '#' (masked AA);
+  - tokenization: token(i) = pair(aa_i, 3di_i) from the structure;
+  - scoring: mask the AA half at every mutated position ('#'+3di), one
+    forward, then p(aa=X at pos) = sum over the 21-wide 3Di block of
+    softmax probs; score = sum log(p_mut / p_wt) (:43-55).
+
+The trunk is the ESM2 transformer (models/esm2.py) with the enlarged
+vocabulary; 3Di tokens come from ops/tridi.py (native foldseek
+replacement) or any precomputed 3Di string.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from proteingym_tpu.models import esm2
+from proteingym_tpu.ops.tridi import TRIDI_VOCAB
+
+SEQ_CHARS = "ACDEFGHIKLMNPQRSTVWYX#"  # AA + unknown + masked-AA
+N_SPECIALS = 5  # <cls> <pad> <eos> <unk> <mask>
+BLOCK = len(TRIDI_VOCAB) + 1  # each seq char also pairs with masked-3Di '#'
+STRUC_CHARS = TRIDI_VOCAB + "#"
+
+
+class SaProtVocab:
+    cls_idx, padding_idx, eos_idx, unk_idx, mask_idx = 0, 1, 2, 3, 4
+
+    def __init__(self):
+        self.pair_base = {}
+        idx = N_SPECIALS
+        for s in SEQ_CHARS:
+            self.pair_base[s] = idx
+            idx += BLOCK
+        self.size = idx
+
+    def pair_id(self, aa: str, tridi: str) -> int:
+        aa = aa if aa in self.pair_base else "X"
+        si = STRUC_CHARS.index(tridi) if tridi in STRUC_CHARS else BLOCK - 1
+        return self.pair_base[aa] + si
+
+    def tokenize(self, seq: str, struc: str) -> np.ndarray:
+        assert len(seq) == len(struc)
+        ids = [self.cls_idx]
+        ids += [self.pair_id(a, s) for a, s in zip(seq, struc)]
+        ids.append(self.eos_idx)
+        return np.asarray(ids, dtype=np.int32)
+
+    def aa_block(self, aa: str) -> slice:
+        base = self.pair_base[aa if aa in self.pair_base else "X"]
+        return slice(base, base + BLOCK)
+
+
+VOCAB = SaProtVocab()
+
+
+def saprot_config(preset: str = "saprot_650M") -> esm2.EsmConfig:
+    base = {
+        "saprot_35M": esm2.EsmConfig("saprot_35M", 12, 480, 20),
+        "saprot_650M": esm2.EsmConfig("saprot_650M", 33, 1280, 20),
+    }[preset]
+    return dataclasses.replace(base, alphabet_size=VOCAB.size)
+
+
+def score_mutants(
+    params,
+    config: esm2.EsmConfig,
+    target_seq: str,
+    struc_seq: str,
+    mutants: Sequence[str],
+    offset_idx: int = 1,
+    batch_size: int = 8,
+) -> np.ndarray:
+    """Per-mutant masked forward + 3Di-block marginalization."""
+    rows = []
+    for m in mutants:
+        seq = list(target_seq)
+        for tok in m.split(":"):
+            pos = int(tok[1:-1]) - offset_idx
+            if target_seq[pos] != tok[0]:
+                raise ValueError(f"WT mismatch in {tok}")
+            seq[pos] = "#"  # mask the AA half, keep the 3Di half
+        rows.append(VOCAB.tokenize("".join(seq), struc_seq))
+    T = max(len(r) for r in rows)
+    out = np.zeros(len(mutants))
+
+    @jax.jit
+    def fwd(tokens):
+        logits = esm2.apply(params, config, tokens)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    for s in range(0, len(rows), batch_size):
+        blk = rows[s : s + batch_size]
+        tok = np.full((len(blk), T), VOCAB.padding_idx, np.int32)
+        for bi, r in enumerate(blk):
+            tok[bi, : len(r)] = r
+        probs = np.asarray(fwd(jnp.asarray(tok)))
+        for bi, m in enumerate(mutants[s : s + len(blk)]):
+            score = 0.0
+            for tokm in m.split(":"):
+                wt, pos, mt = tokm[0], int(tokm[1:-1]) - offset_idx, tokm[-1]
+                p = probs[bi, pos + 1]  # +1 for CLS
+                p_wt = p[VOCAB.aa_block(wt)].sum()
+                p_mt = p[VOCAB.aa_block(mt)].sum()
+                score += np.log(p_mt / max(p_wt, 1e-30))
+            out[s + bi] = score
+    return out
+
+
+def score_assay_saprot(
+    params,
+    config: esm2.EsmConfig,
+    target_seq: str,
+    coords: Optional[np.ndarray],
+    mutants: Sequence[str],
+    struc_seq: Optional[str] = None,
+    codebook: Optional[np.ndarray] = None,
+    batch_size: int = 8,
+) -> np.ndarray:
+    """End-to-end: 3Di tokens from the backbone (or a given 3Di string) +
+    masked scoring (ref calc_fitness :58-75)."""
+    if struc_seq is None:
+        from proteingym_tpu.ops.tridi import structure_letters
+
+        struc_seq = structure_letters(coords, codebook)
+    return score_mutants(
+        params, config, target_seq, struc_seq, mutants, batch_size=batch_size
+    )
