@@ -104,6 +104,40 @@ def load_registry(
     return ModelRegistry(models, clean_names, model_details, model_references)
 
 
+def load_packaged_registry(
+    dataset: str = "DMS",
+    mutation_type: str = "substitutions",
+    with_display: bool = True,
+) -> ModelRegistry:
+    """Load the registry shipped inside the package
+    (proteingym_tpu/configs/registry.json, the published ProteinGym model
+    manifest in native schema: 97 zero-shot sub models, 24 indel, 31/18
+    clinical, 11+3 supervised; ref config.json:3-197)."""
+    base = Path(__file__).parent.parent / "configs"
+    with open(base / "registry.json") as f:
+        table = json.load(f)
+    models = {}
+    for name, spec in table["benchmarks"][f"{dataset}/{mutation_type}"].items():
+        models[name] = ModelEntry(
+            name=name,
+            input_score_name=spec["score_column"],
+            location=spec["score_dir"],
+            directionality=spec["directionality"],
+            key=spec["merge_key"],
+            model_type=spec.get("model_type", ""),
+            label_name=spec.get("label_column", ""),
+        )
+    clean_names = model_details = model_references = None
+    if with_display:
+        with open(base / "display.json") as f:
+            display = json.load(f)
+        prefix = "supervised_" if dataset == "DMS_supervised" else ""
+        clean_names = display.get(f"{prefix}clean_names")
+        model_details = display.get(f"{prefix}model_details")
+        model_references = display.get(f"{prefix}model_references")
+    return ModelRegistry(models, clean_names, model_details, model_references)
+
+
 def registry_from_dict(models: Dict[str, dict]) -> ModelRegistry:
     return ModelRegistry(
         {

@@ -159,17 +159,23 @@ def masked_marginal_table(
         rows = np.concatenate([rows, np.tile(tokens[None, :eff_len], (n_pad - total, 1))])
         offsets = np.concatenate([offsets, np.zeros(n_pad - total, np.int32)])
 
-    rows = jnp.asarray(rows).reshape(n_pad // chunk, chunk, eff_len)
-    offsets = jnp.asarray(offsets).reshape(n_pad // chunk, chunk)
+    rows = rows.reshape(n_pad // chunk, chunk, eff_len)
+    offsets = offsets.reshape(n_pad // chunk, chunk)
 
-    def step(args):
-        toks, offs = args
+    # one jitted step reused across chunks (a lax.map here would inline the
+    # full model into a scan body and recompile it — minutes for 650M)
+    @jax.jit
+    def step(toks, offs):
         logits = logits_fn(toks)  # (chunk, eff_len, V)
         logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return logps[jnp.arange(chunk), offs]  # (chunk, V)
 
-    table = jax.lax.map(step, (rows, offsets))  # (n_chunks, chunk, V)
-    return table.reshape(n_pad, -1)[:total]
+    parts = [
+        step(jnp.asarray(rows[i]), jnp.asarray(offsets[i]))
+        for i in range(rows.shape[0])
+    ]
+    table = jnp.concatenate(parts, axis=0)
+    return table[:total]
 
 
 # ---------------------------------------------------------------------------

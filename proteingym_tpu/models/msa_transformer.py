@@ -307,17 +307,22 @@ def masked_marginal_table_msa(
         )
         offsets = np.concatenate([offsets, np.zeros(n_pad - total, np.int32)])
 
-    grids = jnp.asarray(grids).reshape(n_pad // chunk, chunk, r, eff)
-    offsets = jnp.asarray(offsets).reshape(n_pad // chunk, chunk)
+    grids = grids.reshape(n_pad // chunk, chunk, r, eff)
+    offsets = offsets.reshape(n_pad // chunk, chunk)
 
-    def step(args):
-        toks, offs = args
+    # one jitted step reused across chunks (lax.map would inline + recompile
+    # the full axial model per call site)
+    @jax.jit
+    def step(toks, offs):
         logits = logits_fn(toks)  # (chunk, R, eff, V)
         logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return logps[jnp.arange(toks.shape[0]), 0, offs]  # (chunk, V)
 
-    table = jax.lax.map(step, (grids, offsets))
-    return table.reshape(n_pad, -1)[:total]
+    parts = [
+        step(jnp.asarray(grids[i]), jnp.asarray(offsets[i]))
+        for i in range(grids.shape[0])
+    ]
+    return jnp.concatenate(parts, axis=0)[:total]
 
 
 def score_assay_msa_transformer(

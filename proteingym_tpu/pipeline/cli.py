@@ -37,6 +37,20 @@ def _parse_extra(pairs):
     return out
 
 
+def _load_registry_arg(config_path, dataset, mutation_type,
+                       constants_path=None):
+    """--config points at a ProteinGym-format config.json; when omitted the
+    packaged registry (proteingym_tpu/configs/registry.json) is used."""
+    from proteingym_tpu.data.registry import load_packaged_registry, load_registry
+
+    if config_path:
+        return load_registry(
+            config_path, dataset=dataset, mutation_type=mutation_type,
+            constants_path=constants_path,
+        )
+    return load_packaged_registry(dataset, mutation_type)
+
+
 def cmd_score(args) -> int:
     from proteingym_tpu.data.reference import load_reference
     from proteingym_tpu.pipeline.manifest import Manifest
@@ -109,9 +123,7 @@ def cmd_merge(args) -> int:
     from proteingym_tpu.merge.merge import filesystem_loaders, merge_all
 
     reference = load_reference(args.dms_reference)
-    registry = load_registry(
-        args.config, dataset=args.dataset, mutation_type=args.mutation_type
-    )
+    registry = _load_registry_arg(args.config, args.dataset, args.mutation_type)
     dms_loader, score_loader = filesystem_loaders(args.dms_dir, args.scores_root)
     merge_all(
         reference,
@@ -132,10 +144,8 @@ def cmd_evaluate(args) -> int:
     )
 
     reference = load_reference(args.dms_reference)
-    registry = load_registry(
-        args.config,
-        dataset=args.dataset,
-        mutation_type=args.mutation_type,
+    registry = _load_registry_arg(
+        args.config, args.dataset, args.mutation_type,
         constants_path=args.constants,
     )
     evaluate_benchmark(
@@ -158,8 +168,8 @@ def cmd_merge_supervised(args) -> int:
     )
 
     reference = load_reference(args.dms_reference)
-    registry = load_registry(
-        args.config, dataset="DMS_supervised", mutation_type=args.mutation_type
+    registry = _load_registry_arg(
+        args.config, "DMS_supervised", args.mutation_type
     )
     dms_loader, score_loader = supervised_filesystem_loaders(
         args.dms_dir, args.scores_root
@@ -215,9 +225,7 @@ def cmd_evaluate_clinical(args) -> int:
     from proteingym_tpu.metrics.clinical import evaluate_clinical
 
     reference = load_reference(args.clinical_reference)
-    registry = load_registry(
-        args.config, dataset="clinical", mutation_type=args.mutation_type
-    )
+    registry = _load_registry_arg(args.config, "clinical", args.mutation_type)
     evaluate_clinical(
         reference,
         registry,
@@ -278,7 +286,7 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--dms-reference", required=True)
     m.add_argument("--dms-dir", required=True)
     m.add_argument("--scores-root", required=True)
-    m.add_argument("--config", required=True)
+    m.add_argument("--config", default=None)
     m.add_argument("--output-dir", required=True)
     m.add_argument("--dataset", default="DMS")
     m.add_argument("--mutation-type", default="substitutions",
@@ -288,7 +296,7 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("evaluate", help="metrics + leaderboards")
     e.add_argument("--dms-reference", required=True)
     e.add_argument("--merged-dir", required=True)
-    e.add_argument("--config", required=True)
+    e.add_argument("--config", default=None)
     e.add_argument("--constants", default=None)
     e.add_argument("--output-dir", required=True)
     e.add_argument("--dataset", default="DMS")
@@ -302,7 +310,7 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--dms-reference", required=True)
     ms.add_argument("--dms-dir", required=True)
     ms.add_argument("--scores-root", required=True)
-    ms.add_argument("--config", required=True)
+    ms.add_argument("--config", default=None)
     ms.add_argument("--output-dir", required=True)
     ms.add_argument("--mutation-type", default="substitutions",
                     choices=["substitutions", "indels"])
@@ -325,7 +333,7 @@ def build_parser() -> argparse.ArgumentParser:
     ec = sub.add_parser("evaluate-clinical", help="clinical AUC leaderboard")
     ec.add_argument("--clinical-reference", required=True)
     ec.add_argument("--merged-dir", required=True)
-    ec.add_argument("--config", required=True)
+    ec.add_argument("--config", default=None)
     ec.add_argument("--output-dir", required=True)
     ec.add_argument("--mutation-type", default="substitutions",
                     choices=["substitutions", "indels"])
