@@ -188,21 +188,21 @@ def score_assay(
         n_pad = ((total + chunk - 1) // chunk) * chunk
         if n_pad != total:
             rows = np.concatenate([rows, np.tile(tokens[None], (n_pad - total, 1))])
-        rows_j = jnp.asarray(rows).reshape(n_pad // chunk, chunk, total)
-        offs = jnp.asarray(
-            np.concatenate([np.arange(total), np.zeros(n_pad - total)]).astype(
-                np.int32
-            )
-        ).reshape(n_pad // chunk, chunk)
+        rows_j = rows.reshape(n_pad // chunk, chunk, total)
+        offs = np.concatenate(
+            [np.arange(total), np.zeros(n_pad - total)]
+        ).astype(np.int32).reshape(n_pad // chunk, chunk)
 
-        def step(args):
-            r, o = args
+        @jax.jit
+        def step(r, o):
             lp = jax.nn.log_softmax(logits_fn(r).astype(jnp.float32), -1)
             return lp[jnp.arange(r.shape[0]), o]
 
-        table = np.asarray(
-            jax.lax.map(step, (rows_j, offs)).reshape(n_pad, -1)[:total]
-        )
+        parts = [
+            step(jnp.asarray(rows_j[i]), jnp.asarray(offs[i]))
+            for i in range(rows_j.shape[0])
+        ]
+        table = np.asarray(jnp.concatenate(parts, 0)[:total])
 
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):

@@ -1,0 +1,174 @@
+"""Native supervised baselines: one-hot / embedding ridge + CV folds.
+
+The reference's supervised leaderboard consumes score files produced by
+the external ProteinNPT repo (ref: performance_DMS_supervised_benchmarks
+.py:10-13, README.md:173 — OHE ridge, embedding ridge, ProteinNPT);
+Kermut is vendored (models/kermut.py here). This module makes the
+supervised product self-contained: it trains the ridge baselines natively
+and emits per-assay prediction files in the exact layout
+``scores_root/<cv_scheme>/<location>/<DMS_id>.csv`` that
+merge/supervised.py consumes.
+
+CV schemes follow the published fold definitions when fold columns are
+present in the assay CSV (fold_random_5 / fold_modulo_5 /
+fold_contiguous_5, ref merge_supervised.py:40-43); otherwise they are
+generated with the standard constructions:
+  - fold_random_5: uniform random assignment (seeded)
+  - fold_modulo_5: mutated position modulo 5
+  - fold_contiguous_5: contiguous position blocks
+
+Ridge solves (X^T X + lam I) w = X^T y in one jitted Cholesky per fold —
+MXU-shaped normal equations, no iterative solver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+AA20 = "ACDEFGHIKLMNPQRSTVWY"
+CV_SCHEMES = ["fold_random_5", "fold_modulo_5", "fold_contiguous_5"]
+
+
+def onehot_features(mutated_sequences: Sequence[str], seq_len: int
+                    ) -> np.ndarray:
+    """(N, L*20) flattened one-hots (the ProteinNPT OHE baseline input)."""
+    aa_idx = {a: i for i, a in enumerate(AA20)}
+    out = np.zeros((len(mutated_sequences), seq_len, 20), np.float32)
+    for i, s in enumerate(mutated_sequences):
+        for j, c in enumerate(s[:seq_len]):
+            k = aa_idx.get(c)
+            if k is not None:
+                out[i, j, k] = 1.0
+    return out.reshape(len(mutated_sequences), -1)
+
+
+def assign_folds(
+    mutants: Sequence[str],
+    scheme: str,
+    n_folds: int = 5,
+    seed: int = 42,
+    seq_len: Optional[int] = None,
+) -> np.ndarray:
+    """Fold ids per variant for the three published CV constructions."""
+    n = len(mutants)
+    if scheme == "fold_random_5":
+        rs = np.random.RandomState(seed)
+        return rs.randint(0, n_folds, n)
+
+    def first_pos(m):
+        try:
+            return int(m.split(":")[0][1:-1])
+        except (ValueError, IndexError):
+            return 0
+
+    positions = np.asarray([first_pos(m) for m in mutants])
+    if scheme == "fold_modulo_5":
+        return positions % n_folds
+    if scheme == "fold_contiguous_5":
+        lo, hi = positions.min(), positions.max() + 1
+        edges = np.linspace(lo, hi, n_folds + 1)
+        return np.clip(np.searchsorted(edges, positions, "right") - 1, 0,
+                       n_folds - 1)
+    raise ValueError(f"Unknown CV scheme {scheme}")
+
+
+@jax.jit
+def _ridge_solve(x, y, lam):
+    d = x.shape[1]
+    gram = x.T @ x + lam * jnp.eye(d, dtype=x.dtype)
+    rhs = x.T @ y
+    chol = jnp.linalg.cholesky(gram)
+    return jax.scipy.linalg.cho_solve((chol, True), rhs)
+
+
+def ridge_cv_predict(
+    features: np.ndarray,
+    y: np.ndarray,
+    folds: np.ndarray,
+    lam: float = 1.0,
+) -> np.ndarray:
+    """Out-of-fold predictions: for each fold, train on the rest, predict
+    the held-out variants (the supervised benchmark's protocol)."""
+    x = jnp.asarray(features, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    y_mean = float(np.mean(y))
+    out = np.zeros(len(y))
+    for fold in np.unique(folds):
+        test = folds == fold
+        train = ~test
+        w = _ridge_solve(x[np.nonzero(train)[0]],
+                         yj[np.nonzero(train)[0]] - y_mean, lam)
+        out[test] = np.asarray(x[np.nonzero(test)[0]] @ w) + y_mean
+    return out
+
+
+def esm_embedding_features(
+    esm_params, esm_config, mutated_sequences: Sequence[str],
+    batch_size: int = 16,
+) -> np.ndarray:
+    """Mean-pooled final-layer ESM embeddings (the 'embeddings ridge'
+    baseline input; also Kermut's global-kernel features)."""
+    from proteingym_tpu.models import esm2
+
+    rows = [esm2.ALPHABET.tokenize(s) for s in mutated_sequences]
+    T = max(len(r) for r in rows)
+    feats = []
+
+    @jax.jit
+    def embed(tokens):
+        _, reps = esm2.apply(
+            esm_params, esm_config, tokens, return_representations=True
+        )
+        final = reps[max(reps)].astype(jnp.float32)
+        mask = (tokens != esm2.ALPHABET.padding_idx)[..., None]
+        return (final * mask).sum(1) / jnp.maximum(mask.sum(1), 1)
+
+    for s in range(0, len(rows), batch_size):
+        blk = rows[s : s + batch_size]
+        toks = np.full((len(blk), T), esm2.ALPHABET.padding_idx, np.int32)
+        for bi, r in enumerate(blk):
+            toks[bi, : len(r)] = r
+        feats.append(np.asarray(embed(jnp.asarray(toks))))
+    return np.concatenate(feats, 0)
+
+
+def run_supervised_baseline(
+    dms_frame: pd.DataFrame,
+    target_seq: str,
+    model: str = "OHE_ridge",
+    cv_schemes: Sequence[str] = tuple(CV_SCHEMES),
+    lam: float = 1.0,
+    seed: int = 42,
+    feature_fn: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+) -> Dict[str, pd.DataFrame]:
+    """Train + out-of-fold predict one assay for every CV scheme.
+
+    Returns {cv_scheme: frame with mutant, y_pred, DMS_score} matching the
+    supervised score-file contract.
+    """
+    mutants = dms_frame["mutant"].tolist()
+    seqs = dms_frame.get("mutated_sequence", dms_frame["mutant"]).tolist()
+    y = dms_frame["DMS_score"].to_numpy(np.float64)
+    if feature_fn is not None:
+        features = feature_fn(seqs)
+    elif model == "OHE_ridge":
+        features = onehot_features(seqs, len(target_seq))
+    else:
+        raise ValueError(f"Unknown baseline {model} without feature_fn")
+
+    out = {}
+    for scheme in cv_schemes:
+        if scheme in dms_frame.columns:  # published fold assignments
+            folds = dms_frame[scheme].to_numpy()
+        else:
+            folds = assign_folds(mutants, scheme, seed=seed)
+        preds = ridge_cv_predict(features, y, folds, lam=lam)
+        out[scheme] = pd.DataFrame(
+            {"mutant": mutants, "y_pred": preds, "DMS_score": y}
+        )
+    return out
