@@ -244,11 +244,14 @@ def apply(
     config: EsmConfig,
     tokens: jnp.ndarray,
     return_representations: bool = False,
+    extra_embedding=None,
 ):
     """Forward pass: (B, T) int tokens -> (B, T, V) f32 logits.
 
     Mirrors ref esm2.py:76-143 (minus contact head, which lives in
-    models/contacts.py when needed).
+    models/contacts.py when needed). ``extra_embedding`` (T, D) is an
+    optional additive per-position conditioning signal (structure
+    adapters, e.g. MULAN in models/structure_plms.py).
     """
     pad = ALPHABET.padding_idx
     mask_idx = ALPHABET.mask_idx
@@ -256,6 +259,8 @@ def apply(
     any_padding = padding_mask  # static-shape friendly: always mask
 
     x = params["embed_tokens"].astype(config.dtype)[tokens]
+    if extra_embedding is not None:
+        x = x + extra_embedding[None, : x.shape[1]].astype(x.dtype)
 
     if config.token_dropout:
         is_masked = tokens == mask_idx
