@@ -559,3 +559,7 @@ def score_tranception(ctx: ScoreContext) -> pd.DataFrame:
         batch_size=ctx.batch_size,
         indel_mode=ctx.indel_mode,
     )
+
+
+# extended zoo registrations (import side effect registers them)
+from proteingym_tpu.pipeline import scorers_extra  # noqa: E402,F401

@@ -1,0 +1,370 @@
+"""Scorer registrations for the extended model zoo.
+
+Importing this module (pipeline/scorers.py does it at the bottom) makes
+every extended family CLI-visible: carp, esmc, esm3, xtrimopglm, saprot,
+esm_if1, protssn, mif, mulan, venusrem, aido, rsalor, vespag,
+supervised ridge baselines, and kermut. Each follows the ScoreContext
+contract (see pipeline/scorers.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from proteingym_tpu.pipeline.scorers import (
+    ScoreContext, _score_focus_model, register_scorer,
+)
+
+
+def _load_structure(ctx: ScoreContext):
+    from proteingym_tpu.data.structures import parse_pdb_backbone
+
+    if ctx.structure_dir is None:
+        raise FileNotFoundError(f"{ctx.record.DMS_id}: needs --structure-dir")
+    for stem in (ctx.record.UniProt_ID, ctx.record.DMS_id):
+        pdb = Path(ctx.structure_dir) / f"{stem}.pdb"
+        if pdb.exists():
+            coords, _ = parse_pdb_backbone(pdb)
+            return coords
+    raise FileNotFoundError(f"No PDB for {ctx.record.DMS_id}")
+
+
+def _with_column(ctx: ScoreContext, column: str, scores) -> pd.DataFrame:
+    out = ctx.dms_frame.copy()
+    out[column] = np.asarray(scores)
+    return out
+
+
+@register_scorer("carp")
+def score_carp(ctx: ScoreContext) -> pd.DataFrame:
+    """CARP ByteNet conv LM marginals (ref carp_mif/compute_fitness.py)."""
+    import jax
+
+    from proteingym_tpu.models import carp
+
+    preset = ctx.checkpoint or "carp_600k"
+    config = carp.CARP_PRESETS.get(preset, carp.CARP_PRESETS["carp_600k"])
+    params = carp.init_params(jax.random.PRNGKey(0), config)
+    scores = carp.score_assay(
+        params, config, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(),
+        strategy=ctx.extra.get("scoring_strategy", "masked-marginals"),
+        chunk=ctx.batch_size,
+    )
+    return _with_column(ctx, f"{config.name}_score", scores)
+
+
+@register_scorer("esmc")
+@register_scorer("esm3")
+def score_esmc(ctx: ScoreContext) -> pd.DataFrame:
+    """ESM-C / ESM3-open sequence scoring (ref evoscale/compute_fitness.py)."""
+    import jax
+
+    from proteingym_tpu.models import esmc
+
+    preset = ctx.checkpoint or "esmc_300m"
+    config = esmc.PRESETS.get(preset, esmc.PRESETS["esmc_300m"])
+    params = esmc.init_params(jax.random.PRNGKey(0), config)
+    scores = esmc.score_assay(
+        params, config, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(),
+        strategy=ctx.extra.get("scoring_strategy", "masked-marginals"),
+        chunk=ctx.batch_size,
+    )
+    return _with_column(ctx, f"{config.name}_score", scores)
+
+
+@register_scorer("xtrimopglm")
+def score_xtrimo(ctx: ScoreContext) -> pd.DataFrame:
+    """xTrimoPGLM GLM scoring, MLM or AR branch
+    (ref xtrimopglm/compute_fitness.py)."""
+    import jax
+
+    from proteingym_tpu.models import xtrimo
+
+    preset = ctx.checkpoint or "xtrimopglm_1b"
+    config = xtrimo.PRESETS.get(preset, xtrimo.PRESETS["xtrimopglm_1b"])
+    params = xtrimo.init_params(jax.random.PRNGKey(0), config)
+    scores = xtrimo.score_assay(
+        params, config, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(),
+        ctx.dms_frame["mutated_sequence"].tolist(),
+        mode=ctx.extra.get("mode", "mlm"),
+        chunk=ctx.batch_size,
+        batch_size=ctx.batch_size,
+    )
+    return _with_column(ctx, "xtrimopglm_score", scores)
+
+
+@register_scorer("saprot")
+def score_saprot(ctx: ScoreContext) -> pd.DataFrame:
+    """SaProt structure-aware masked scoring (ref saprot/compute_fitness.py)."""
+    import jax
+
+    from proteingym_tpu.models import esm2, saprot
+
+    coords = _load_structure(ctx)
+    config = saprot.saprot_config(ctx.checkpoint or "saprot_35M")
+    params = esm2.init_params(jax.random.PRNGKey(0), config)
+    scores = saprot.score_assay_saprot(
+        params, config, ctx.record.target_seq, coords,
+        ctx.dms_frame["mutant"].tolist(), batch_size=ctx.batch_size,
+    )
+    return _with_column(ctx, "SaProt_score", scores)
+
+
+@register_scorer("esm_if1")
+def score_esm_if1(ctx: ScoreContext) -> pd.DataFrame:
+    """Inverse-folding AR log-lik (ref esm/compute_fitness_esm_if1.py)."""
+    import jax
+
+    from proteingym_tpu.models import esm_if1
+
+    coords = _load_structure(ctx)
+    config = esm_if1.EsmIf1Config()
+    params = esm_if1.init_params(jax.random.PRNGKey(0), config)
+    scores = esm_if1.score_sequences(
+        params, config, coords, ctx.dms_frame["mutated_sequence"].tolist(),
+        batch_size=ctx.batch_size,
+    )
+    return _with_column(ctx, "esm_if1_score", scores)
+
+
+@register_scorer("protssn")
+def score_protssn(ctx: ScoreContext) -> pd.DataFrame:
+    """ProtSSN: PLM embeddings + EGNN readout (ref protssn/compute_fitness.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from proteingym_tpu.models import esm2, protssn
+    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+
+    coords = _load_structure(ctx)
+    esm_params, esm_config = load_esm_checkpoint(
+        ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
+    )
+    emb = protssn.esm_embeddings(esm_params, esm_config, ctx.record.target_seq)
+    config = protssn.ProtssnConfig(
+        node_dim=esm_config.embed_dim,
+        hidden_dim=int(ctx.extra.get("hidden_dim", 512)),
+        k_neighbors=int(ctx.extra.get("k_neighbors", 20)),
+    )
+    params = protssn.init_params(jax.random.PRNGKey(0), config)
+    scores = protssn.score_mutants(
+        params, config, emb, jnp.asarray(coords[:, 1]),
+        ctx.record.target_seq, ctx.dms_frame["mutant"].tolist(),
+    )
+    return _with_column(ctx, "ProtSSN_score", scores)
+
+
+@register_scorer("mif")
+def score_mif(ctx: ScoreContext) -> pd.DataFrame:
+    """MIF masked inverse folding (ref carp_mif/compute_fitness.py:31-48)."""
+    import jax
+
+    from proteingym_tpu.models.carp import CarpConfig
+    from proteingym_tpu.models.structure_plms import (
+        mif_init, mif_score_assay, mif_structure_features,
+    )
+
+    coords = _load_structure(ctx)
+    config = CarpConfig("mif", 8, 256, max_dilation=32)
+    feat_dim = mif_structure_features(coords).shape[1]
+    params = mif_init(jax.random.PRNGKey(0), config, feat_dim)
+    scores = mif_score_assay(
+        params, config, coords, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(),
+    )
+    return _with_column(ctx, "MIF_score", scores)
+
+
+@register_scorer("mulan")
+def score_mulan(ctx: ScoreContext) -> pd.DataFrame:
+    """MULAN structure-adapter ESM (ref mulan/)."""
+    import jax
+
+    from proteingym_tpu.models import esm2
+    from proteingym_tpu.models.structure_plms import (
+        mulan_init, mulan_score_assay,
+    )
+
+    coords = _load_structure(ctx)
+    config = esm2.PRESETS.get(ctx.checkpoint or "esm2_t6_8M",
+                              esm2.PRESETS["esm2_t6_8M"])
+    params = mulan_init(jax.random.PRNGKey(0), config)
+    scores = mulan_score_assay(
+        params, config, coords, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(), chunk=ctx.batch_size,
+    )
+    return _with_column(ctx, "MULAN_score", scores)
+
+
+@register_scorer("venusrem")
+def score_venusrem(ctx: ScoreContext) -> pd.DataFrame:
+    """VenusREM retrieval-blended marginals (ref venusrem/compute_fitness.py)."""
+    import jax
+
+    from proteingym_tpu.models import esm2
+    from proteingym_tpu.models.structure_plms import venusrem_score_assay
+    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+
+    params, config = load_esm_checkpoint(
+        ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
+    )
+    seq_aln = None
+    if ctx.msa_dir is not None and ctx.record.MSA_filename:
+        msa = ctx.load_msa()
+        seq_aln = msa.sequences()
+    scores = venusrem_score_assay(
+        params, config, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(),
+        seq_alignment=seq_aln, chunk=ctx.batch_size,
+    )
+    return _with_column(ctx, "VenusREM_score", scores)
+
+
+@register_scorer("aido")
+def score_aido(ctx: ScoreContext) -> pd.DataFrame:
+    """AIDO-class MoE MLM with MSA retrieval (ref AIDO/compute_fitness.py)."""
+    import jax
+
+    from proteingym_tpu.models.structure_plms import (
+        AidoConfig, aido_init, aido_score_assay,
+    )
+
+    config = AidoConfig()
+    params = aido_init(jax.random.PRNGKey(0), config)
+    msa_seqs = msa_w = None
+    if ctx.msa_dir is not None and ctx.record.MSA_filename:
+        msa = ctx.load_msa()
+        msa_seqs, msa_w = msa.sequences(), msa.weights
+    scores = aido_score_assay(
+        params, config, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(),
+        msa_sequences=msa_seqs, msa_weights=msa_w, chunk=ctx.batch_size,
+    )
+    return _with_column(ctx, "AIDO_score", scores)
+
+
+@register_scorer("rsalor")
+def score_rsalor(ctx: ScoreContext) -> pd.DataFrame:
+    """RSALOR: RSA x MSA log-odds (ref RSALOR/run_rsalor.py)."""
+    from proteingym_tpu.models import rsalor as rsalor_mod
+
+    msa = ctx.load_msa()
+    coords = None
+    try:
+        coords = _load_structure(ctx)
+    except FileNotFoundError:
+        pass
+    model = rsalor_mod.fit_rsalor(msa.matrix, msa.weights, coords=coords)
+    scores = _score_focus_model(
+        ctx, msa,
+        lambda wt, remapped: rsalor_mod.score_mutants(model, wt, remapped),
+        ctx.dms_frame["mutant"].tolist(),
+    )
+    return _with_column(ctx, "RSALOR_score", scores)
+
+
+@register_scorer("vespag")
+@register_scorer("vespa")
+def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
+    """VespaG: PLM-embedding head distilled from the native GEMME teacher
+    (ref vespag/; the vespa CLI wrapper role is covered by the same
+    conservation-x-logodds teacher)."""
+    import jax
+
+    from proteingym_tpu.models import gemme as gemme_mod
+    from proteingym_tpu.models import vespag as vespag_mod
+    from proteingym_tpu.models.protssn import esm_embeddings
+    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+
+    msa = ctx.load_msa()
+    teacher = gemme_mod.fit_gemme(msa.matrix, msa.weights)
+    esm_params, esm_config = load_esm_checkpoint(
+        ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
+    )
+    wt = msa.focus_seq_trimmed.upper()
+    emb = np.asarray(esm_embeddings(esm_params, esm_config, wt))
+    config = vespag_mod.VespagConfig(embed_dim=esm_config.embed_dim)
+    params = vespag_mod.init_params(jax.random.PRNGKey(0), config)
+    params = vespag_mod.train_from_teacher(
+        params, emb, teacher.combined(),
+        steps=int(ctx.extra.get("train_steps", 200)),
+    )
+    scores = _score_focus_model(
+        ctx, msa,
+        lambda wt_seq, remapped: vespag_mod.score_mutants(
+            params, emb, wt_seq, remapped
+        ),
+        ctx.dms_frame["mutant"].tolist(),
+    )
+    return _with_column(ctx, "VespaG_score", scores)
+
+
+@register_scorer("ohe_ridge")
+def score_ohe_ridge(ctx: ScoreContext) -> pd.DataFrame:
+    """Supervised OHE ridge: writes per-CV-scheme out-of-fold predictions
+    (the ProteinNPT-repo baseline, SURVEY.md §2.2 supervised note)."""
+    from proteingym_tpu.models.supervised_baselines import (
+        run_supervised_baseline,
+    )
+
+    results = run_supervised_baseline(
+        ctx.dms_frame, ctx.record.target_seq,
+        lam=float(ctx.extra.get("lam", 1.0)),
+    )
+    # flatten: one column per scheme appended to the assay frame
+    out = ctx.dms_frame.copy()
+    for scheme, frame in results.items():
+        out[f"OHE_ridge_{scheme}"] = frame["y_pred"].to_numpy()
+    return out
+
+
+@register_scorer("kermut")
+def score_kermut(ctx: ScoreContext) -> pd.DataFrame:
+    """Kermut GP out-of-fold predictions (ref kermut/proteingym_benchmark.py).
+    Requires a structure for the distance/conditional-prob kernel terms."""
+    import jax
+
+    from proteingym_tpu.models import kermut as kermut_mod
+    from proteingym_tpu.models import protein_mpnn as mpnn
+    from proteingym_tpu.models.supervised_baselines import assign_folds
+
+    coords = _load_structure(ctx)
+    mpnn_config = mpnn.MpnnConfig(
+        name="kermut_probs", hidden_dim=64, edge_features=64, k_neighbors=16
+    )
+    mpnn_params = mpnn.init_params(jax.random.PRNGKey(0), mpnn_config)
+    probs = kermut_mod.conditional_probs_from_mpnn(
+        mpnn_params, mpnn_config, coords, ctx.record.target_seq,
+        n_orders=int(ctx.extra.get("n_orders", 2)),
+    )
+    data = kermut_mod.KermutData.build(probs, coords[:, 1])
+    mutants = ctx.dms_frame["mutant"].tolist()
+    enc = kermut_mod.encode_variants(mutants)
+    y = ctx.dms_frame["DMS_score"].to_numpy(np.float64)
+    out = ctx.dms_frame.copy()
+    for scheme in ("fold_random_5", "fold_modulo_5", "fold_contiguous_5"):
+        folds = (
+            ctx.dms_frame[scheme].to_numpy()
+            if scheme in ctx.dms_frame
+            else assign_folds(mutants, scheme)
+        )
+        preds = np.zeros(len(y))
+        for fold in np.unique(folds):
+            test = folds == fold
+            train = tuple(t[~test] for t in enc)
+            test_enc = tuple(t[test] for t in enc)
+            hypers = kermut_mod.fit(
+                data, train, y[~test],
+                steps=int(ctx.extra.get("gp_steps", 50)),
+            )
+            preds[test] = kermut_mod.predict(
+                hypers, data, train, y[~test], test_enc
+            )
+        out[f"kermut_{scheme}"] = preds
+    return out
