@@ -191,6 +191,55 @@ def eve_log_prior(
     return prior
 
 
+def update_msa_prior_indel(
+    msa_log_prior: np.ndarray,
+    msa_start: int,
+    msa_end: int,
+    reference_region: str,
+    mutated_sequence: str,
+):
+    """Re-align an indel-mutated sequence to the MSA coordinate system and
+    rebuild the prior rows (the Clustal Omega role,
+    ref tranception/utils/msa_utils.py:141-192, via the native Gotoh
+    aligner):
+      - deletion (query gap at a reference column): drop the prior row
+      - insertion (reference gap at a query column): insert an all-ZERO
+        log-prior row (detected by the fusion kernel -> AR-only there)
+
+    Returns (new_log_prior (full query frame), new_msa_start, new_msa_end).
+    ``reference_region`` is the WT sequence over [msa_start, msa_end).
+    """
+    from proteingym_tpu import native
+
+    codes = {c: i + 1 for i, c in enumerate(_AA_ORDER)}
+
+    def enc(s):
+        return np.asarray([codes.get(c.upper(), 0) for c in s], np.int8)
+
+    region = msa_log_prior[msa_start:msa_end]
+    query_part = mutated_sequence[msa_start:] if msa_start else mutated_sequence
+    a = enc(reference_region)
+    b = enc(query_part)
+    _, a_cols, b_cols = native.affine_align(a, b)
+
+    vocab = msa_log_prior.shape[1]
+    col_to_ref = {int(c): i for i, c in enumerate(a_cols) if c >= 0}
+    rows = []
+    for qi, col in enumerate(b_cols):
+        if col < 0:
+            continue  # query residue consumed inside a reference gap run? no: b_cols always set
+        if col in col_to_ref:
+            rows.append(region[col_to_ref[col]])
+        else:
+            rows.append(np.zeros(vocab))  # insertion: AR-only row
+    new_region = np.stack(rows) if rows else np.zeros((0, vocab))
+    new_end = msa_start + len(new_region)
+    out = np.zeros((msa_start + len(query_part), vocab))
+    out[:msa_start] = msa_log_prior[:msa_start]
+    out[msa_start:new_end] = new_region
+    return out[: new_end], msa_start, new_end
+
+
 # ---------------------------------------------------------------------------
 # Depth-based aggregation weights (ref trancepteve/model_pytorch.py:722-763)
 # ---------------------------------------------------------------------------
@@ -304,6 +353,11 @@ def make_fusion(
         msa_rows = msa_lp[pos_c]  # (B, T, V)
 
         aa_cols = (jnp.arange(vocab) >= n_special)[None, None, :]
+        # indel realignment inserts all-zero log-prior rows for inserted
+        # positions; those fall back to pure AR predictions
+        # (ref tranception model_pytorch.py:834-838)
+        live = jnp.any(msa_rows != 0.0, axis=-1, keepdims=True)
+        mask = mask & live
         mixed = (1.0 - alpha) * shift_logps + alpha * msa_rows
         if eve_lp is not None:
             eve_rows = eve_lp[pos_c]
