@@ -239,6 +239,87 @@ def cmd_evaluate_clinical(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Train an alignment model (EVE VAE / Potts PLM) and checkpoint it
+    (the reference's training_EVE_models.sh role, ref train_VAE.py)."""
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.pipeline.scorers import ScoreContext
+
+    reference = load_reference(args.dms_reference)
+    rec = (
+        reference[args.dms_id]
+        if args.dms_id
+        else reference[args.dms_index or 0]
+    )
+    ctx = ScoreContext(
+        record=rec,
+        dms_frame=pd.DataFrame(),
+        msa_dir=Path(args.msa_dir),
+        weights_dir=Path(args.weights_dir) if args.weights_dir else None,
+    )
+    msa = ctx.load_msa()
+    out_dir = Path(args.output_dir) / f"{args.model}_{rec.DMS_id}_seed{args.seed}"
+
+    if args.model == "eve":
+        import jax
+
+        from proteingym_tpu.models import eve as eve_mod
+        from proteingym_tpu.pipeline.checkpoints import save_pytree
+
+        cfg = eve_mod.EveConfig(seq_len=msa.seq_len)
+        params = eve_mod.train(
+            msa.one_hot(), msa.weights, cfg,
+            steps=args.steps, seed=args.seed,
+        )
+        save_pytree(params, out_dir)
+        print(f"EVE checkpoint -> {out_dir}")
+    elif args.model == "potts":
+        from proteingym_tpu.models.potts import train_potts_plm, write_plmc_model
+
+        model = train_potts_plm(
+            msa.matrix, msa.weights, "-ACDEFGHIKLMNPQRSTVWY",
+            np.asarray(msa.focus_cols) + (rec.MSA_start or 1),
+            msa.focus_seq_trimmed, steps=args.steps,
+        )
+        out_dir.parent.mkdir(parents=True, exist_ok=True)
+        write_plmc_model(model, str(out_dir) + ".model")
+        print(f"Potts model -> {out_dir}.model")
+    else:
+        print(f"Unknown trainable model {args.model}")
+        return 2
+    return 0
+
+
+def cmd_supervised_score(args) -> int:
+    """Run a native supervised baseline over assays, writing the
+    scores_root/<cv_scheme>/<location>/<DMS_id>.csv layout that
+    merge-supervised consumes."""
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.models.supervised_baselines import (
+        run_supervised_baseline,
+    )
+
+    reference = load_reference(args.dms_reference)
+    records = (
+        [reference[args.dms_id]] if args.dms_id else list(reference)
+    )
+    out_root = Path(args.output_dir)
+    for rec in records:
+        dms_path = Path(args.dms_dir) / (rec.DMS_filename or f"{rec.DMS_id}.csv")
+        if not dms_path.exists():
+            print(f"missing {dms_path}; skipping")
+            continue
+        frame = pd.read_csv(dms_path)
+        results = run_supervised_baseline(
+            frame, rec.target_seq, model=args.model, lam=args.lam,
+        )
+        for scheme, preds in results.items():
+            d = out_root / scheme / args.model.lower()
+            d.mkdir(parents=True, exist_ok=True)
+            preds.to_csv(d / f"{rec.DMS_id}.csv", index=False)
+    return 0
+
+
 def cmd_weights(args) -> int:
     from proteingym_tpu.msa.parser import load_msa
     from proteingym_tpu.msa.weights import sequence_weights
@@ -347,6 +428,28 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--theta", type=float, default=0.2)
     w.add_argument("--output", required=True)
     w.set_defaults(fn=cmd_weights)
+
+    tr = sub.add_parser("train", help="train an alignment model (eve/potts)")
+    tr.add_argument("--model", required=True, choices=["eve", "potts"])
+    tr.add_argument("--dms-reference", required=True)
+    tr.add_argument("--dms-id", default=None)
+    tr.add_argument("--dms-index", type=int, default=None)
+    tr.add_argument("--msa-dir", required=True)
+    tr.add_argument("--weights-dir", default=None)
+    tr.add_argument("--output-dir", required=True)
+    tr.add_argument("--steps", type=int, default=400_000)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.set_defaults(fn=cmd_train)
+
+    ss = sub.add_parser("supervised-score",
+                        help="native supervised baselines (per CV scheme)")
+    ss.add_argument("--model", default="OHE_ridge")
+    ss.add_argument("--dms-reference", required=True)
+    ss.add_argument("--dms-dir", required=True)
+    ss.add_argument("--dms-id", default=None)
+    ss.add_argument("--output-dir", required=True)
+    ss.add_argument("--lam", type=float, default=1.0)
+    ss.set_defaults(fn=cmd_supervised_score)
 
     lm = sub.add_parser("models", help="list available scorers")
     lm.set_defaults(fn=cmd_models)
