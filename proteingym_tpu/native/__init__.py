@@ -170,3 +170,42 @@ def affine_align(
     raise RuntimeError(
         "affine_align requires the native library (no NumPy fallback)"
     )
+
+
+def hmm_forward(
+    tokens: np.ndarray,
+    log_e_match: np.ndarray,
+    log_bg: np.ndarray,
+    log_a: dict,
+    insert_open: float = 0.01,
+    insert_extend: float = 0.4,
+) -> Optional[np.ndarray]:
+    """Batched profile-HMM forward log-odds on the host (C++/OpenMP),
+    mirroring models/hmm.forward_logprob. Returns None when the native
+    library is unavailable (callers fall back to the JAX path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_hmm_declared"):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.pgym_hmm_forward.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double, f64p,
+        ]
+        lib.pgym_hmm_forward.restype = None
+        lib._hmm_declared = True
+    tokens = np.ascontiguousarray(tokens, np.int32)
+    n, t = tokens.shape
+    L = log_e_match.shape[0]
+    out = np.zeros(n, np.float64)
+    args = [np.ascontiguousarray(log_a[k], np.float64)
+            for k in ("MM", "MI", "MD", "IM", "II", "DM", "DD")]
+    lib.pgym_hmm_forward(
+        tokens, n, t,
+        np.ascontiguousarray(log_e_match, np.float64),
+        np.ascontiguousarray(log_bg, np.float64),
+        *args, L, insert_open, insert_extend, out,
+    )
+    return out

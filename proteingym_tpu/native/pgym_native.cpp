@@ -202,3 +202,72 @@ int64_t pgym_affine_align(const int8_t* a, int64_t la, const int8_t* b,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// profile-HMM forward (log-odds) — C++ host path
+// ---------------------------------------------------------------------------
+
+// Mirrors proteingym_tpu/models/hmm.py::forward_logprob (same state space:
+// BEGIN, I0, M/I/D_j), so the two paths are cross-checked in tests.
+// tokens: int32, -1 padded; log_e_match: (L, 20); log_bg: (20,);
+// log_a: 7 arrays (MM, MI, MD, IM, II, DM, DD) each length L.
+// Batched over n sequences with OpenMP.
+static inline double lse2(double a, double b) {
+    if (a < b) std::swap(a, b);
+    if (b <= -1e29) return a;
+    return a + std::log1p(std::exp(b - a));
+}
+
+extern "C" void pgym_hmm_forward(const int32_t* tokens, int64_t n, int64_t T,
+                      const double* log_e_match, const double* log_bg,
+                      const double* aMM, const double* aMI, const double* aMD,
+                      const double* aIM, const double* aII, const double* aDM,
+                      const double* aDD, int64_t L,
+                      double insert_open, double insert_extend,
+                      double* out) {
+    const double NEG = -1e30;
+    const double li_open = std::log(insert_open);
+    const double li_ext = std::log(insert_extend);
+    const double li_exit = std::log(1.0 - insert_extend);
+    const double b_d1 = aMD[0];
+    const double b_m1 =
+        std::log(std::max(1.0 - std::exp(b_d1) - insert_open, 1e-8));
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int64_t s = 0; s < n; ++s) {
+        std::vector<double> m(L, NEG), i(L, NEG), d(L, NEG);
+        std::vector<double> nm(L), ni(L), nd(L);
+        double begin = 0.0, ins0 = NEG;
+        d[0] = b_d1;
+        for (int64_t j = 1; j < L; ++j) d[j] = d[j - 1] + aDD[j - 1];
+
+        const int32_t* row = tokens + s * T;
+        for (int64_t t = 0; t < T; ++t) {
+            const int32_t tok = row[t];
+            if (tok < 0) break;
+            const double new_ins0 = lse2(begin + li_open, ins0 + li_ext);
+            for (int64_t j = 0; j < L; ++j) {
+                double entry;
+                if (j == 0) {
+                    entry = lse2(begin + b_m1, ins0 + li_exit);
+                } else {
+                    entry = lse2(lse2(m[j - 1] + aMM[j - 1],
+                                      i[j - 1] + aIM[j - 1]),
+                                 d[j - 1] + aDM[j - 1]);
+                }
+                nm[j] = log_e_match[j * 20 + tok] - log_bg[tok] + entry;
+                ni[j] = lse2(m[j] + aMI[j], i[j] + aII[j]);
+            }
+            nd[0] = NEG;
+            for (int64_t j = 1; j < L; ++j) {
+                nd[j] = lse2(nm[j - 1] + aMD[j - 1], nd[j - 1] + aDD[j - 1]);
+            }
+            begin = NEG;
+            ins0 = new_ins0;
+            m.swap(nm); i.swap(ni); d.swap(nd);
+        }
+        out[s] = lse2(lse2(m[L - 1], i[L - 1]), d[L - 1]);
+    }
+}

@@ -106,3 +106,24 @@ class TestAffineAlign:
         assert alen == 8
         gap_cols = sorted(set(range(8)) - set(cb.tolist()))
         assert gap_cols == [2, 3]  # contiguous
+
+
+class TestHmmForward:
+    def test_matches_jax_path(self):
+        from proteingym_tpu.models.hmm import (
+            AA_ORDER, build_profile_hmm, score_sequences,
+        )
+
+        rs = np.random.RandomState(7)
+        mat = rs.randint(1, 21, (40, 14)).astype(np.int8)
+        mat[rs.rand(40, 14) < 0.05] = 0
+        hmm = build_profile_hmm(mat)
+        idx = {a: i for i, a in enumerate(AA_ORDER)}
+        seqs = ["ACDEFGHIKLMNPQ", "ACDEFGHIKL", "WYWYWYWYWYWYWY"]
+        jax_scores = score_sequences(hmm, seqs)
+        T = max(len(s) for s in seqs)
+        toks = np.full((3, T), -1, np.int32)
+        for i, s in enumerate(seqs):
+            toks[i, : len(s)] = [idx[c] for c in s]
+        cpp = native.hmm_forward(toks, hmm.log_e_match, hmm.log_bg, hmm.log_a)
+        np.testing.assert_allclose(cpp, jax_scores, rtol=1e-5)
