@@ -456,3 +456,46 @@ def gpt2_apply(params, c: Gpt2Config, tokens: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(
         x, params["wte"].astype(x.dtype).T, preferred_element_type=jnp.float32
     )
+
+
+def rita_convert_torch_state_dict(state_dict, c: RitaConfig):
+    """HF RITA state_dict -> pytree (ref rita/rita_modeling.py module names:
+    transformer.layers.N.{self_attention.{q,k,v,out}_proj, attn_norm,
+    mlp.{0,2}, mlp_norm}, transformer.final_norm, lm_head)."""
+    def get(key):
+        v = state_dict[key]
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+            np.float32,
+        )
+
+    def dense(prefix):
+        return {"w": jnp.asarray(get(f"{prefix}.weight").T),
+                "b": jnp.asarray(get(f"{prefix}.bias"))}
+
+    def ln(prefix):
+        return {"g": jnp.asarray(get(f"{prefix}.weight")),
+                "b": jnp.asarray(get(f"{prefix}.bias"))}
+
+    pfx = "transformer." if any(k.startswith("transformer.") for k in state_dict) else ""
+    params = {
+        "embedding": jnp.asarray(get(f"{pfx}embedding.weight")),
+        "final_norm": ln(f"{pfx}final_norm"),
+        "lm_head": dense("lm_head"),
+        "layers": [],
+    }
+    for i in range(c.num_layers):
+        lp = f"{pfx}layers.{i}"
+        params["layers"].append(
+            {
+                "attn_norm": ln(f"{lp}.attn_norm"),
+                "q": dense(f"{lp}.self_attention.q_proj"),
+                "k": dense(f"{lp}.self_attention.k_proj"),
+                "v": dense(f"{lp}.self_attention.v_proj"),
+                "o": dense(f"{lp}.self_attention.out_proj"),
+                "mlp_norm": ln(f"{lp}.mlp_norm"),
+                "fc1": dense(f"{lp}.mlp.0"),
+                "fc2": dense(f"{lp}.mlp.2"),
+            }
+        )
+    return params

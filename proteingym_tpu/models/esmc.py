@@ -221,3 +221,52 @@ def score_assay(
     return score_mutants_from_table(
         table, mutants, sequence, alphabet=ALPHABET
     )
+
+
+def convert_torch_state_dict(state_dict, c: EsmcConfig):
+    """ESM-C / ESM3 sequence-track state_dict -> pytree (SDK module names:
+    transformer.blocks.N.attn.{layernorm_qkv.{0,1}, q_ln, k_ln, out_proj},
+    .ffn.{0,1,3}, transformer.norm, embed, sequence_head/lm_head)."""
+    def get(key):
+        v = state_dict[key]
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+            np.float32,
+        )
+
+    def maybe(key):
+        return key in state_dict
+
+    def ln(prefix, bias=True):
+        p = {"g": jnp.asarray(get(f"{prefix}.weight"))}
+        if bias and maybe(f"{prefix}.bias"):
+            p["b"] = jnp.asarray(get(f"{prefix}.bias"))
+        return p
+
+    params = {
+        "embed": jnp.asarray(get("embed.weight")),
+        "final_ln": ln("transformer.norm", bias=False),
+        "head": jnp.asarray(
+            get(
+                "sequence_head.0.weight"
+                if maybe("sequence_head.0.weight")
+                else "lm_head.weight"
+            ).T
+        ),
+        "layers": [],
+    }
+    for i in range(c.num_layers):
+        lp = f"transformer.blocks.{i}"
+        params["layers"].append(
+            {
+                "attn_ln": ln(f"{lp}.attn.layernorm_qkv.0"),
+                "qkv": jnp.asarray(get(f"{lp}.attn.layernorm_qkv.1.weight").T),
+                "q_ln": ln(f"{lp}.attn.q_ln", bias=False),
+                "k_ln": ln(f"{lp}.attn.k_ln", bias=False),
+                "out": jnp.asarray(get(f"{lp}.attn.out_proj.weight").T),
+                "ffn_ln": ln(f"{lp}.ffn.0"),
+                "ffn_in": jnp.asarray(get(f"{lp}.ffn.1.weight").T),
+                "ffn_out": jnp.asarray(get(f"{lp}.ffn.3.weight").T),
+            }
+        )
+    return params

@@ -344,3 +344,77 @@ def score_assay_poet(
         acc += score_queries(params, c, ctx, mutated_sequences,
                              batch_size=batch_size)
     return acc / n_context_samples
+
+
+def convert_torch_state_dict(state_dict, c: PoetConfig):
+    """PoET checkpoint -> pytree (ref poet/models/poet.py module names:
+    token_embed, decoder.layers.N.{self_attn, multihead_attn, linear1/2,
+    norm1/2/3}, norm, linear)."""
+    def get(key):
+        v = state_dict[key]
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+            np.float32,
+        )
+
+    def dense(prefix):
+        p = {"w": jnp.asarray(get(f"{prefix}.weight").T)}
+        bias_key = f"{prefix}.bias"
+        p["b"] = (
+            jnp.asarray(get(bias_key))
+            if bias_key in state_dict
+            else jnp.zeros(p["w"].shape[1], jnp.float32)
+        )
+        return p
+
+    def ln(prefix):
+        return {"g": jnp.asarray(get(f"{prefix}.weight")),
+                "b": jnp.asarray(get(f"{prefix}.bias"))}
+
+    def attn(prefix):
+        # fused in_proj or separate q/k/v projections depending on export
+        if f"{prefix}.in_proj_weight" in state_dict:
+            w = get(f"{prefix}.in_proj_weight")
+            qw, kw, vw = np.split(w, 3, axis=0)
+            bias = (
+                get(f"{prefix}.in_proj_bias")
+                if f"{prefix}.in_proj_bias" in state_dict
+                else np.zeros(w.shape[0], np.float32)
+            )
+            qb, kb, vb = np.split(bias, 3)
+            out = dense(f"{prefix}.out_proj")
+            return {
+                "q": {"w": jnp.asarray(qw.T), "b": jnp.asarray(qb)},
+                "k": {"w": jnp.asarray(kw.T), "b": jnp.asarray(kb)},
+                "v": {"w": jnp.asarray(vw.T), "b": jnp.asarray(vb)},
+                "o": out,
+            }
+        return {
+            "q": dense(f"{prefix}.q_proj"),
+            "k": dense(f"{prefix}.k_proj"),
+            "v": dense(f"{prefix}.v_proj"),
+            "o": dense(f"{prefix}.out_proj"),
+        }
+
+    params = {
+        "token_embed": jnp.asarray(get("token_embed.weight")),
+        "final_norm": (
+            ln("norm") if "norm.weight" in state_dict else None
+        ),
+        "head": dense("linear"),
+        "layers": [],
+    }
+    for i in range(c.num_layers):
+        lp = f"decoder.layers.{i}"
+        params["layers"].append(
+            {
+                "norm1": ln(f"{lp}.norm1"),
+                "norm2": ln(f"{lp}.norm2"),
+                "norm3": ln(f"{lp}.norm3"),
+                "self": attn(f"{lp}.self_attn"),
+                "multi": attn(f"{lp}.multihead_attn"),
+                "fc1": dense(f"{lp}.linear1"),
+                "fc2": dense(f"{lp}.linear2"),
+            }
+        )
+    return params
