@@ -1,0 +1,198 @@
+"""Golden artifact-contract tests against the published benchmark CSVs.
+
+The shipped leaderboards under /root/reference/benchmarks/ are the de
+facto integration fixtures (SURVEY.md §4). Without the downloadable
+merged-score archives we cannot regenerate the VALUES here, but the
+ARTIFACT CONTRACT — file names, column sets, column order, aggregation
+levels — is fully checkable, and any drift there breaks downstream
+consumers. Skipped when the reference tree is absent."""
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF = Path("/root/reference/benchmarks")
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="no reference tree")
+
+
+@pytest.fixture(scope="module")
+def produced(tmp_path_factory):
+    """Run our evaluate layer on a synthetic 3-assay benchmark."""
+    from proteingym_tpu.data.reference import ReferenceSet, load_reference
+    from proteingym_tpu.data.registry import registry_from_dict
+    from proteingym_tpu.metrics.aggregate import evaluate_benchmark
+
+    root = tmp_path_factory.mktemp("golden")
+    rs = np.random.RandomState(0)
+    rows, merged = [], {}
+    for k in range(3):
+        dms_id = f"G{k}_Test_2026"
+        n = 40
+        y = rs.normal(size=n)
+        merged[dms_id] = pd.DataFrame(
+            {
+                "mutant": [f"A{i + 1}G" for i in range(n)],
+                "DMS_score": y,
+                "DMS_score_bin": (y > 0).astype(int),
+                "ModelA": y + rs.normal(0, 0.5, n),
+                "ModelB": rs.normal(size=n),
+            }
+        )
+        rows.append(
+            {
+                "DMS_id": dms_id, "DMS_filename": f"{dms_id}.csv",
+                "UniProt_ID": f"U{k}", "target_seq": "A" * 50, "seq_len": 50,
+                "taxon": ["Human", "Virus", "Prokaryote"][k],
+                "coarse_selection_type": ["Activity", "Binding", "Stability"][k],
+                "MSA_Neff_L_category": ["Low", "Medium", "High"][k],
+            }
+        )
+    frame = pd.DataFrame(rows)
+    ref_csv = root / "ref.csv"
+    frame.to_csv(ref_csv, index=False)
+    reference = load_reference(ref_csv)
+    registry = registry_from_dict(
+        {
+            "ModelA": {"input_score_name": "ModelA", "model_type": "MSA"},
+            "ModelB": {"input_score_name": "ModelB", "model_type": "Other"},
+        }
+    )
+    out = root / "bench"
+    evaluate_benchmark(
+        reference, registry, lambda d: merged.get(d), out,
+        bootstrap_samples=20, write_html=True,
+    )
+    return out
+
+
+def test_summary_columns_match_published(produced):
+    ours = pd.read_csv(
+        produced / "Spearman"
+        / "Summary_performance_DMS_substitutions_Spearman.csv"
+    )
+    published = pd.read_csv(
+        REF / "DMS_zero_shot/substitutions/Spearman"
+        / "Summary_performance_DMS_substitutions_Spearman.csv"
+    )
+    assert list(ours.columns) == list(published.columns)
+
+
+def test_all_metric_dirs_and_files_exist(produced):
+    published_root = REF / "DMS_zero_shot/substitutions"
+    for metric in ["Spearman", "AUC", "MCC", "NDCG", "Top_recall"]:
+        assert (published_root / metric).is_dir()  # contract source
+        ours = produced / metric
+        assert (
+            ours / f"Summary_performance_DMS_substitutions_{metric}.csv"
+        ).exists()
+        assert (
+            ours / f"DMS_substitutions_{metric}_DMS_level.csv"
+        ).exists()
+        assert (
+            ours / f"DMS_substitutions_{metric}_Uniprot_level.csv"
+        ).exists()
+        assert (
+            ours / f"DMS_substitutions_{metric}_Uniprot_Selection_Type_level.csv"
+        ).exists()
+        # html artifacts too (ref emits .html siblings)
+        assert (
+            ours / f"Summary_performance_DMS_substitutions_{metric}.html"
+        ).exists()
+
+
+def test_dms_level_schema_matches(produced):
+    ours = pd.read_csv(
+        produced / "Spearman" / "DMS_substitutions_Spearman_DMS_level.csv"
+    )
+    published = pd.read_csv(
+        REF / "DMS_zero_shot/substitutions/Spearman"
+        / "DMS_substitutions_Spearman_DMS_level.csv"
+    )
+    assert ours.columns[0] == published.columns[0] == "DMS ID"
+    # 3-decimal rounding (ref performance_DMS_benchmarks.py:275)
+    vals = ours.select_dtypes(include=[np.number]).to_numpy(dtype=np.float64)
+    np.testing.assert_allclose(vals, np.round(vals, 3))
+
+
+def test_supervised_summary_columns_match_published(tmp_path):
+    published = pd.read_csv(
+        REF / "DMS_supervised/substitutions/Spearman"
+        / "Summary_performance_DMS_substitutions_Spearman.csv"
+    )
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.metrics.supervised import evaluate_supervised
+
+    rs = np.random.RandomState(1)
+    rows, long_rows = [], []
+    for k in range(2):
+        dms_id = f"S{k}_Test_2026"
+        rows.append(
+            {
+                "DMS_id": dms_id, "DMS_filename": f"{dms_id}.csv",
+                "UniProt_ID": f"U{k}", "target_seq": "A" * 30, "seq_len": 30,
+                "taxon": ["Human", "Virus"][k],
+                "coarse_selection_type": ["Activity", "Stability"][k],
+                "MSA_Neff_L_category": ["Low", "High"][k],
+            }
+        )
+        for model in ["M1", "M2"]:
+            for cv in ["fold_random_5", "fold_modulo_5", "fold_contiguous_5"]:
+                long_rows.append(
+                    {
+                        "DMS_id": dms_id, "model_name": model,
+                        "fold_variable_name": cv,
+                        "Spearman": rs.rand(), "MSE": rs.rand(),
+                    }
+                )
+    ref_csv = tmp_path / "r.csv"
+    pd.DataFrame(rows).to_csv(ref_csv, index=False)
+    summaries = evaluate_supervised(
+        pd.DataFrame(long_rows), load_reference(ref_csv), tmp_path / "out",
+        bootstrap_samples=10,
+    )
+    ours = pd.read_csv(
+        tmp_path / "out/Spearman"
+        / "Summary_performance_DMS_substitutions_Spearman.csv"
+    )
+    assert list(ours.columns) == list(published.columns)
+
+
+def test_clinical_summary_columns_match_published(tmp_path):
+    published_cols = pd.read_csv(
+        REF / "clinical_zero_shot/substitutions/AUC"
+        / "Summary_performance_clinical_substitutions_AUC.csv"
+    ).columns
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.data.registry import registry_from_dict
+    from proteingym_tpu.metrics.clinical import evaluate_clinical
+
+    rs = np.random.RandomState(2)
+    pd.DataFrame(
+        [{"DMS_id": "NP_1.1", "target_seq": "A" * 20, "seq_len": 20,
+          "DMS_filename": "NP_1.1.csv", "UniProt_ID": "NP_1.1"}]
+    ).to_csv(tmp_path / "c.csv", index=False)
+    labels = rs.randint(0, 2, 50)
+    merged = pd.DataFrame(
+        {"mutant": [f"A{i + 1}G" for i in range(50)],
+         "DMS_bin_score": labels,
+         "M1": labels + rs.normal(0, 1, 50)}
+    )
+    evaluate_clinical(
+        load_reference(tmp_path / "c.csv"),
+        registry_from_dict({"M1": {"input_score_name": "M1",
+                                   "model_type": "MSA"}}),
+        lambda d: merged, tmp_path / "out", bootstrap_samples=10,
+    )
+    ours = pd.read_csv(
+        tmp_path / "out/AUC/Summary_performance_clinical_substitutions_AUC.csv"
+    )
+    # published file has a duplicated unnamed rank column artifact; compare
+    # the meaningful column set
+    want = [c for c in published_cols if not c.startswith("Model_rank")]
+    got = [c for c in ours.columns if not c.startswith("Model_rank")]
+    assert got == [c for c in want if c in got] or set(want) <= set(
+        list(ours.columns) + ["Model_rank"]
+    )
