@@ -137,3 +137,44 @@ class TestCarp:
         double = carp.score_assay(params, self.CFG, seq, ["A1C:A1C"],
                                   strategy="wt-marginals")
         np.testing.assert_allclose(single, double, rtol=1e-6)
+
+
+class TestS3f:
+    def test_multi_scale_fusion_scores(self):
+        from proteingym_tpu.models import s3f
+
+        rs = np.random.RandomState(9)
+        L = 12
+        cfg = s3f.S3fConfig(plm_dim=16, hidden_dim=16, num_layers=2,
+                            k_neighbors=4)
+        params = s3f.init_params(jax.random.PRNGKey(0), cfg)
+        emb = rs.randn(L, 16).astype(np.float32)
+        coords = synthetic_helix_backbone(L)
+        seq = "".join(AA[i] for i in rs.randint(0, 20, L))
+        muts = [f"{seq[2]}3{'A' if seq[2] != 'A' else 'C'}", "WT"]
+        s = s3f.score_mutants(params, cfg, emb, coords, seq, muts)
+        assert np.isfinite(s).all() and s[1] == 0.0
+        # S3F-MSA variant shifts scores
+        fam = [seq] * 3
+        s_msa = s3f.score_mutants(params, cfg, emb, coords, seq, muts,
+                                  msa_sequences=fam)
+        assert not np.allclose(s[0], s_msa[0])
+
+    def test_s2f_variant_ignores_surface(self):
+        import dataclasses as dc
+
+        from proteingym_tpu.models import s3f
+
+        rs = np.random.RandomState(10)
+        L = 10
+        cfg3 = s3f.S3fConfig(plm_dim=8, hidden_dim=8, num_layers=1,
+                             k_neighbors=3, use_surface=True)
+        cfg2 = dc.replace(cfg3, use_surface=False)
+        params = s3f.init_params(jax.random.PRNGKey(1), cfg3)
+        emb = rs.randn(L, 8).astype(np.float32)
+        coords = synthetic_helix_backbone(L)
+        seq = "".join(AA[i] for i in rs.randint(0, 20, L))
+        muts = [f"{seq[1]}2{'A' if seq[1] != 'A' else 'C'}"]
+        a = s3f.score_mutants(params, cfg3, emb, coords, seq, muts)
+        b = s3f.score_mutants(params, cfg2, emb, coords, seq, muts)
+        assert not np.allclose(a, b)
