@@ -87,6 +87,7 @@ class EsmcConfig:
 
 
 PRESETS = {
+    "esmc_tiny": EsmcConfig("esmc_tiny", 2, 64, 4),
     "esmc_300m": EsmcConfig("esmc_300m", 30, 960, 15),
     "esmc_600m": EsmcConfig("esmc_600m", 36, 1152, 18),
     "esm3_open_1.4b_seq": EsmcConfig(

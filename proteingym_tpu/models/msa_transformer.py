@@ -55,7 +55,12 @@ class MsaTransformerConfig:
         return self.embed_dim // self.num_heads
 
 
-PRESETS = {"esm_msa1b_t12_100M": MsaTransformerConfig()}
+PRESETS = {
+    "esm_msa1b_t12_100M": MsaTransformerConfig(),
+    "msa_tiny": MsaTransformerConfig(
+        name="msa_tiny", num_layers=2, embed_dim=64, num_heads=4, ffn_dim=128,
+    ),
+}
 
 
 def init_params(rng: jax.Array, config: MsaTransformerConfig) -> Dict[str, Any]:

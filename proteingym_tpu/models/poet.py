@@ -66,6 +66,8 @@ class PoetAlphabet:
 
 ALPHABET = PoetAlphabet()
 
+POET_PRESETS = {}  # populated below PoetConfig
+
 
 @dataclasses.dataclass(frozen=True)
 class PoetConfig:
@@ -81,6 +83,12 @@ class PoetConfig:
     @property
     def head_dim(self):
         return self.hidden_dim // self.num_heads
+
+
+POET_PRESETS.update({
+    "poet_tiny": PoetConfig("poet_tiny", 2, 64, 4, 128),
+    "poet_200m": PoetConfig("poet_200m", 12, 1024, 16, 4096),
+})
 
 
 def init_params(rng: jax.Array, c: PoetConfig) -> Dict[str, Any]:

@@ -32,6 +32,7 @@ class XtrimoConfig(EsmcConfig):
 
 
 PRESETS = {
+    "xtrimopglm_tiny": XtrimoConfig("xtrimopglm_tiny", 2, 64, 4),
     "xtrimopglm_1b": XtrimoConfig("xtrimopglm_1b", 24, 2048, 16),
     "xtrimopglm_3b": XtrimoConfig("xtrimopglm_3b", 30, 2560, 20),
 }

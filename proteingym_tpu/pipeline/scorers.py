@@ -258,7 +258,13 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     msa = ctx.load_msa()
     cfg = eve_mod.EveConfig(
         seq_len=msa.seq_len,
-        **ctx.extra.get("eve_config", {}),
+        encoder_hidden=tuple(
+            int(x) for x in str(ctx.extra.get("encoder_hidden", "2000,1000,300")).split(",")
+        ),
+        decoder_hidden=tuple(
+            int(x) for x in str(ctx.extra.get("decoder_hidden", "300,1000,2000")).split(",")
+        ),
+        z_dim=int(ctx.extra.get("z_dim", 50)),
     )
     if ctx.checkpoint:
         from proteingym_tpu.pipeline.checkpoints import restore_pytree
@@ -499,7 +505,8 @@ def score_poet(ctx: ScoreContext) -> pd.DataFrame:
 
     from proteingym_tpu.models import poet
 
-    config = poet.PoetConfig()
+    config = poet.POET_PRESETS.get(ctx.checkpoint or "poet_200m",
+                                   poet.PoetConfig())
     params = poet.init_params(jax.random.PRNGKey(0), config)
     msa = ctx.load_msa()
     scores = poet.score_assay_poet(

@@ -73,7 +73,8 @@ def world(tmp_path_factory):
 
 
 FAST_EXTRA = {
-    "eve": ["train_steps=30", "num_samples=50"],
+    "eve": ["train_steps=30", "num_samples=50", "encoder_hidden=32",
+            "decoder_hidden=32", "z_dim=4"],
     "potts": ["plm_steps=30"],
     "evmutation": ["plm_steps=30"],
     "vespag": ["train_steps=30"],
@@ -110,7 +111,9 @@ def test_scorer_smoke(model, world):
         args += ["--extra", *extra]
     # tiny checkpoints for trunk-based scorers
     preset = {
-        "esm": "esm2_t6_8M", "carp": "carp_600k", "esmc": "esmc_300m",
+        "esm": "esm2_t6_8M", "carp": "carp_600k", "esmc": "esmc_tiny",
+        "esm3": "esmc_tiny", "xtrimopglm": "xtrimopglm_tiny",
+        "poet": "poet_tiny", "msa_transformer": "msa_tiny",
     }.get(model)
     if preset:
         args += ["--checkpoint", preset]
