@@ -56,8 +56,8 @@ class EsmIf1Config:
 
 
 def init_params(rng: jax.Array, c: EsmIf1Config) -> Dict[str, Any]:
-    keys = iter(jax.random.split(rng, 8 + 3 * c.num_gvp_layers
-                                 + 8 * c.dec_layers))
+    keys = iter(jax.random.split(rng, 6 + 2 * c.num_gvp_layers
+                                 + 10 * c.dec_layers))
 
     def dense(n_in, n_out):
         return {
