@@ -368,3 +368,25 @@ def score_kermut(ctx: ScoreContext) -> pd.DataFrame:
             )
         out[f"kermut_{scheme}"] = preds
     return out
+
+
+@register_scorer("prosst")
+def score_prosst(ctx: ScoreContext) -> pd.DataFrame:
+    """ProSST: masked LM over AA + quantized structure-token streams
+    (ref prosst/compute_fitness.py:15-120)."""
+    import jax
+
+    from proteingym_tpu.models import esm2
+    from proteingym_tpu.models.prosst import prosst_init, score_assay_prosst
+
+    coords = _load_structure(ctx)
+    config = esm2.PRESETS.get(ctx.extra.get("esm_checkpoint", "esm2_t6_8M"),
+                              esm2.PRESETS["esm2_t6_8M"])
+    k = int(ctx.extra.get("k_structure", 2048))
+    params = prosst_init(jax.random.PRNGKey(0), config, k_structure=k)
+    scores = score_assay_prosst(
+        params, config, coords, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(), k_structure=k,
+        chunk=ctx.batch_size,
+    )
+    return _with_column(ctx, f"ProSST_{k}_score", scores)

@@ -106,3 +106,33 @@ class TestSaProt:
             saprot.score_assay_saprot(
                 self.params, self.CFG, "AAAAAA", coords, ["C1G"]
             )
+
+
+class TestProsst:
+    def test_k_state_quantizer_and_scoring(self):
+        import dataclasses
+
+        from proteingym_tpu.models import esm2
+        from proteingym_tpu.models import prosst
+
+        rs = np.random.RandomState(11)
+        L = 12
+        coords = synthetic_helix_backbone(L)
+        toks = prosst.structure_token_ids(coords, k_structure=8)
+        assert toks.shape == (L,)
+        assert toks.max() < 8
+        cfg = dataclasses.replace(
+            esm2.EsmConfig("tiny", 2, 64, 4, dtype=jnp.float32)
+        )
+        params = prosst.prosst_init(jax.random.PRNGKey(0), cfg, k_structure=8)
+        seq = "".join(AA[i] for i in rs.randint(0, 20, L))
+        muts = [f"{seq[3]}4{'A' if seq[3] != 'A' else 'C'}"]
+        s = prosst.score_assay_prosst(params, cfg, coords, seq, muts,
+                                      k_structure=8, chunk=4)
+        assert np.isfinite(s).all()
+        # different structure tokens change the score
+        alt = (toks + 1) % 8
+        s2 = prosst.score_assay_prosst(params, cfg, coords, seq, muts,
+                                       k_structure=8, struct_tokens=alt,
+                                       chunk=4)
+        assert not np.allclose(s, s2)
