@@ -15,9 +15,17 @@ scoring.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}", file=sys.stderr)
+
+
+_T0 = time.perf_counter()
 
 
 def main():
@@ -37,9 +45,13 @@ def main():
 
         config = EsmConfig(name="esm2_smoke", num_layers=4, embed_dim=256, num_heads=8)
 
+    _log(f"backend={backend} model={config.name}")
     rng = jax.random.PRNGKey(0)
-    params = init_params(rng, config)
-    params = jax.device_put(params)
+    # jitted init: ONE device program instead of thousands of small eager
+    # dispatches (the tunnel's per-op latency dominates otherwise)
+    params = jax.jit(lambda k: init_params(k, config))(rng)
+    jax.block_until_ready(params)
+    _log("params initialized on device")
 
     seq_len = 250
     chunk = 32 if backend != "cpu" else 8
@@ -50,18 +62,23 @@ def main():
         f"{seq[p]}{p + 1}{m}" for p in range(seq_len) for m in aa if m != seq[p]
     ]
 
-    logits_fn = jax.jit(lambda toks: apply(params, config, toks))
+    def logits_fn(p, toks):
+        return apply(p, config, toks)
+
     tokens = ALPHABET.tokenize(seq)
 
     def run():
-        table = masked_marginal_table(logits_fn, tokens, chunk=chunk)
+        table = masked_marginal_table(
+            logits_fn, tokens, chunk=chunk, params=params
+        )
         scores = score_mutants_from_table(table, mutants, seq)
         return scores
 
     # warmup/compile
     run()
+    _log("warmup/compile done")
     t0 = time.perf_counter()
-    n_iters = 3
+    n_iters = 2
     for _ in range(n_iters):
         scores = run()
     dt = (time.perf_counter() - t0) / n_iters

@@ -94,6 +94,7 @@ class EsmConfig:
     use_rotary: bool = True  # ESM2; False -> learned positions (ESM-1b/1v)
     emb_layer_norm_before: bool = False  # ESM-1b only
     max_positions: int = 1024  # for learned positional embeddings
+    remat: bool = False  # rematerialize each layer (training memory)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -279,8 +280,7 @@ def apply(
 
     x = jnp.where(padding_mask[..., None], 0.0, x)
 
-    reps = {}
-    for i, layer in enumerate(params["layers"]):
+    def layer_fn(x, layer):
         residual = x
         y = _layer_norm(x, layer["attn_ln"])
         y = _attention(y, layer, config, any_padding)
@@ -289,7 +289,15 @@ def apply(
         y = _layer_norm(x, layer["ffn_ln"])
         y = _gelu(_dense(y, layer["fc1"]))
         y = _dense(y, layer["fc2"])
-        x = residual + y
+        return residual + y
+
+    if config.remat:
+        # trade FLOPs for HBM during training (jax.checkpoint per layer)
+        layer_fn = jax.checkpoint(layer_fn)
+
+    reps = {}
+    for i, layer in enumerate(params["layers"]):
+        x = layer_fn(x, layer)
         if return_representations:
             reps[i + 1] = x
 

@@ -123,6 +123,7 @@ def masked_marginal_table(
     chunk: int = 32,
     window: int = 1024,
     scoring_window: str = "optimal",
+    params=None,
 ) -> jnp.ndarray:
     """(T, V) log-prob table where row i comes from a forward with position i
     masked — the reference's L-forward hot loop (:489-504) batched.
@@ -163,17 +164,34 @@ def masked_marginal_table(
     offsets = offsets.reshape(n_pad // chunk, chunk)
 
     # one jitted step reused across chunks (a lax.map here would inline the
-    # full model into a scan body and recompile it — minutes for 650M)
-    @jax.jit
-    def step(toks, offs):
-        logits = logits_fn(toks)  # (chunk, eff_len, V)
-        logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return logps[jnp.arange(chunk), offs]  # (chunk, V)
+    # full model into a scan body and recompile it — minutes for 650M).
+    # When ``params`` is given, logits_fn is (params, tokens) -> logits and
+    # the weights flow through as a jit ARGUMENT — closing over them would
+    # bake GBs of constants into the executable (slow compile, 2x HBM).
+    if params is not None:
 
-    parts = [
-        step(jnp.asarray(rows[i]), jnp.asarray(offsets[i]))
-        for i in range(rows.shape[0])
-    ]
+        @jax.jit
+        def step(p, toks, offs):
+            logits = logits_fn(p, toks)
+            logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return logps[jnp.arange(chunk), offs]
+
+        parts = [
+            step(params, jnp.asarray(rows[i]), jnp.asarray(offsets[i]))
+            for i in range(rows.shape[0])
+        ]
+    else:
+
+        @jax.jit
+        def step(toks, offs):
+            logits = logits_fn(toks)  # (chunk, eff_len, V)
+            logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return logps[jnp.arange(chunk), offs]  # (chunk, V)
+
+        parts = [
+            step(jnp.asarray(rows[i]), jnp.asarray(offsets[i]))
+            for i in range(rows.shape[0])
+        ]
     table = jnp.concatenate(parts, axis=0)
     return table[:total]
 
