@@ -92,3 +92,29 @@ def shard_params(params, shardings):
     return jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, s), params, shardings
     )
+
+
+def generic_tp_sharding(params, mesh: Mesh, min_size: int = 1 << 16):
+    """Heuristic tensor-parallel shardings for any params pytree.
+
+    2-D+ weight matrices above ``min_size`` elements shard their LARGEST
+    axis over the "model" mesh axis (when divisible); everything else is
+    replicated. This covers the AR zoo / Tranception / ESM-C trunks without
+    per-model spec tables — the sharded dims are exactly the ffn/vocab/head
+    fan-outs where TP pays (scaling-book recipe: shard the big matmul dim,
+    let XLA insert the all-reduces).
+    """
+    tp = mesh.shape.get("model", 1)
+
+    def spec_for(x):
+        shape = getattr(x, "shape", ())
+        if tp <= 1 or len(shape) < 2 or int(np.prod(shape)) < min_size:
+            return NamedSharding(mesh, P())
+        axis = int(np.argmax(shape))
+        if shape[axis] % tp != 0:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[axis] = "model"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(spec_for, params)
