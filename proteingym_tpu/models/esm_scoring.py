@@ -275,8 +275,14 @@ def score_assay(
     chunk: int = 32,
     window: int = 1024,
     scoring_window: str = "optimal",
+    params=None,
+    apply_fn=None,
 ) -> np.ndarray:
-    """Score all mutants of one assay with the requested strategy."""
+    """Score all mutants of one assay with the requested strategy.
+
+    Pass ``params`` + ``apply_fn(params, tokens)`` so weights flow as jit
+    arguments on the masked-marginal path (avoids baking GBs of closure
+    constants into the executable)."""
     tokens = alphabet.tokenize(sequence)
     if strategy == "wt-marginals":
         if tokens.shape[0] > window and scoring_window == "overlapping":
@@ -285,12 +291,13 @@ def score_assay(
             table = wt_marginal_table(logits_fn, tokens)
     elif strategy == "masked-marginals":
         table = masked_marginal_table(
-            logits_fn,
+            apply_fn if params is not None else logits_fn,
             tokens,
             mask_idx=alphabet.mask_idx,
             chunk=chunk,
             window=window,
             scoring_window=scoring_window,
+            params=params,
         )
     elif strategy == "pseudo-ppl":
         wt_ppl = pseudo_ppl(logits_fn, sequence, alphabet, chunk=chunk)

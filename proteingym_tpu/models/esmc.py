@@ -208,16 +208,14 @@ def score_assay(
         masked_marginal_table, score_mutants_from_table, wt_marginal_table,
     )
 
-    def logits_fn(toks):
-        return apply(params, c, toks)
-
     tokens = ALPHABET.tokenize(sequence)
     if strategy == "wt-marginals":
-        table = wt_marginal_table(logits_fn, tokens)
+        table = wt_marginal_table(lambda toks: apply(params, c, toks), tokens)
     else:
         table = masked_marginal_table(
-            logits_fn, tokens, mask_idx=ALPHABET.mask_idx, chunk=chunk,
-            window=window,
+            lambda p, toks: apply(p, c, toks), tokens,
+            mask_idx=ALPHABET.mask_idx, chunk=chunk, window=window,
+            params=params,
         )
     return score_mutants_from_table(
         table, mutants, sequence, alphabet=ALPHABET

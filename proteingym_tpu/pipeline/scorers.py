@@ -339,16 +339,15 @@ def score_esm(ctx: ScoreContext) -> pd.DataFrame:
 
     params, config = load_esm_checkpoint(ctx.checkpoint)
 
-    def logits_fn(tokens):
-        return esm_mod.apply(params, config, tokens)
-
     scores = score_assay(
-        logits_fn,
+        lambda tokens: esm_mod.apply(params, config, tokens),
         ctx.record.target_seq,
         ctx.dms_frame["mutant"].tolist(),
         strategy=ctx.extra.get("scoring_strategy", "masked-marginals"),
         chunk=ctx.batch_size,
         window=config.max_positions,
+        params=params,
+        apply_fn=lambda p, tokens: esm_mod.apply(p, config, tokens),
     )
     out = ctx.dms_frame.copy()
     out[f"{config.name}_score"] = np.asarray(scores)
