@@ -1,57 +1,77 @@
-"""Benchmark: ESM2-650M masked-marginal scoring throughput on one TPU chip.
+"""Benchmark: ESM2 masked-marginal scoring throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 The reference publishes no throughput numbers (BASELINE.md: accuracy
-leaderboards only), so vs_baseline is measured against the north-star target
-of 5000 mutants/sec/chip for ESM2-650M masked-marginal scoring (SURVEY.md §6).
+leaderboards only), so vs_baseline is measured against the north-star
+target of 5000 mutants/sec/chip for ESM2-650M masked-marginal scoring
+(SURVEY.md §6; smaller presets scale the target by parameter ratio).
 
-Method: a real-size ESM2-650M (random weights — throughput is architecture-
-bound), one assay of length 250 (median-ish for ProteinGym), masked-marginal
-table via chunked batched forwards, then score a full single-substitution
-DMS (L*19 mutants). Mutants/sec = mutants scored / wall time, where the
-dominant cost is the L-masked-forwards table build, exactly as in production
-scoring.
+Method: a real-size ESM2 (random weights — throughput is architecture
+bound), one assay of length 250 (median-ish for ProteinGym), the (L, V)
+masked-marginal table via chunked batched forwards with the weights flowing
+as jit ARGUMENTS (no multi-GB closure constants), then scoring of the full
+single-substitution DMS (L*19 mutants). Mutants/sec = mutants scored / wall
+time; the table build dominates, exactly as in production scoring.
+
+Robustness: the tunneled TPU in this environment occasionally stalls on
+very large compiles, so the measurement runs in a watchdogged subprocess
+and falls back 650M -> 150M -> 8M until one completes; the preset that ran
+is encoded in the metric name.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# per-preset north-star targets: 5000 mutants/s at 650M, scaled by rough
+# FLOP ratio for the fallbacks
+TARGETS = {
+    "esm2_t33_650M": 5000.0,
+    "esm2_t30_150M": 5000.0 * (650 / 150),
+    "esm2_t6_8M": 5000.0 * (650 / 8),
+    "esm2_smoke": 5000.0,
+}
+FALLBACKS = ["esm2_t33_650M", "esm2_t30_150M", "esm2_t6_8M"]
+PER_PRESET_TIMEOUT = float(os.environ.get("PGYM_BENCH_TIMEOUT", 420))
 
-def _log(msg):
-    print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}", file=sys.stderr)
 
-
-_T0 = time.perf_counter()
-
-
-def main():
+def measure(preset: str) -> dict:
+    """Run one preset in-process; called in the watchdogged subprocess."""
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
-    from proteingym_tpu.models.esm2 import ALPHABET, PRESETS, apply, init_params
+    from proteingym_tpu.models.esm2 import (
+        ALPHABET, PRESETS, EsmConfig, apply, init_params,
+    )
     from proteingym_tpu.models.esm_scoring import (
-        masked_marginal_table,
-        score_mutants_from_table,
+        masked_marginal_table, score_mutants_from_table,
     )
 
     backend = jax.default_backend()
-    config = PRESETS["esm2_t33_650M"]
-    if backend == "cpu":  # CI / smoke fallback
-        from proteingym_tpu.models.esm2 import EsmConfig
+    if backend == "cpu":
+        preset = "esm2_smoke"
+        config = EsmConfig(name="esm2_smoke", num_layers=4, embed_dim=256,
+                           num_heads=8)
+    else:
+        config = PRESETS[preset]
 
-        config = EsmConfig(name="esm2_smoke", num_layers=4, embed_dim=256, num_heads=8)
+    t_start = time.perf_counter()
 
-    _log(f"backend={backend} model={config.name}")
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - t_start:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    log(f"backend={backend} model={config.name}")
     rng = jax.random.PRNGKey(0)
-    # jitted init: ONE device program instead of thousands of small eager
-    # dispatches (the tunnel's per-op latency dominates otherwise)
+    # jitted init: ONE device program instead of thousands of eager dispatches
     params = jax.jit(lambda k: init_params(k, config))(rng)
     jax.block_until_ready(params)
-    _log("params initialized on device")
+    log("params initialized on device")
 
     seq_len = 250
     chunk = 32 if backend != "cpu" else 8
@@ -59,42 +79,64 @@ def main():
     rs = np.random.RandomState(0)
     seq = "".join(aa[i] for i in rs.randint(0, 20, seq_len))
     mutants = [
-        f"{seq[p]}{p + 1}{m}" for p in range(seq_len) for m in aa if m != seq[p]
+        f"{seq[p]}{p + 1}{m}" for p in range(seq_len) for m in aa
+        if m != seq[p]
     ]
-
-    def logits_fn(p, toks):
-        return apply(p, config, toks)
-
     tokens = ALPHABET.tokenize(seq)
 
     def run():
         table = masked_marginal_table(
-            logits_fn, tokens, chunk=chunk, params=params
+            lambda p, toks: apply(p, config, toks), tokens, chunk=chunk,
+            params=params,
         )
-        scores = score_mutants_from_table(table, mutants, seq)
-        return scores
+        return score_mutants_from_table(table, mutants, seq)
 
-    # warmup/compile
     run()
-    _log("warmup/compile done")
+    log("warmup/compile done")
     t0 = time.perf_counter()
     n_iters = 2
     for _ in range(n_iters):
-        scores = run()
+        scores = run()  # noqa: F841
     dt = (time.perf_counter() - t0) / n_iters
+    log(f"steady run: {dt:.2f}s for {len(mutants)} mutants")
 
     mutants_per_sec = len(mutants) / dt
-    target = 5000.0
-    print(
-        json.dumps(
-            {
-                "metric": f"esm2_{'650M' if backend != 'cpu' else 'smoke'}_masked_marginal_throughput",
-                "value": round(mutants_per_sec, 2),
-                "unit": "mutants/sec/chip",
-                "vs_baseline": round(mutants_per_sec / target, 4),
-            }
-        )
-    )
+    target = TARGETS[config.name]
+    return {
+        "metric": f"{config.name}_masked_marginal_throughput",
+        "value": round(mutants_per_sec, 2),
+        "unit": "mutants/sec/chip",
+        "vs_baseline": round(mutants_per_sec / target, 4),
+    }
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--inner":
+        print(json.dumps(measure(sys.argv[2])))
+        return
+
+    for preset in FALLBACKS:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__), "--inner",
+                 preset],
+                capture_output=True, text=True, timeout=PER_PRESET_TIMEOUT,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {preset} timed out; falling back", file=sys.stderr)
+            continue
+        if out.returncode == 0 and out.stdout.strip():
+            line = out.stdout.strip().splitlines()[-1]
+            try:
+                json.loads(line)
+            except json.JSONDecodeError:
+                print(out.stderr[-2000:], file=sys.stderr)
+                continue
+            print(line)
+            return
+        print(out.stderr[-2000:], file=sys.stderr)
+    # last resort: in-process smoke (always works on CPU)
+    print(json.dumps(measure("esm2_t6_8M")))
 
 
 if __name__ == "__main__":

@@ -101,7 +101,7 @@ def cmd_score(args) -> int:
             structure_dir=Path(args.structure_dir) if args.structure_dir else None,
             indel_mode=args.indel_mode,
             batch_size=args.batch_size,
-            extra=_parse_extra(args.extra),
+            extra={"_scorer_name": args.model, **_parse_extra(args.extra)},
         )
         try:
             with log.phase("score", task=task, n_mutants=len(dms_frame)):

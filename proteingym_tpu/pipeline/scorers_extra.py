@@ -370,6 +370,44 @@ def score_kermut(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
+@register_scorer("s2f")
+@register_scorer("s3f")
+@register_scorer("s3f_msa")
+def score_s3f(ctx: ScoreContext) -> pd.DataFrame:
+    """S2F/S3F/S3F-MSA multi-scale sequence-structure fusion
+    (ref S3F/compute_fitness.py:1-150)."""
+    import jax
+
+    from proteingym_tpu.models import s3f
+    from proteingym_tpu.models.protssn import esm_embeddings
+    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+
+    variant = ctx.extra.get("_scorer_name", "s3f")
+    coords = _load_structure(ctx)
+    esm_params, esm_config = load_esm_checkpoint(
+        ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
+    )
+    emb = np.asarray(esm_embeddings(esm_params, esm_config,
+                                    ctx.record.target_seq))
+    config = s3f.S3fConfig(plm_dim=esm_config.embed_dim,
+                           use_surface=variant != "s2f")
+    params = s3f.init_params(jax.random.PRNGKey(0), config)
+    msa_seqs = None
+    if variant == "s3f_msa":
+        msa = ctx.load_msa()
+        msa_seqs = msa.sequences()
+        # the alignment prior only composes when focus cols span the target
+        if msa_seqs and len(msa_seqs[0]) != len(ctx.record.target_seq):
+            msa_seqs = None
+    scores = s3f.score_mutants(
+        params, config, emb, coords, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(), msa_sequences=msa_seqs,
+    )
+    column = {"s2f": "S2F_score", "s3f": "S3F_score",
+              "s3f_msa": "S3F_MSA_score"}[variant]
+    return _with_column(ctx, column, scores)
+
+
 @register_scorer("prosst")
 def score_prosst(ctx: ScoreContext) -> pd.DataFrame:
     """ProSST: masked LM over AA + quantized structure-token streams
