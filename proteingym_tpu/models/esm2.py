@@ -20,6 +20,7 @@ All matmuls run in bf16 with f32 softmax/logits.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -318,6 +319,24 @@ def apply(
     if return_representations:
         return logits, reps
     return logits
+
+
+@functools.lru_cache(maxsize=32)
+def make_apply_fn(config: EsmConfig):
+    """STABLE (params, tokens) -> logits callable for ``config``.
+
+    The scoring harness caches its jitted wrappers per callable object
+    (esm_scoring._cached_jit); building a fresh lambda per assay or per
+    call would recompile the full model graph every time. This helper is
+    lru-cached on the (hashable, frozen) config so every caller with the
+    same config shares one callable — and therefore one compiled program
+    per input shape.
+    """
+
+    def apply_fn(params, tokens):
+        return apply(params, config, tokens)
+
+    return apply_fn
 
 
 # ---------------------------------------------------------------------------

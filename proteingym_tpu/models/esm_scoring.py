@@ -24,6 +24,7 @@ compiled steps with zero host round-trips.
 from __future__ import annotations
 
 import math
+import weakref
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -39,9 +40,54 @@ from proteingym_tpu.models.esm2 import ALPHABET, EsmAlphabet
 # WT marginals
 # ---------------------------------------------------------------------------
 
-def wt_marginal_table(logits_fn, tokens: np.ndarray) -> jnp.ndarray:
-    """Single unmasked forward -> (T, V) log-softmax table."""
-    logits = logits_fn(jnp.asarray(tokens)[None])
+# Jitted wrappers are cached per logits_fn OBJECT: re-wrapping with jax.jit
+# on every call would recompile the full model graph each time (~20s for
+# ESM2-650M) — the single biggest throughput bug a scoring loop can have.
+# Callers must therefore pass a STABLE callable (e.g. esm2.make_apply_fn)
+# rather than a fresh lambda per call.
+_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_jit(fn, kind: str):
+    per_fn = _STEP_CACHE.setdefault(fn, {})
+    if kind in per_fn:
+        return per_fn[kind]
+    if kind == "step_params":
+
+        @jax.jit
+        def wrapped(p, toks, offs):
+            logps = jax.nn.log_softmax(fn(p, toks).astype(jnp.float32), -1)
+            return logps[jnp.arange(toks.shape[0]), offs]
+
+    elif kind == "step":
+
+        @jax.jit
+        def wrapped(toks, offs):
+            logps = jax.nn.log_softmax(fn(toks).astype(jnp.float32), -1)
+            return logps[jnp.arange(toks.shape[0]), offs]
+
+    elif kind == "fwd_params":
+
+        @jax.jit
+        def wrapped(p, toks):
+            return fn(p, toks)
+
+    else:  # plain jitted forward
+        wrapped = jax.jit(fn)
+    per_fn[kind] = wrapped
+    return wrapped
+
+
+def wt_marginal_table(logits_fn, tokens: np.ndarray, params=None) -> jnp.ndarray:
+    """Single unmasked forward -> (T, V) log-softmax table.
+
+    With ``params``, logits_fn is (params, tokens) -> logits and weights
+    flow as a jit argument (no closure constants)."""
+    batch = jnp.asarray(tokens)[None]
+    if params is not None:
+        logits = _cached_jit(logits_fn, "fwd_params")(params, batch)
+    else:
+        logits = _cached_jit(logits_fn, "fwd")(batch)
     return jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
 
 
@@ -82,7 +128,8 @@ def overlapping_window_plan(total_len: int, window: int = 1024, step: int = 511)
 
 
 def wt_marginal_table_overlapping(
-    logits_fn, tokens: np.ndarray, window: int = 1024
+    logits_fn, tokens: np.ndarray, window: int = 1024, params=None,
+    apply_fn=None,
 ) -> jnp.ndarray:
     """Overlapping-window WT marginals for sequences longer than the context.
 
@@ -93,10 +140,15 @@ def wt_marginal_table_overlapping(
     tokens = np.asarray(tokens)
     total = tokens.shape[0]
     if total <= window:
+        if params is not None and apply_fn is not None:
+            return wt_marginal_table(apply_fn, tokens, params=params)
         return wt_marginal_table(logits_fn, tokens)
     starts = overlapping_window_plan(total, window=window)
     batch = np.stack([tokens[s : s + window] for s in starts])
-    logits = logits_fn(jnp.asarray(batch))
+    if params is not None and apply_fn is not None:
+        logits = _cached_jit(apply_fn, "fwd_params")(params, jnp.asarray(batch))
+    else:
+        logits = _cached_jit(logits_fn, "fwd")(jnp.asarray(batch))
     logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     w = jnp.asarray(esm_overlap_weights(window), dtype=jnp.float32)
     vocab = logps.shape[-1]
@@ -124,12 +176,20 @@ def masked_marginal_table(
     window: int = 1024,
     scoring_window: str = "optimal",
     params=None,
+    pad_to_multiple: Optional[int] = None,
+    pad_idx: Optional[int] = None,
 ) -> jnp.ndarray:
     """(T, V) log-prob table where row i comes from a forward with position i
     masked — the reference's L-forward hot loop (:489-504) batched.
 
     For sequences longer than ``window`` tokens, each masked position is
     scored inside its optimal window (same math as ref :492-495).
+
+    ``pad_to_multiple`` buckets the sequence length by right-padding rows
+    with ``pad_idx`` tokens, bounding XLA recompiles to one per
+    (bucket, chunk) across a whole benchmark run (SURVEY.md hard part #4);
+    pad positions are attention-masked so real-position log-probs are
+    unchanged.
     """
     mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
     tokens = np.asarray(tokens)
@@ -155,39 +215,37 @@ def masked_marginal_table(
         offsets = np.arange(total, dtype=np.int32)
         eff_len = total
 
+    if pad_to_multiple is not None and eff_len % pad_to_multiple:
+        pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
+        bucket = _round_up(eff_len, pad_to_multiple)
+        rows = np.concatenate(
+            [rows, np.full((rows.shape[0], bucket - eff_len), pad_idx,
+                           dtype=rows.dtype)], axis=1,
+        )
+        eff_len = bucket
+
     n_pad = _round_up(total, chunk)
     if n_pad != total:
-        rows = np.concatenate([rows, np.tile(tokens[None, :eff_len], (n_pad - total, 1))])
+        rows = np.concatenate([rows, np.tile(rows[:1], (n_pad - total, 1))])
         offsets = np.concatenate([offsets, np.zeros(n_pad - total, np.int32)])
 
     rows = rows.reshape(n_pad // chunk, chunk, eff_len)
     offsets = offsets.reshape(n_pad // chunk, chunk)
 
-    # one jitted step reused across chunks (a lax.map here would inline the
-    # full model into a scan body and recompile it — minutes for 650M).
+    # one jitted step reused across chunks and across CALLS (a lax.map here
+    # would inline the full model into a scan body; re-jitting per call
+    # would recompile the full graph — both are minutes for 650M).
     # When ``params`` is given, logits_fn is (params, tokens) -> logits and
     # the weights flow through as a jit ARGUMENT — closing over them would
     # bake GBs of constants into the executable (slow compile, 2x HBM).
     if params is not None:
-
-        @jax.jit
-        def step(p, toks, offs):
-            logits = logits_fn(p, toks)
-            logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            return logps[jnp.arange(chunk), offs]
-
+        step = _cached_jit(logits_fn, "step_params")
         parts = [
             step(params, jnp.asarray(rows[i]), jnp.asarray(offsets[i]))
             for i in range(rows.shape[0])
         ]
     else:
-
-        @jax.jit
-        def step(toks, offs):
-            logits = logits_fn(toks)  # (chunk, eff_len, V)
-            logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            return logps[jnp.arange(chunk), offs]  # (chunk, V)
-
+        step = _cached_jit(logits_fn, "step")
         parts = [
             step(jnp.asarray(rows[i]), jnp.asarray(offsets[i]))
             for i in range(rows.shape[0])
@@ -277,16 +335,23 @@ def score_assay(
     scoring_window: str = "optimal",
     params=None,
     apply_fn=None,
+    pad_to_multiple: Optional[int] = 64,
 ) -> np.ndarray:
     """Score all mutants of one assay with the requested strategy.
 
     Pass ``params`` + ``apply_fn(params, tokens)`` so weights flow as jit
     arguments on the masked-marginal path (avoids baking GBs of closure
-    constants into the executable)."""
+    constants into the executable). ``apply_fn`` must be a STABLE object
+    across assays (use esm2.make_apply_fn) or every assay recompiles."""
     tokens = alphabet.tokenize(sequence)
     if strategy == "wt-marginals":
         if tokens.shape[0] > window and scoring_window == "overlapping":
-            table = wt_marginal_table_overlapping(logits_fn, tokens, window=window)
+            table = wt_marginal_table_overlapping(
+                logits_fn, tokens, window=window, params=params,
+                apply_fn=apply_fn,
+            )
+        elif params is not None and apply_fn is not None:
+            table = wt_marginal_table(apply_fn, tokens, params=params)
         else:
             table = wt_marginal_table(logits_fn, tokens)
     elif strategy == "masked-marginals":
@@ -298,6 +363,8 @@ def score_assay(
             window=window,
             scoring_window=scoring_window,
             params=params,
+            pad_to_multiple=pad_to_multiple,
+            pad_idx=alphabet.padding_idx,
         )
     elif strategy == "pseudo-ppl":
         wt_ppl = pseudo_ppl(logits_fn, sequence, alphabet, chunk=chunk)

@@ -342,6 +342,17 @@ def cmd_models(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pgym", description=__doc__)
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the JAX backend (site configs may preselect a tunneled "
+             "TPU; --platform cpu makes merge/evaluate runs deterministic "
+             "and avoids contending for the single chip)",
+    )
+    p.add_argument(
+        "--compile-cache", default=None, metavar="DIR",
+        help="persistent XLA compilation cache directory (reuses compiled "
+             "executables across pgym invocations)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     s = sub.add_parser("score", help="score assays with one model")
@@ -458,6 +469,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform or args.compile_cache:
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        if args.compile_cache:
+            jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     return args.fn(args)
 
 

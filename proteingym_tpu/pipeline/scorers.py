@@ -339,6 +339,7 @@ def score_esm(ctx: ScoreContext) -> pd.DataFrame:
 
     params, config = load_esm_checkpoint(ctx.checkpoint)
 
+    apply_fn = esm_mod.make_apply_fn(config)
     scores = score_assay(
         lambda tokens: esm_mod.apply(params, config, tokens),
         ctx.record.target_seq,
@@ -347,7 +348,7 @@ def score_esm(ctx: ScoreContext) -> pd.DataFrame:
         chunk=ctx.batch_size,
         window=config.max_positions,
         params=params,
-        apply_fn=lambda p, tokens: esm_mod.apply(p, config, tokens),
+        apply_fn=apply_fn,
     )
     out = ctx.dms_frame.copy()
     out[f"{config.name}_score"] = np.asarray(scores)
