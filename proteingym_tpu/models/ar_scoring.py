@@ -18,6 +18,8 @@ no per-sequence Python loop, no KV cache needed.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import weakref
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -97,6 +99,69 @@ def _length_buckets(lengths: np.ndarray, granularity: int = 32) -> np.ndarray:
     return ((lengths + granularity - 1) // granularity) * granularity
 
 
+@functools.lru_cache(maxsize=256)
+def stable_params_fn(apply_fn: Callable, config, static_kv: Tuple = ()):
+    """STABLE (params, tokens) -> logits callable for (apply_fn, config).
+
+    lru-cached on the module-level apply function + hashable frozen config
+    (+ optional static kwargs as a tuple of (k, v) pairs), so every scorer
+    call across a whole benchmark run shares one callable — and therefore
+    one compiled program per input shape in the block cache below.
+    """
+    kw = dict(static_kv)
+
+    def fn(params, tokens):
+        return apply_fn(params, config, tokens, **kw)
+
+    return fn
+
+
+# Jitted block functions cached per logits_fn OBJECT (see esm_scoring):
+# re-wrapping with jax.jit per call would recompile the full model graph on
+# every assay. Keys inside each entry: (params_mode, fusion_fn, reverse).
+_BLOCK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _get_block_fn(logits_fn, params_mode: bool, fusion_fn, reverse: bool,
+                  legacy_fusion: bool):
+    per_fn = _BLOCK_CACHE.setdefault(logits_fn, {})
+    key = (params_mode, fusion_fn, reverse, legacy_fusion)
+    if key in per_fn:
+        return per_fn[key]
+
+    def body(logits, tokens, starts, ends, fargs, pad_id):
+        logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        targets = tokens[:, 1:]
+        shift_logps = logps[:, :-1]
+        if fusion_fn is not None:
+            if legacy_fusion:  # closure-style callable (priors are constants)
+                shift_logps = fusion_fn(shift_logps, targets, starts, ends,
+                                        reverse)
+            else:  # Fusion: prior tables flow as jit arguments
+                shift_logps = fusion_fn(fargs, shift_logps, targets, starts,
+                                        ends, reverse)
+        token_ll = jnp.take_along_axis(shift_logps, targets[..., None], -1)[..., 0]
+        mask = (targets != pad_id).astype(jnp.float32)
+        return jnp.sum(token_ll * mask, axis=1)
+
+    if params_mode:
+
+        @jax.jit
+        def block(p, tokens, starts, ends, fargs, pad_id):
+            return body(logits_fn(p, tokens), tokens, starts, ends, fargs,
+                        pad_id)
+
+    else:
+
+        @jax.jit
+        def block(tokens, starts, ends, fargs, pad_id):
+            return body(logits_fn(tokens), tokens, starts, ends, fargs,
+                        pad_id)
+
+    per_fn[key] = block
+    return block
+
+
 def batched_ar_loglik(
     logits_fn: Callable,
     token_rows: List[np.ndarray],
@@ -108,6 +173,7 @@ def batched_ar_loglik(
     window_starts: Optional[np.ndarray] = None,
     window_ends: Optional[np.ndarray] = None,
     reverse: bool = False,
+    params=None,
 ) -> np.ndarray:
     """Teacher-forced log-likelihood of each token row.
 
@@ -116,28 +182,31 @@ def batched_ar_loglik(
     context, matching the shift-logits convention, ref :110,122).
 
     Rows are grouped into (bucketed-length, batch) blocks; each block is one
-    jitted forward.
+    jitted forward, and the jitted block is cached per ``logits_fn`` object
+    so repeat calls (and repeat assays) never recompile — pass a STABLE
+    callable. With ``params``, logits_fn is (params, tokens) -> logits and
+    weights flow as jit arguments.
 
-    ``fusion`` (optional, see models/retrieval.make_fusion) rewrites the
-    shifted log-probs with retrieval priors; it receives each block's
-    (shift_logps, targets, window_starts, window_ends, reverse).
+    ``fusion`` (optional) rewrites the shifted log-probs with retrieval
+    priors: either a retrieval.Fusion (preferred — its prior tables flow
+    as jit arguments, so per-assay priors share one compiled program) or a
+    legacy closure f(shift_logps, targets, starts, ends, reverse).
     """
     n = len(token_rows)
     lengths = np.asarray([len(r) for r in token_rows])
     buckets = _length_buckets(lengths, bucket_granularity)
     out = np.zeros(n, dtype=np.float64)
 
-    @jax.jit
-    def block_loglik(tokens, starts, ends):
-        logits = logits_fn(tokens)  # (B, T, V)
-        logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        targets = tokens[:, 1:]
-        shift_logps = logps[:, :-1]
-        if fusion is not None:
-            shift_logps = fusion(shift_logps, targets, starts, ends, reverse)
-        token_ll = jnp.take_along_axis(shift_logps, targets[..., None], -1)[..., 0]
-        mask = (targets != pad_id).astype(jnp.float32)
-        return jnp.sum(token_ll * mask, axis=1)
+    fusion_fn, fargs, legacy = None, (), False
+    if fusion is not None:
+        if hasattr(fusion, "fn") and hasattr(fusion, "args"):
+            fusion_fn, fargs = fusion.fn, fusion.args
+        else:
+            fusion_fn, legacy = fusion, True
+    block_loglik = _get_block_fn(
+        logits_fn, params is not None, fusion_fn, reverse, legacy
+    )
+    pad = jnp.asarray(pad_id, jnp.int32)
 
     if window_starts is None:
         window_starts = np.zeros(n, dtype=np.int32)
@@ -146,6 +215,7 @@ def batched_ar_loglik(
 
     order = np.argsort(buckets, kind="stable")
     i = 0
+    pending = []  # (block indices, device result) — sync once at the end
     while i < n:
         j = i
         blk = []
@@ -157,15 +227,21 @@ def batched_ar_loglik(
         for bi, ridx in enumerate(blk):
             rows[bi, : lengths[ridx]] = token_rows[ridx]
         blk_idx = np.asarray(blk)
-        lls = np.asarray(
-            block_loglik(
-                jnp.asarray(rows),
-                jnp.asarray(window_starts[blk_idx], dtype=jnp.int32),
-                jnp.asarray(window_ends[blk_idx], dtype=jnp.int32),
-            )
+        call_args = (
+            jnp.asarray(rows),
+            jnp.asarray(window_starts[blk_idx], dtype=jnp.int32),
+            jnp.asarray(window_ends[blk_idx], dtype=jnp.int32),
+            fargs,
+            pad,
         )
-        out[blk_idx] = lls[: len(blk)]
+        if params is not None:
+            lls = block_loglik(params, *call_args)
+        else:
+            lls = block_loglik(*call_args)
+        pending.append((blk_idx, lls))  # async dispatch; no host sync here
         i = j
+    for blk_idx, lls in pending:
+        out[blk_idx] = np.asarray(lls)[: len(blk_idx)]
     return out
 
 
@@ -183,8 +259,12 @@ def score_mutants_ar(
     batch_size: int = 64,
     indel_mode: bool = False,
     fusion: Optional[Callable] = None,
+    params=None,
 ) -> pd.DataFrame:
     """Full AR scoring pipeline with mirroring and per-window WT deltas.
+
+    With ``params``, logits_fn / reverse_logits_fn are (params, tokens) ->
+    logits and the weights flow as jit arguments (see batched_ar_loglik).
 
     Mirrors ref model_pytorch.py:878-928: L->R pass (+ R->L pass on
     reversed strings using ``reverse_logits_fn`` or the same model), window
@@ -216,6 +296,7 @@ def score_mutants_ar(
             window_starts=np.asarray([p.window_start for p in plans], np.int32),
             window_ends=np.asarray([p.window_end for p in plans], np.int32),
             reverse=reverse,
+            params=params,
         )
         frame = pd.DataFrame(
             {

@@ -231,6 +231,19 @@ def progen2_restricted_logits_fn(params, c: ProGen2Config):
     return fn
 
 
+def _progen2_restricted_apply(params, c: ProGen2Config, tokens):
+    full = progen2_apply(params, c, tokens + PROGEN2_AA_FIRST)
+    return full[..., PROGEN2_AA_FIRST : PROGEN2_AA_LAST + 1]
+
+
+def progen2_restricted_apply_fn(c: ProGen2Config):
+    """STABLE (params, tokens) -> restricted logits for the AR harness
+    (weights flow as jit arguments; one compile across assays)."""
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+
+    return stable_params_fn(_progen2_restricted_apply, c)
+
+
 def progen2_convert_torch_state_dict(state_dict, c: ProGen2Config):
     def get(key):
         v = state_dict[key]

@@ -170,17 +170,20 @@ def score_assay(
 ) -> np.ndarray:
     """Marginal scoring (ref compute_fitness.py label_row; note the
     reference DIVIDES by the number of mutated positions, unlike ESM)."""
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+    from proteingym_tpu.models.esm_scoring import _cached_jit
+
     tok = CarpTokenizer()
     tokens = tok.encode(sequence)
-
-    def logits_fn(t):
-        return apply(params, c, t)
+    apply_fn = stable_params_fn(apply, c)
 
     if strategy == "wt-marginals":
-        logps = jax.nn.log_softmax(
-            logits_fn(jnp.asarray(tokens[None])).astype(jnp.float32), -1
-        )[0]
-        table = np.asarray(logps)
+        logits = _cached_jit(apply_fn, "fwd_params")(
+            params, jnp.asarray(tokens[None])
+        )
+        table = np.asarray(
+            jax.nn.log_softmax(logits.astype(jnp.float32), -1)[0]
+        )
     else:
         total = len(tokens)
         rows = np.tile(tokens[None], (total, 1))
@@ -193,13 +196,9 @@ def score_assay(
             [np.arange(total), np.zeros(n_pad - total)]
         ).astype(np.int32).reshape(n_pad // chunk, chunk)
 
-        @jax.jit
-        def step(r, o):
-            lp = jax.nn.log_softmax(logits_fn(r).astype(jnp.float32), -1)
-            return lp[jnp.arange(r.shape[0]), o]
-
+        step = _cached_jit(apply_fn, "step_params")
         parts = [
-            step(jnp.asarray(rows_j[i]), jnp.asarray(offs[i]))
+            step(params, jnp.asarray(rows_j[i]), jnp.asarray(offs[i]))
             for i in range(rows_j.shape[0])
         ]
         table = np.asarray(jnp.concatenate(parts, 0)[:total])

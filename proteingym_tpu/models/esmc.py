@@ -208,14 +208,17 @@ def score_assay(
         masked_marginal_table, score_mutants_from_table, wt_marginal_table,
     )
 
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+
+    apply_fn = stable_params_fn(apply, c)
     tokens = ALPHABET.tokenize(sequence)
     if strategy == "wt-marginals":
-        table = wt_marginal_table(lambda toks: apply(params, c, toks), tokens)
+        table = wt_marginal_table(apply_fn, tokens, params=params)
     else:
         table = masked_marginal_table(
-            lambda p, toks: apply(p, c, toks), tokens,
+            apply_fn, tokens,
             mask_idx=ALPHABET.mask_idx, chunk=chunk, window=window,
-            params=params,
+            params=params, pad_to_multiple=64, pad_idx=ALPHABET.padding_idx,
         )
     return score_mutants_from_table(
         table, mutants, sequence, alphabet=ALPHABET

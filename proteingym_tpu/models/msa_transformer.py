@@ -29,6 +29,7 @@ onto the MXU; the (R*C) token grid stays resident in HBM once per chunk.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -274,12 +275,41 @@ def tokenize_msa(
 # Masked-marginal scoring (batched over masked positions)
 # ---------------------------------------------------------------------------
 
+_MSA_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _msa_step(logits_fn, params_mode: bool):
+    per_fn = _MSA_STEP_CACHE.setdefault(logits_fn, {})
+    if params_mode in per_fn:
+        return per_fn[params_mode]
+
+    def gather(logits, toks, offs):
+        logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return logps[jnp.arange(toks.shape[0]), 0, offs]  # (chunk, V)
+
+    if params_mode:
+
+        @jax.jit
+        def step(p, toks, offs):
+            return gather(logits_fn(p, toks), toks, offs)
+
+    else:
+
+        @jax.jit
+        def step(toks, offs):
+            return gather(logits_fn(toks), toks, offs)
+
+    per_fn[params_mode] = step
+    return step
+
+
 def masked_marginal_table_msa(
     logits_fn,
     msa_tokens: np.ndarray,
     mask_idx: Optional[int] = None,
     chunk: int = 4,
     window: int = 1024,
+    params=None,
 ) -> jnp.ndarray:
     """(C, V) log-prob table; row i from a forward with first-row position i
     masked (ref :381-396 batched over the mask position). Long MSAs use the
@@ -315,18 +345,21 @@ def masked_marginal_table_msa(
     grids = grids.reshape(n_pad // chunk, chunk, r, eff)
     offsets = offsets.reshape(n_pad // chunk, chunk)
 
-    # one jitted step reused across chunks (lax.map would inline + recompile
-    # the full axial model per call site)
-    @jax.jit
-    def step(toks, offs):
-        logits = logits_fn(toks)  # (chunk, R, eff, V)
-        logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return logps[jnp.arange(toks.shape[0]), 0, offs]  # (chunk, V)
-
-    parts = [
-        step(jnp.asarray(grids[i]), jnp.asarray(offsets[i]))
-        for i in range(grids.shape[0])
-    ]
+    # one jitted step reused across chunks AND calls (cached per logits_fn
+    # object like esm_scoring; lax.map would inline + recompile the full
+    # axial model per call site). With ``params``, logits_fn is
+    # (params, grid_tokens) -> logits and weights flow as jit arguments.
+    step = _msa_step(logits_fn, params is not None)
+    if params is not None:
+        parts = [
+            step(params, jnp.asarray(grids[i]), jnp.asarray(offsets[i]))
+            for i in range(grids.shape[0])
+        ]
+    else:
+        parts = [
+            step(jnp.asarray(grids[i]), jnp.asarray(offsets[i]))
+            for i in range(grids.shape[0])
+        ]
     return jnp.concatenate(parts, axis=0)[:total]
 
 
@@ -344,16 +377,18 @@ def score_assay_msa_transformer(
 ) -> np.ndarray:
     """Ensemble masked-marginal scores over MSA subsample seeds
     (ref :530-542 averages the per-seed columns)."""
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
     from proteingym_tpu.models.esm_scoring import score_mutants_from_table
 
-    def logits_fn(toks):
-        return apply(params, config, toks)
+    logits_fn = stable_params_fn(apply, config)
 
     per_seed = []
     for seed in seeds:
         sampled = sample_msa_weighted(msa_sequences, msa_weights, nseq, seed)
         tokens = tokenize_msa(sampled)
-        table = masked_marginal_table_msa(logits_fn, tokens, chunk=chunk)
+        table = masked_marginal_table_msa(
+            logits_fn, tokens, chunk=chunk, params=params
+        )
         per_seed.append(
             score_mutants_from_table(
                 table, mutants, sequence, offset_idx=offset_idx

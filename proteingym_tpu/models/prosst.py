@@ -76,12 +76,13 @@ def score_assay_prosst(
     grid[1 : 1 + L] = struct_tokens[:L]
     cond = params["structure_embed"][jnp.asarray(grid)]
 
+    from proteingym_tpu.models.structure_plms import _conditioned_esm_apply_fn
+
     table = masked_marginal_table(
-        lambda toks: esm2.apply(
-            params, esm_config, toks, extra_embedding=cond
-        ),
+        _conditioned_esm_apply_fn(esm_config),
         esm2.ALPHABET.tokenize(sequence),
         mask_idx=esm2.ALPHABET.mask_idx,
         chunk=chunk,
+        params=(params, cond),
     )
     return score_mutants_from_table(table, mutants, sequence)

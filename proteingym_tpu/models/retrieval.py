@@ -26,7 +26,8 @@ indices, jit-safe for any mix of windows and flips in one batch.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -313,6 +314,70 @@ def _logsumexp_rows(x: np.ndarray) -> np.ndarray:
 # Fusion kernel (jit-safe, batched over mixed windows/flips)
 # ---------------------------------------------------------------------------
 
+@dataclasses.dataclass(frozen=True)
+class Fusion:
+    """A jit-friendly fusion: a STABLE function + a pytree of prior args.
+
+    ``fn(args, shift_logps, targets, starts, ends, reverse)`` — the prior
+    tables and mixture weights live in ``args`` and flow through jit as
+    ARGUMENTS, so scoring 217 assays with 217 different MSA/EVE priors
+    shares ONE compiled program per input shape (closing over the priors
+    would recompile the transformer per assay)."""
+
+    fn: Callable
+    args: Dict[str, Any]
+
+    def __call__(self, shift_logps, targets, starts, ends, reverse):
+        return self.fn(self.args, shift_logps, targets, starts, ends, reverse)
+
+
+def _fuse(args, shift_logps, targets, starts, ends, reverse):
+    """Masked prior mixing over (batch, time) position indices.
+
+    Position of shift index t in full-sequence coordinates is start+t
+    (L->R) or end-1-t (R->L); fusion applies only where that position lies
+    inside [msa_start, msa_end) and the target token is a real amino acid —
+    which reproduces the reference's min/max_logits_slice arithmetic
+    without a per-sequence loop.
+
+    Non-focus columns (EVE prior rows of -inf) fall back to the MSA-only
+    mixture, matching ref trancepteve/model_pytorch.py:1121-1131.
+    """
+    msa_lp = args["msa_lp"]
+    eve_lp = args.get("eve_lp")
+    alpha, beta = args["alpha"], args.get("beta", 0.0)
+    msa_start, msa_end = args["msa_start"], args["msa_end"]
+    n_special = args["n_special"]
+    vocab = msa_lp.shape[-1]
+
+    T = shift_logps.shape[1]
+    t_idx = jnp.arange(T)[None, :]  # (1, T)
+    if reverse:
+        pos = ends[:, None] - 1 - t_idx
+    else:
+        pos = starts[:, None] + t_idx
+    in_range = (pos >= msa_start) & (pos < msa_end)
+    is_aa = targets >= n_special
+    mask = (in_range & is_aa)[..., None]  # (B, T, 1)
+    pos_c = jnp.clip(pos, 0, msa_lp.shape[0] - 1)
+    msa_rows = msa_lp[pos_c]  # (B, T, V)
+
+    aa_cols = (jnp.arange(vocab) >= n_special)[None, None, :]
+    # indel realignment inserts all-zero log-prior rows for inserted
+    # positions; those fall back to pure AR predictions
+    # (ref tranception model_pytorch.py:834-838)
+    live = jnp.any(msa_rows != 0.0, axis=-1, keepdims=True)
+    mask = mask & live
+    mixed = (1.0 - alpha) * shift_logps + alpha * msa_rows
+    if eve_lp is not None:
+        eve_rows = eve_lp[pos_c]
+        finite = jnp.isfinite(eve_rows)
+        beta_eff = jnp.where(finite, beta, 0.0)
+        safe_eve = jnp.where(finite, eve_rows, 0.0)
+        mixed = (1.0 - beta_eff) * mixed + beta_eff * safe_eve
+    return jnp.where(mask & aa_cols, mixed, shift_logps)
+
+
 def make_fusion(
     msa_log_prior: np.ndarray,
     msa_start: int,
@@ -321,50 +386,17 @@ def make_fusion(
     eve_prior: Optional[np.ndarray] = None,
     beta: float = 0.0,
     n_special: int = 5,
-):
-    """Build a fusion callable for ar_scoring.batched_ar_loglik.
-
-    The callable maps (shift_logps (B,T,V), targets (B,T), window_starts (B,),
-    window_ends (B,), reverse: bool) -> fused shift log-probs. Position of
-    shift index t in full-sequence coordinates is start+t (L->R) or
-    end-1-t (R->L); fusion applies only where that position lies inside
-    [msa_start, msa_end) and the target token is a real amino acid — which
-    reproduces the reference's min/max_logits_slice arithmetic without a
-    per-sequence loop.
-
-    Non-focus columns (EVE prior rows of -inf) fall back to the MSA-only
-    mixture, matching ref trancepteve/model_pytorch.py:1121-1131.
-    """
-    msa_lp = jnp.asarray(msa_log_prior, dtype=jnp.float32)
-    eve_lp = None if eve_prior is None else jnp.asarray(eve_prior, jnp.float32)
-    vocab = msa_lp.shape[-1]
-
-    def fuse(shift_logps, targets, starts, ends, reverse):
-        T = shift_logps.shape[1]
-        t_idx = jnp.arange(T)[None, :]  # (1, T)
-        if reverse:
-            pos = ends[:, None] - 1 - t_idx
-        else:
-            pos = starts[:, None] + t_idx
-        in_range = (pos >= msa_start) & (pos < msa_end)
-        is_aa = targets >= n_special
-        mask = (in_range & is_aa)[..., None]  # (B, T, 1)
-        pos_c = jnp.clip(pos, 0, msa_lp.shape[0] - 1)
-        msa_rows = msa_lp[pos_c]  # (B, T, V)
-
-        aa_cols = (jnp.arange(vocab) >= n_special)[None, None, :]
-        # indel realignment inserts all-zero log-prior rows for inserted
-        # positions; those fall back to pure AR predictions
-        # (ref tranception model_pytorch.py:834-838)
-        live = jnp.any(msa_rows != 0.0, axis=-1, keepdims=True)
-        mask = mask & live
-        mixed = (1.0 - alpha) * shift_logps + alpha * msa_rows
-        if eve_lp is not None:
-            eve_rows = eve_lp[pos_c]
-            finite = jnp.isfinite(eve_rows)
-            beta_eff = jnp.where(finite, beta, 0.0)
-            safe_eve = jnp.where(finite, eve_rows, 0.0)
-            mixed = (1.0 - beta_eff) * mixed + beta_eff * safe_eve
-        return jnp.where(mask & aa_cols, mixed, shift_logps)
-
-    return fuse
+) -> Fusion:
+    """Build a Fusion for ar_scoring.batched_ar_loglik (also directly
+    callable as f(shift_logps, targets, starts, ends, reverse))."""
+    args = {
+        "msa_lp": jnp.asarray(msa_log_prior, dtype=jnp.float32),
+        "msa_start": jnp.asarray(msa_start, jnp.int32),
+        "msa_end": jnp.asarray(msa_end, jnp.int32),
+        "alpha": jnp.asarray(alpha, jnp.float32),
+        "n_special": jnp.asarray(n_special, jnp.int32),
+    }
+    if eve_prior is not None:
+        args["eve_lp"] = jnp.asarray(eve_prior, jnp.float32)
+        args["beta"] = jnp.asarray(beta, jnp.float32)
+    return Fusion(fn=_fuse, args=args)

@@ -94,17 +94,17 @@ def score_mutants(
     T = max(len(r) for r in rows)
     out = np.zeros(len(mutants))
 
-    @jax.jit
-    def fwd(tokens):
-        logits = esm2.apply(params, config, tokens)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    from proteingym_tpu.models.esm_scoring import _cached_jit
+
+    fwd = _cached_jit(esm2.make_apply_fn(config), "fwd_params")
 
     for s in range(0, len(rows), batch_size):
         blk = rows[s : s + batch_size]
         tok = np.full((len(blk), T), VOCAB.padding_idx, np.int32)
         for bi, r in enumerate(blk):
             tok[bi, : len(r)] = r
-        probs = np.asarray(fwd(jnp.asarray(tok)))
+        logits = fwd(params, jnp.asarray(tok))
+        probs = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), -1))
         for bi, m in enumerate(mutants[s : s + len(blk)]):
             score = 0.0
             for tokm in m.split(":"):

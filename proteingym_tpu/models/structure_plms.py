@@ -33,6 +33,22 @@ import numpy as np
 AA20 = "ACDEFGHIKLMNPQRSTVWY"
 
 
+def _conditioned_esm_apply(bundle, config, tokens):
+    """(params, per-position conditioning) -> ESM logits; the bundle flows
+    as a jit argument so per-assay conditioning never bakes into the
+    compiled program (see ar_scoring.stable_params_fn)."""
+    from proteingym_tpu.models import esm2
+
+    params, cond = bundle
+    return esm2.apply(params, config, tokens, extra_embedding=cond)
+
+
+def _conditioned_esm_apply_fn(config):
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+
+    return stable_params_fn(_conditioned_esm_apply, config)
+
+
 # ---------------------------------------------------------------------------
 # MIF: CARP trunk + structure features
 # ---------------------------------------------------------------------------
@@ -152,12 +168,11 @@ def mulan_score_assay(params, esm_config, coords: np.ndarray, sequence: str,
     cond_full = cond_full.at[1 : 1 + len(sequence)].set(cond)
 
     table = masked_marginal_table(
-        lambda toks: esm2.apply(
-            params, esm_config, toks, extra_embedding=cond_full
-        ),
+        _conditioned_esm_apply_fn(esm_config),
         esm2.ALPHABET.tokenize(sequence),
         mask_idx=esm2.ALPHABET.mask_idx,
         chunk=chunk,
+        params=(params, cond_full),
     )
     return score_mutants_from_table(table, mutants, sequence)
 
@@ -208,8 +223,9 @@ def venusrem_score_assay(
     tokens = esm2.ALPHABET.tokenize(sequence)
     table = np.array(
         masked_marginal_table(
-            lambda toks: esm2.apply(esm_params, esm_config, toks),
+            esm2.make_apply_fn(esm_config),
             tokens, mask_idx=esm2.ALPHABET.mask_idx, chunk=chunk,
+            params=esm_params,
         )
     )
     L = len(sequence)
@@ -352,11 +368,14 @@ def aido_score_assay(
         masked_marginal_table, score_mutants_from_table,
     )
 
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+
     tokens = esm2.ALPHABET.tokenize(sequence)
     table = np.array(
         masked_marginal_table(
-            lambda toks: aido_apply(params, c, toks), tokens,
+            stable_params_fn(aido_apply, c), tokens,
             mask_idx=esm2.ALPHABET.mask_idx, chunk=chunk, window=window,
+            params=params,
         )
     )
     if msa_sequences:

@@ -144,9 +144,9 @@ def score_trancepteve(
     indel_mode: bool = False,
 ) -> pd.DataFrame:
     """Score an assay with (optionally retrieval-fused) Tranception."""
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
 
-    def logits_fn(tokens):
-        return apply(params, config, tokens)
+    logits_fn = stable_params_fn(apply, config)
 
     fusion = None
     if msa_log_prior is not None and rcfg is not None:
@@ -171,4 +171,5 @@ def score_trancepteve(
         batch_size=batch_size,
         indel_mode=indel_mode,
         fusion=fusion,
+        params=params,
     )

@@ -99,10 +99,10 @@ def score_assay(
     teacher-forced log-lik delta vs WT."""
     if mode == "mlm":
         return esmc.score_assay(params, c, sequence, mutants, chunk=chunk)
-    from proteingym_tpu.models.ar_scoring import score_mutants_ar
+    from proteingym_tpu.models.ar_scoring import score_mutants_ar, stable_params_fn
 
     frame = score_mutants_ar(
-        lambda toks: apply(params, c, toks, mode="ar"),
+        stable_params_fn(apply, c, (("mode", "ar"),)),
         ALPHABET.tokenize,
         ALPHABET.padding_idx,
         mutants,
@@ -111,6 +111,7 @@ def score_assay(
         model_context_len=1024,
         scoring_mirror=False,  # GLM is L->R only
         batch_size=batch_size,
+        params=params,
     )
     order = {s: i for i, s in enumerate(mutated_sequences)}
     frame = frame.sort_values(

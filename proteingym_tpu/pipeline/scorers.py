@@ -404,7 +404,7 @@ def score_progen2(ctx: ScoreContext) -> pd.DataFrame:
     params = ctx.extra.get("params")
     if params is None:
         params = ar_zoo.progen2_init(jax.random.PRNGKey(0), config)
-    fn = ar_zoo.progen2_restricted_logits_fn(params, config)
+    fn = ar_zoo.progen2_restricted_apply_fn(config)
     aa_tok = {c: i for i, c in enumerate("ABCDEFGHIKLMNOPQRSTUVWXYZ")}
 
     def tokenize(s):
@@ -419,6 +419,7 @@ def score_progen2(ctx: ScoreContext) -> pd.DataFrame:
         target_seq=None,  # absolute scores, no WT delta (ref semantics)
         model_context_len=config.n_ctx,
         batch_size=ctx.batch_size,
+        params=params,
     )
     out = ctx.dms_frame.merge(
         frame.rename(columns={"avg_score": f"{config.name}_score"}),
@@ -455,9 +456,11 @@ def score_unirep(ctx: ScoreContext) -> pd.DataFrame:
     tok = ur.UniRepTokenizer()
     seqs = ctx.dms_frame["mutated_sequence"].tolist()
     rows = [tok.encode(s) for s in seqs]
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+
     lls = batched_ar_loglik(
-        lambda t: ur.apply(params, config, t), rows, tok.PAD,
-        batch_size=ctx.batch_size,
+        stable_params_fn(ur.apply, config), rows, tok.PAD,
+        batch_size=ctx.batch_size, params=params,
     )
     out = ctx.dms_frame.copy()
     out["unirep_score"] = lls / np.asarray([len(s) for s in seqs])
