@@ -59,6 +59,20 @@ def _cached_jit(fn, kind: str):
             logps = jax.nn.log_softmax(fn(p, toks).astype(jnp.float32), -1)
             return logps[jnp.arange(toks.shape[0]), offs]
 
+    elif kind == "step_build_params":
+        # masked rows are BUILT ON DEVICE from the base token vector: one
+        # (T,) upload for the whole table instead of an (chunk, T) host ->
+        # device transfer per chunk — the transfers, not the math, dominate
+        # over a tunneled TPU. Shape-stable in (T, chunk) only.
+
+        @jax.jit
+        def wrapped(p, toks1d, offs, mask_val):
+            chunk_ = offs.shape[0]
+            rows = jnp.broadcast_to(toks1d, (chunk_, toks1d.shape[0]))
+            rows = rows.at[jnp.arange(chunk_), offs].set(mask_val)
+            logps = jax.nn.log_softmax(fn(p, rows).astype(jnp.float32), -1)
+            return logps[jnp.arange(chunk_), offs]
+
     elif kind == "step":
 
         @jax.jit
@@ -194,6 +208,32 @@ def masked_marginal_table(
     mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
     tokens = np.asarray(tokens)
     total = tokens.shape[0]
+
+    if params is not None and total <= window:
+        # fast path: rows built on device from ONE (T,) upload; each chunk
+        # dispatch ships only a (chunk,) offsets vector. Matches the slow
+        # path bit-for-bit (same masked rows, same gather).
+        eff_len = total
+        if pad_to_multiple is not None and eff_len % pad_to_multiple:
+            pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
+            bucket = _round_up(eff_len, pad_to_multiple)
+            tokens = np.concatenate(
+                [tokens, np.full(bucket - eff_len, pad_idx, tokens.dtype)]
+            )
+            eff_len = bucket
+        n_pad = _round_up(total, chunk)
+        offsets = np.concatenate(
+            [np.arange(total, dtype=np.int32),
+             np.zeros(n_pad - total, np.int32)]
+        ).reshape(n_pad // chunk, chunk)
+        step = _cached_jit(logits_fn, "step_build_params")
+        toks_dev = jnp.asarray(tokens)
+        mask_val = jnp.asarray(mask_idx, tokens.dtype)
+        parts = [
+            step(params, toks_dev, jnp.asarray(offsets[i]), mask_val)
+            for i in range(offsets.shape[0])
+        ]
+        return jnp.concatenate(parts, axis=0)[:total]
 
     if total > window:
         if scoring_window != "optimal":

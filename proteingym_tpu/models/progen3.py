@@ -201,6 +201,18 @@ def restricted_logits_fn(params, c: ProGen3Config):
     return fn
 
 
+def _restricted_apply(params, c: ProGen3Config, tokens):
+    full = apply(params, c, tokens + PROGEN2_AA_FIRST)
+    return full[..., PROGEN2_AA_FIRST : PROGEN2_AA_LAST + 1]
+
+
+def restricted_apply_fn(c: ProGen3Config):
+    """STABLE (params, tokens) -> restricted logits (see ar_scoring)."""
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+
+    return stable_params_fn(_restricted_apply, c)
+
+
 # ---------------------------------------------------------------------------
 # Expert-parallel forward via shard_map
 # ---------------------------------------------------------------------------

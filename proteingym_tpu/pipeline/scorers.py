@@ -388,6 +388,144 @@ def score_msa_transformer(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
+@register_scorer("rita")
+def score_rita(ctx: ScoreContext) -> pd.DataFrame:
+    """RITA AR scoring: mirrored absolute log-lik
+    (ref rita/compute_fitness.py calc_fitness)."""
+    import jax
+
+    from proteingym_tpu.models import ar_zoo
+    from proteingym_tpu.models.ar_scoring import (
+        score_mutants_ar, stable_params_fn,
+    )
+
+    preset = ctx.checkpoint or "RITA_s"
+    config = ar_zoo.RITA_PRESETS.get(preset)
+    if config is None:
+        raise ValueError(f"Unknown RITA preset {preset}")
+    params = ctx.extra.get("params")
+    if params is None:
+        params = ar_zoo.rita_init(jax.random.PRNGKey(0), config)
+    tok = ar_zoo.RitaTokenizer()
+    frame = score_mutants_ar(
+        stable_params_fn(ar_zoo.rita_apply, config),
+        tok.encode,
+        pad_id=tok.PAD,
+        mutants=ctx.dms_frame["mutant"].tolist(),
+        mutated_sequences=ctx.dms_frame["mutated_sequence"].tolist(),
+        target_seq=None,  # absolute scores (ref semantics)
+        model_context_len=config.n_ctx,
+        batch_size=ctx.batch_size,
+        params=params,
+    )
+    return ctx.dms_frame.merge(
+        frame.rename(columns={"avg_score": f"{config.name}_score"}),
+        on="mutated_sequence", how="left",
+    )
+
+
+@register_scorer("protgpt2")
+def score_protgpt2(ctx: ScoreContext) -> pd.DataFrame:
+    """ProtGPT2 AR scoring over BPE tokens (ref protgpt2/compute_fitness.py).
+
+    Pass --extra tokenizer=<hf dir or name> to use the real BPE vocabulary
+    via transformers; the fallback byte-level encoding keeps ids inside the
+    GPT-2 vocab so architecture/scoring plumbing stays exercised offline.
+    """
+    import jax
+
+    from proteingym_tpu.models import ar_zoo
+    from proteingym_tpu.models.ar_scoring import (
+        score_mutants_ar, stable_params_fn,
+    )
+
+    config = ar_zoo.Gpt2Config(
+        num_layers=int(ctx.extra.get("num_layers", 36)),
+        embed_dim=int(ctx.extra.get("embed_dim", 1280)),
+        num_heads=int(ctx.extra.get("num_heads", 20)),
+    )
+    params = ctx.extra.get("params")
+    if params is None:
+        params = ar_zoo.gpt2_init(jax.random.PRNGKey(0), config)
+    tok_name = ctx.extra.get("tokenizer")
+    if tok_name:
+        from transformers import AutoTokenizer
+
+        hf_tok = AutoTokenizer.from_pretrained(tok_name)
+
+        def tokenize(s):
+            return np.asarray(hf_tok.encode(s), np.int32)
+
+        pad_id = hf_tok.eos_token_id or 0
+    else:
+
+        def tokenize(s):
+            return np.asarray([ord(c) % config.vocab_size for c in s],
+                              np.int32)
+
+        pad_id = 0
+    frame = score_mutants_ar(
+        stable_params_fn(ar_zoo.gpt2_apply, config),
+        tokenize,
+        pad_id=pad_id,
+        mutants=ctx.dms_frame["mutant"].tolist(),
+        mutated_sequences=ctx.dms_frame["mutated_sequence"].tolist(),
+        target_seq=None,
+        model_context_len=config.n_ctx,
+        batch_size=ctx.batch_size,
+        params=params,
+    )
+    return ctx.dms_frame.merge(
+        frame.rename(columns={"avg_score": "ProtGPT2_score"}),
+        on="mutated_sequence", how="left",
+    )
+
+
+@register_scorer("progen3")
+def score_progen3(ctx: ScoreContext) -> pd.DataFrame:
+    """ProGen3 MoE AR scoring, AA-restricted logits
+    (ref progen3/compute_fitness.py; shares the ProGen2 harness)."""
+    import jax
+
+    from proteingym_tpu.models import progen3
+    from proteingym_tpu.models.ar_scoring import score_mutants_ar
+
+    preset = ctx.checkpoint or "progen3-112m"
+    config = progen3.PRESETS.get(preset)
+    if config is None:
+        raise ValueError(f"Unknown ProGen3 preset {preset}")
+    params = ctx.extra.get("params")
+    if params is None:
+        cfg = config
+        if ctx.extra.get("tiny"):
+            import dataclasses as _dc
+
+            cfg = _dc.replace(config, num_layers=2, hidden_dim=64,
+                              num_heads=4, ffn_dim=96, num_experts=4)
+            config = cfg
+        params = progen3.init_params(jax.random.PRNGKey(0), config)
+    aa_tok = {c: i for i, c in enumerate("ABCDEFGHIKLMNOPQRSTUVWXYZ")}
+
+    def tokenize(s):
+        return np.asarray([aa_tok.get(c, aa_tok["X"]) for c in s], np.int32)
+
+    frame = score_mutants_ar(
+        progen3.restricted_apply_fn(config),
+        tokenize,
+        pad_id=aa_tok["X"],
+        mutants=ctx.dms_frame["mutant"].tolist(),
+        mutated_sequences=ctx.dms_frame["mutated_sequence"].tolist(),
+        target_seq=None,
+        model_context_len=config.n_ctx if hasattr(config, "n_ctx") else 1024,
+        batch_size=ctx.batch_size,
+        params=params,
+    )
+    return ctx.dms_frame.merge(
+        frame.rename(columns={"avg_score": f"{config.name}_score"}),
+        on="mutated_sequence", how="left",
+    )
+
+
 @register_scorer("progen2")
 def score_progen2(ctx: ScoreContext) -> pd.DataFrame:
     """ProGen2 AR scoring: absolute mirrored log-lik over AA-restricted

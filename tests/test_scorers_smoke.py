@@ -84,6 +84,8 @@ FAST_EXTRA = {
     "poet": ["max_context_tokens=60", "n_context_samples=1"],
     "protein_mpnn": ["num_seq_per_target=2"],
     "unirep": ["hidden_dim=32", "embed_dim=8"],
+    "protgpt2": ["num_layers=2", "embed_dim=64", "num_heads=4"],
+    "progen3": ["tiny=1"],
 }
 NEEDS_STRUCTURE = {
     "protein_mpnn", "esm_if1", "saprot", "protssn", "mif", "mulan", "kermut",
