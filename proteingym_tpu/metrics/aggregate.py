@@ -194,190 +194,261 @@ def evaluate_benchmark(
         if write_html:
             dms_out.to_html(output_dir / metric / f"{filename}_DMS_level.html")
 
-        # ---- aggregation hierarchy (ref :296-355) ------------------------
-        uniprot_perf = frame.groupby(["UniProt_ID"]).mean(numeric_only=True)
-        uniprot_func_perf = frame.groupby(["UniProt_ID", "Selection Type"]).mean(
-            numeric_only=True
-        )
-        uniprot_perf = uniprot_perf.reset_index()
-        uniprot_perf = pd.merge(uniprot_perf, uniprot_neff, on="UniProt_ID", how="left")
-        uniprot_perf = pd.merge(uniprot_perf, uniprot_taxon, on="UniProt_ID", how="left")
-        uniprot_perf = pd.merge(
-            uniprot_perf, uniprot_function.drop_duplicates(), on="UniProt_ID", how="left"
-        )
-        uniprot_perf = uniprot_perf.drop(columns=["number_mutants"])
-        uniprot_func_perf = uniprot_func_perf.drop(columns=["number_mutants"])
-
-        uniprot_level_average = uniprot_perf.mean(numeric_only=True)
-        func_level_average = (
-            uniprot_func_perf.groupby("Selection Type").mean(numeric_only=True)
-        ).reset_index()
-        final_average = func_level_average.mean(numeric_only=True)
-
-        if performance_by_depth:
-            base_cols = [
-                c
-                for c in not_depth_cols
-                if c
-                not in (
-                    "number_mutants",
-                    "Taxon",
-                    "MSA_Neff_L_category",
-                    "Selection Type",
-                    "UniProt_ID",
-                )
-            ]
-            top_model = final_average.loc[base_cols].idxmax()
-        else:
-            top_model = final_average.drop(labels=["number_mutants"], errors="ignore").idxmax()
-
-        bootstrap_se = pd.DataFrame(
-            bootstrap_standard_error_functional_categories(
-                uniprot_func_perf.subtract(uniprot_func_perf[top_model], axis=0),
-                number_assay_reshuffle=bootstrap_samples,
-                seed=seed,
-            ),
-            columns=[f"Bootstrap_standard_error_{metric}"],
+        summaries[metric] = summarize_dms_level(
+            frame,
+            metric=metric,
+            registry=registry,
+            performance_by_depth=performance_by_depth,
+            bootstrap_samples=bootstrap_samples,
+            seed=seed,
+            output_dir=output_dir,
+            filename=filename,
+            write_html=write_html,
+            model_types=model_types,
         )
 
-        uniprot_perf.loc["Average"] = uniprot_level_average
-        func_level_average.loc["Average"] = final_average
-        uniprot_perf = uniprot_perf.round(3)
-        func_level_average = func_level_average.round(3)
+    return summaries
 
-        if performance_by_depth:
+
+def summarize_dms_level(
+    frame: pd.DataFrame,
+    metric: str,
+    registry: Optional["ModelRegistry"] = None,
+    performance_by_depth: bool = True,
+    bootstrap_samples: int = 10000,
+    seed: int = 0,
+    output_dir: Optional[Path] = None,
+    filename: Optional[str] = None,
+    write_html: bool = False,
+    model_types: Optional[Dict[str, str]] = None,
+) -> pd.DataFrame:
+    """The full aggregation hierarchy from a per-assay metric table to the
+    Summary_performance leaderboard (ref performance_DMS_benchmarks.py
+    :296-403).
+
+    ``frame`` is indexed by DMS id with one column per model plus metadata
+    columns (number_mutants, UniProt_ID, Selection Type,
+    MSA_Neff_L_category, Taxon) — exactly the schema of the published
+    ``*_DMS_level.csv`` files, which makes the published leaderboards
+    direct golden fixtures for this function (tests/test_golden_artifacts).
+    """
+    from proteingym_tpu.data.registry import registry_from_dict
+
+    frame = frame.copy()
+    if "number_mutants" not in frame:
+        frame["number_mutants"] = 0
+    all_columns = frame.columns
+    not_depth_cols = [
+        c for c in all_columns if c.split("_")[-1] not in MUTATION_DEPTHS
+    ]
+    if registry is None:
+        model_cols = [
+            c for c in not_depth_cols
+            if c not in ("number_mutants", "UniProt_ID", "Selection Type",
+                         "MSA_Neff_L_category", "Taxon")
+        ]
+        registry = registry_from_dict(
+            {m: {"input_score_name": m} for m in model_cols}
+        )
+    filename = filename or f"DMS_substitutions_{metric}"
+
+    # per-UniProt metadata lookups derived from the table itself
+    meta_u = frame[["UniProt_ID", "MSA_Neff_L_category", "Taxon",
+                    "Selection Type"]].drop_duplicates("UniProt_ID")
+    uniprot_neff = meta_u[["UniProt_ID", "MSA_Neff_L_category"]]
+    uniprot_taxon = meta_u[["UniProt_ID", "Taxon"]]
+    uniprot_function = frame[["UniProt_ID", "Selection Type"]]
+
+    # ---- aggregation hierarchy (ref :296-355) ------------------------
+    uniprot_perf = frame.groupby(["UniProt_ID"]).mean(numeric_only=True)
+    uniprot_func_perf = frame.groupby(["UniProt_ID", "Selection Type"]).mean(
+        numeric_only=True
+    )
+    uniprot_perf = uniprot_perf.reset_index()
+    uniprot_perf = pd.merge(uniprot_perf, uniprot_neff, on="UniProt_ID", how="left")
+    uniprot_perf = pd.merge(uniprot_perf, uniprot_taxon, on="UniProt_ID", how="left")
+    uniprot_perf = pd.merge(
+        uniprot_perf, uniprot_function.drop_duplicates(), on="UniProt_ID", how="left"
+    )
+    uniprot_perf = uniprot_perf.drop(columns=["number_mutants"])
+    uniprot_func_perf = uniprot_func_perf.drop(columns=["number_mutants"])
+
+    uniprot_level_average = uniprot_perf.mean(numeric_only=True)
+    func_level_average = (
+        uniprot_func_perf.groupby("Selection Type").mean(numeric_only=True)
+    ).reset_index()
+    final_average = func_level_average.mean(numeric_only=True)
+
+    if performance_by_depth:
+        base_cols = [
+            c
+            for c in not_depth_cols
+            if c
+            not in (
+                "number_mutants",
+                "Taxon",
+                "MSA_Neff_L_category",
+                "Selection Type",
+                "UniProt_ID",
+            )
+        ]
+        top_model = final_average.loc[base_cols].idxmax()
+    else:
+        top_model = final_average.drop(labels=["number_mutants"], errors="ignore").idxmax()
+
+    bootstrap_se = pd.DataFrame(
+        bootstrap_standard_error_functional_categories(
+            uniprot_func_perf.subtract(uniprot_func_perf[top_model], axis=0),
+            number_assay_reshuffle=bootstrap_samples,
+            seed=seed,
+        ),
+        columns=[f"Bootstrap_standard_error_{metric}"],
+    )
+
+    uniprot_perf.loc["Average"] = uniprot_level_average
+    func_level_average.loc["Average"] = final_average
+    uniprot_perf = uniprot_perf.round(3)
+    func_level_average = func_level_average.round(3)
+
+    if performance_by_depth:
+        if output_dir is not None:
             uniprot_perf[
                 [c for c in not_depth_cols if c != "number_mutants"]
-            ].to_csv(output_dir / metric / f"{filename}_Uniprot_level.csv", index=False)
-            performance_by_depth_tables = {}
-            clean_not_depth = [
-                c
-                for c in not_depth_cols
-                if c
-                not in ("number_mutants", "UniProt_ID", "MSA_Neff_L_category", "Taxon")
+            ].to_csv(output_dir / metric / f"{filename}_Uniprot_level.csv",
+                     index=False)
+        performance_by_depth_tables = {}
+        clean_not_depth = [
+            c
+            for c in not_depth_cols
+            if c
+            not in ("number_mutants", "UniProt_ID", "MSA_Neff_L_category", "Taxon")
+        ]
+        for d in MUTATION_DEPTHS:
+            depth_cols = [
+                c for c in all_columns if c.split("_")[-1] == d
             ]
-            for d in MUTATION_DEPTHS:
-                depth_cols = [
-                    c for c in all_columns if c.split("_")[-1] == d
-                ]
-                series = uniprot_func_perf[depth_cols].mean(numeric_only=True)
-                tbl = series.reset_index()
-                tbl["model_name"] = tbl["index"].map(
-                    lambda x: "_".join(x.split("_")[:-1])
-                )
-                tbl = tbl[["model_name", 0]]
-                tbl.columns = ["model_name", f"Depth_{d}"]
-                tbl = tbl.set_index("model_name")
-                performance_by_depth_tables[d] = tbl
-            func_out = func_level_average[clean_not_depth + ["Selection Type"]]
-        else:
-            uniprot_perf.to_csv(
-                output_dir / metric / f"{filename}_Uniprot_level.csv", index=False
+            series = uniprot_func_perf[depth_cols].mean(numeric_only=True)
+            tbl = series.reset_index()
+            tbl["model_name"] = tbl["index"].map(
+                lambda x: "_".join(x.split("_")[:-1])
             )
-            func_out = func_level_average
+            tbl = tbl[["model_name", 0]]
+            tbl.columns = ["model_name", f"Depth_{d}"]
+            tbl = tbl.set_index("model_name")
+            performance_by_depth_tables[d] = tbl
+        func_out = func_level_average[clean_not_depth + ["Selection Type"]]
+    else:
+        if output_dir is not None:
+            uniprot_perf.to_csv(
+                output_dir / metric / f"{filename}_Uniprot_level.csv",
+                index=False,
+            )
+        func_out = func_level_average
+    if output_dir is not None:
         func_out.to_csv(
             output_dir / metric / f"{filename}_Uniprot_Selection_Type_level.csv",
             index=False,
         )
 
-        # ---- split tables (ref :336-348) ---------------------------------
-        by_msa = (
-            frame.groupby(["UniProt_ID", "MSA_Neff_L_category"])
-            .mean(numeric_only=True)
-            .groupby(["MSA_Neff_L_category"])
-            .mean(numeric_only=True)
-        )
-        by_taxon = (
-            frame.groupby(["UniProt_ID", "Taxon"])
-            .mean(numeric_only=True)
-            .groupby(["Taxon"])
-            .mean(numeric_only=True)
-        )
-        if performance_by_depth:
-            keep = [c for c in not_depth_cols if c not in (
-                "Selection Type", "UniProt_ID", "MSA_Neff_L_category", "Taxon")]
-            by_msa = by_msa[keep]
-            by_taxon = by_taxon[keep]
-        by_msa = by_msa.transpose()
-        by_taxon = by_taxon.transpose()
-        # reindex (not strict-select) so subset evaluations missing a
-        # category still work; absent categories become NaN columns
-        by_msa = by_msa.reindex(columns=["Low", "Medium", "High"])
-        by_msa.columns = ["Low_MSA_depth", "Medium_MSA_depth", "High_MSA_depth"]
-        by_taxon = by_taxon.reindex(
-            columns=["Human", "Eukaryote", "Prokaryote", "Virus"]
-        )
-        by_taxon.columns = [
-            "Taxa_Human",
-            "Taxa_Other_Eukaryote",
-            "Taxa_Prokaryote",
-            "Taxa_Virus",
-        ]
-        by_function = (
-            func_level_average.drop(labels="Average", axis=0)
-            .set_index("Selection Type")
-            .transpose()
-        )
-        by_function.columns = [f"Function_{c}" for c in by_function.columns]
+    # ---- split tables (ref :336-348) ---------------------------------
+    by_msa = (
+        frame.groupby(["UniProt_ID", "MSA_Neff_L_category"])
+        .mean(numeric_only=True)
+        .groupby(["MSA_Neff_L_category"])
+        .mean(numeric_only=True)
+    )
+    by_taxon = (
+        frame.groupby(["UniProt_ID", "Taxon"])
+        .mean(numeric_only=True)
+        .groupby(["Taxon"])
+        .mean(numeric_only=True)
+    )
+    if performance_by_depth:
+        keep = [c for c in not_depth_cols if c not in (
+            "Selection Type", "UniProt_ID", "MSA_Neff_L_category", "Taxon")]
+        by_msa = by_msa[keep]
+        by_taxon = by_taxon[keep]
+    by_msa = by_msa.transpose()
+    by_taxon = by_taxon.transpose()
+    # reindex (not strict-select) so subset evaluations missing a
+    # category still work; absent categories become NaN columns
+    by_msa = by_msa.reindex(columns=["Low", "Medium", "High"])
+    by_msa.columns = ["Low_MSA_depth", "Medium_MSA_depth", "High_MSA_depth"]
+    by_taxon = by_taxon.reindex(
+        columns=["Human", "Eukaryote", "Prokaryote", "Virus"]
+    )
+    by_taxon.columns = [
+        "Taxa_Human",
+        "Taxa_Other_Eukaryote",
+        "Taxa_Prokaryote",
+        "Taxa_Virus",
+    ]
+    by_function = (
+        func_level_average.drop(labels="Average", axis=0)
+        .set_index("Selection Type")
+        .transpose()
+    )
+    by_function.columns = [f"Function_{c}" for c in by_function.columns]
 
-        summary = pd.merge(
-            pd.DataFrame(final_average, columns=[f"Average_{metric}"]),
-            by_msa,
-            left_index=True,
-            right_index=True,
-            how="inner",
-        )
-        summary = pd.merge(summary, by_taxon, left_index=True, right_index=True, how="inner")
-        summary = pd.merge(
-            summary, by_function, left_index=True, right_index=True, how="inner"
-        )
-        if performance_by_depth:
-            for d in MUTATION_DEPTHS:
-                summary = pd.merge(
-                    summary,
-                    performance_by_depth_tables[d],
-                    left_index=True,
-                    right_index=True,
-                    how="inner",
-                )
+    summary = pd.merge(
+        pd.DataFrame(final_average, columns=[f"Average_{metric}"]),
+        by_msa,
+        left_index=True,
+        right_index=True,
+        how="inner",
+    )
+    summary = pd.merge(summary, by_taxon, left_index=True, right_index=True, how="inner")
+    summary = pd.merge(
+        summary, by_function, left_index=True, right_index=True, how="inner"
+    )
+    if performance_by_depth:
+        for d in MUTATION_DEPTHS:
+            summary = pd.merge(
+                summary,
+                performance_by_depth_tables[d],
+                left_index=True,
+                right_index=True,
+                how="inner",
+            )
 
-        summary.sort_values(by=f"Average_{metric}", ascending=False, inplace=True)
-        summary.index.name = "Model_name"
-        summary.reset_index(inplace=True)
-        summary.index = range(1, len(summary) + 1)
-        summary.index.name = "Model_rank"
-        summary = pd.merge(
-            summary, bootstrap_se, left_on="Model_name", right_index=True, how="left"
-        )
-        type_map = model_types or {m.name: m.model_type for m in registry}
-        summary["Model type"] = summary["Model_name"].map(type_map)
-        summary["Model details"] = summary["Model_name"].map(registry.model_details)
-        summary["References"] = summary["Model_name"].map(registry.model_references)
-        summary = summary.round(3)
-        summary["Model_name"] = summary["Model_name"].map(registry.clean_name)
+    summary.sort_values(by=f"Average_{metric}", ascending=False, inplace=True)
+    summary.index.name = "Model_name"
+    summary.reset_index(inplace=True)
+    summary.index = range(1, len(summary) + 1)
+    summary.index.name = "Model_rank"
+    summary = pd.merge(
+        summary, bootstrap_se, left_on="Model_name", right_index=True, how="left"
+    )
+    type_map = model_types or {m.name: m.model_type for m in registry}
+    summary["Model type"] = summary["Model_name"].map(type_map)
+    summary["Model details"] = summary["Model_name"].map(registry.model_details)
+    summary["References"] = summary["Model_name"].map(registry.model_references)
+    summary = summary.round(3)
+    summary["Model_name"] = summary["Model_name"].map(registry.clean_name)
 
-        final_column_order = [
-            "Model_name",
-            "Model type",
-            f"Average_{metric}",
-            f"Bootstrap_standard_error_{metric}",
-            "Function_Activity",
-            "Function_Binding",
-            "Function_Expression",
-            "Function_OrganismalFitness",
-            "Function_Stability",
-            "Low_MSA_depth",
-            "Medium_MSA_depth",
-            "High_MSA_depth",
-            "Taxa_Human",
-            "Taxa_Other_Eukaryote",
-            "Taxa_Prokaryote",
-            "Taxa_Virus",
-        ]
-        if performance_by_depth:
-            final_column_order += [f"Depth_{d}" for d in MUTATION_DEPTHS]
-        final_column_order += ["Model details", "References"]
-        summary = summary.reindex(columns=final_column_order)
+    final_column_order = [
+        "Model_name",
+        "Model type",
+        f"Average_{metric}",
+        f"Bootstrap_standard_error_{metric}",
+        "Function_Activity",
+        "Function_Binding",
+        "Function_Expression",
+        "Function_OrganismalFitness",
+        "Function_Stability",
+        "Low_MSA_depth",
+        "Medium_MSA_depth",
+        "High_MSA_depth",
+        "Taxa_Human",
+        "Taxa_Other_Eukaryote",
+        "Taxa_Prokaryote",
+        "Taxa_Virus",
+    ]
+    if performance_by_depth:
+        final_column_order += [f"Depth_{d}" for d in MUTATION_DEPTHS]
+    final_column_order += ["Model details", "References"]
+    summary = summary.reindex(columns=final_column_order)
+    if output_dir is not None:
         summary.to_csv(
             output_dir / metric / f"Summary_performance_{filename}.csv"
         )
@@ -385,9 +456,7 @@ def evaluate_benchmark(
             summary.to_html(
                 output_dir / metric / f"Summary_performance_{filename}.html"
             )
-        summaries[metric] = summary
-
-    return summaries
+    return summary
 
 
 def directory_scores_loader(

@@ -196,3 +196,55 @@ def test_clinical_summary_columns_match_published(tmp_path):
     assert got == [c for c in want if c in got] or set(want) <= set(
         list(ours.columns) + ["Model_rank"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden VALUES: regenerate the published summaries from the published
+# per-assay DMS-level tables — validates the entire aggregation hierarchy
+# (UniProt mean -> function mean -> final average, MSA-depth/taxa/function
+# splits, ranking) bit-for-bit against shipped leaderboards.
+# ---------------------------------------------------------------------------
+
+AGG_COLS = [
+    "Function_Activity", "Function_Binding", "Function_Expression",
+    "Function_OrganismalFitness", "Function_Stability",
+    "Low_MSA_depth", "Medium_MSA_depth", "High_MSA_depth",
+    "Taxa_Human", "Taxa_Other_Eukaryote", "Taxa_Prokaryote", "Taxa_Virus",
+]
+
+
+@pytest.mark.parametrize(
+    "mutation_type,metric",
+    [("substitutions", m) for m in
+     ("Spearman", "AUC", "MCC", "NDCG", "Top_recall")]
+    + [("indels", "Spearman")],
+)
+def test_summary_values_regenerate_from_published_dms_level(
+    mutation_type, metric
+):
+    from proteingym_tpu.metrics.aggregate import summarize_dms_level
+
+    base = REF / "DMS_zero_shot" / mutation_type / metric
+    dms_level_path = base / f"DMS_{mutation_type}_{metric}_DMS_level.csv"
+    if not dms_level_path.exists():
+        pytest.skip(f"no published DMS-level file for {mutation_type}")
+    d = pd.read_csv(dms_level_path).rename(
+        columns={"DMS ID": "DMS_id", "Number of Mutants": "number_mutants",
+                 "UniProt ID": "UniProt_ID"}
+    ).set_index("DMS_id")
+    summary = summarize_dms_level(
+        d, metric=metric, performance_by_depth=False, bootstrap_samples=10,
+    )
+    published = pd.read_csv(
+        base / f"Summary_performance_DMS_{mutation_type}_{metric}.csv"
+    )
+    ours = summary.set_index("Model_name")
+    theirs = published.set_index("Model_name")
+    common = theirs.index.intersection(ours.index)
+    assert len(common) == len(theirs), (
+        f"model set mismatch: {set(theirs.index) - set(common)}"
+    )
+    cols = [f"Average_{metric}"] + [c for c in AGG_COLS if c in theirs]
+    diffs = (ours.loc[common, cols] - theirs.loc[common, cols]).abs()
+    # shipped values are 3-decimal; regeneration must be bit-exact
+    assert float(diffs.max().max()) == 0.0, diffs.max()
