@@ -248,3 +248,59 @@ def test_summary_values_regenerate_from_published_dms_level(
     diffs = (ours.loc[common, cols] - theirs.loc[common, cols]).abs()
     # shipped values are 3-decimal; regeneration must be bit-exact
     assert float(diffs.max().max()) == 0.0, diffs.max()
+
+
+def test_supervised_summary_values_regenerate_from_published(tmp_path):
+    """Feed the published per-scheme DMS-level Spearman tables through our
+    supervised aggregation; headline + function + taxa columns must match
+    the shipped leaderboard exactly (incl. the reference's positional
+    category-mislabel quirk). MSA-depth columns used an older reference
+    file's categories upstream, so they only match within 0.03."""
+    import warnings
+
+    from proteingym_tpu.data.reference import load_reference
+    from proteingym_tpu.metrics.supervised import evaluate_supervised
+
+    base = REF / "DMS_supervised/substitutions/Spearman"
+    schemes = ["fold_random_5", "fold_modulo_5", "fold_contiguous_5"]
+    frames = []
+    for s in schemes:
+        d = pd.read_csv(base / f"DMS_substitutions_Spearman_DMS_level_{s}.csv")
+        m = d.melt(id_vars="DMS_id", var_name="model_name",
+                   value_name="Spearman")
+        m["fold_variable_name"] = s
+        frames.append(m)
+    long = pd.concat(frames, ignore_index=True)
+    long["MSE"] = np.nan
+    reference = load_reference(
+        "/root/reference/reference_files/DMS_substitutions.csv"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # all-NaN MSE slices
+        ours = evaluate_supervised(
+            long, reference, tmp_path, bootstrap_samples=10
+        )["Spearman"].set_index("Model_name")
+    pub = pd.read_csv(
+        base / "Summary_performance_DMS_substitutions_Spearman.csv"
+    ).set_index("Model_name")
+    common = pub.index.intersection(ours.index)
+    assert len(common) == len(pub)
+    exact_cols = (
+        ["Average_Spearman"]
+        + [f"Average_Spearman_{s}" for s in schemes]
+        + [f"Function_{f}" for f in
+           ("Activity", "Binding", "Expression", "OrganismalFitness",
+            "Stability")]
+        + ["Taxa_Human", "Taxa_Other_Eukaryote", "Taxa_Prokaryote",
+           "Taxa_Virus"]
+    )
+    exact_cols = [c for c in exact_cols if c in pub.columns]
+    diffs = (ours.loc[common, exact_cols].astype(float)
+             - pub.loc[common, exact_cols].astype(float)).abs()
+    # inputs are the published 3-decimal tables, so one rounding ULP of
+    # drift is expected on scheme-level averages
+    assert float(diffs.max().max()) <= 0.0015, diffs.max()
+    depth_cols = ["Low_MSA_depth", "Medium_MSA_depth", "High_MSA_depth"]
+    ddiffs = (ours.loc[common, depth_cols].astype(float)
+              - pub.loc[common, depth_cols].astype(float)).abs()
+    assert float(ddiffs.max().max()) <= 0.03, ddiffs.max()
