@@ -86,7 +86,28 @@ def evaluate_clinical(
     dms_level.round(3).to_csv(
         output_dir / f"clinical_{mutation_type}_AUC_DMS_level.csv"
     )
+    return summarize_clinical(
+        dms_level,
+        output_dir=output_dir,
+        mutation_type=mutation_type,
+        bootstrap_samples=bootstrap_samples,
+        model_types=model_types,
+        write_html=write_html,
+    )
 
+
+def summarize_clinical(
+    dms_level: pd.DataFrame,
+    output_dir: Optional[Path] = None,
+    mutation_type: str = "substitutions",
+    bootstrap_samples: int = 10000,
+    model_types: Optional[Dict[str, str]] = None,
+    write_html: bool = False,
+) -> pd.DataFrame:
+    """Protein-level AUC table -> ranked leaderboard (mean over proteins,
+    bootstrap SE centered on the top model, 3-decimal rounding). The input
+    schema matches the published clinical_*_AUC_DMS_level.csv files, which
+    are golden fixtures for this function."""
     averages = dms_level.mean(axis=0)
     top_model = averages.idxmax()
     centered = dms_level.subtract(dms_level[top_model], axis=0)
@@ -107,8 +128,10 @@ def evaluate_clinical(
     summary.index = range(1, len(summary) + 1)
     summary.index.name = "Model_rank"
     summary = summary.round(3)
-    out = output_dir / f"Summary_performance_clinical_{mutation_type}_AUC.csv"
-    summary.to_csv(out)
-    if write_html:
-        summary.to_html(out.with_suffix(".html"))
+    if output_dir is not None:
+        out = (Path(output_dir)
+               / f"Summary_performance_clinical_{mutation_type}_AUC.csv")
+        summary.to_csv(out)
+        if write_html:
+            summary.to_html(out.with_suffix(".html"))
     return summary

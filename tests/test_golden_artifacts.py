@@ -304,3 +304,27 @@ def test_supervised_summary_values_regenerate_from_published(tmp_path):
     ddiffs = (ours.loc[common, depth_cols].astype(float)
               - pub.loc[common, depth_cols].astype(float)).abs()
     assert float(ddiffs.max().max()) <= 0.03, ddiffs.max()
+
+
+@pytest.mark.parametrize("mutation_type,family", [
+    ("substitutions", "clinical_zero_shot"),
+    ("indels", "clinical_zero_shot"),
+    ("substitutions", "clinical_supervised"),
+])
+def test_clinical_summary_values_regenerate(mutation_type, family):
+    from proteingym_tpu.metrics.clinical import summarize_clinical
+
+    base = REF / family / mutation_type / "AUC"
+    level = base / f"clinical_{mutation_type}_AUC_DMS_level.csv"
+    if not level.exists():
+        pytest.skip("no published clinical level file")
+    d = pd.read_csv(level, index_col=0)
+    ours = summarize_clinical(d, bootstrap_samples=10).set_index("Model_name")
+    pub = pd.read_csv(
+        base / f"Summary_performance_clinical_{mutation_type}_AUC.csv"
+    ).set_index("Model_name")
+    common = pub.index.intersection(ours.index)
+    assert len(common) == len(pub)
+    diffs = (ours.loc[common, "Average_AUC"].astype(float)
+             - pub.loc[common, "Average_AUC"].astype(float)).abs()
+    assert float(diffs.max()) == 0.0, diffs.sort_values().tail()
