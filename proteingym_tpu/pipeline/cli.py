@@ -340,6 +340,90 @@ def cmd_models(args) -> int:
     return 0
 
 
+CONVERTERS = {
+    "esm", "msa_transformer", "esmc", "tranception", "poet",
+    "protein_mpnn", "progen2", "rita", "unirep",
+}
+
+
+def cmd_download(args) -> int:
+    from proteingym_tpu.data.download import (
+        RESOURCES, count_resources, download_resources,
+    )
+
+    if args.list_only:
+        for name, filename, sha, _raw in RESOURCES:
+            print(f"{name:45s} {filename:55s} sha256:{sha[:12]}…")
+        return 0
+    out = download_resources(
+        names=args.resources or None,
+        cache=args.cache,
+        remove_zip=not args.keep_zip,
+        force=args.force,
+    )
+    for name, desc in count_resources(out).items():
+        print(f"{name}: {desc}")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    """torch/TF checkpoint -> our pytree, persisted with orbax."""
+    from proteingym_tpu.pipeline.checkpoints import (
+        _load_torch_state_dict, save_pytree,
+    )
+
+    fam, preset = args.family, args.preset
+
+    def sd():
+        state, _cfg = _load_torch_state_dict(Path(args.checkpoint))
+        return state
+
+    if fam == "esm":
+        from proteingym_tpu.models import esm2 as m
+
+        params = m.convert_torch_state_dict(sd(), m.PRESETS[preset])
+    elif fam == "msa_transformer":
+        from proteingym_tpu.models import msa_transformer as m
+
+        config = m.PRESETS.get(preset) or m.MsaTransformerConfig()
+        params = m.convert_torch_state_dict(sd(), config)
+    elif fam == "esmc":
+        from proteingym_tpu.models import esmc as m
+
+        params = m.convert_torch_state_dict(sd(), m.PRESETS[preset])
+    elif fam == "tranception":
+        from proteingym_tpu.models import tranception as m
+
+        params = m.convert_torch_state_dict(sd(), m.PRESETS[preset])
+    elif fam == "poet":
+        from proteingym_tpu.models import poet as m
+
+        params = m.convert_torch_state_dict(sd(), m.POET_PRESETS[preset])
+    elif fam == "protein_mpnn":
+        from proteingym_tpu.models import protein_mpnn as m
+
+        params = m.convert_torch_state_dict(sd(), m.MpnnConfig())
+    elif fam == "progen2":
+        from proteingym_tpu.models import ar_zoo as m
+
+        params = m.progen2_convert_torch_state_dict(
+            sd(), m.PROGEN2_PRESETS[preset]
+        )
+    elif fam == "rita":
+        from proteingym_tpu.models import ar_zoo as m
+
+        params = m.rita_convert_torch_state_dict(sd(), m.RITA_PRESETS[preset])
+    elif fam == "unirep":
+        from proteingym_tpu.models import unirep as m
+
+        params = m.convert_tf_weights(args.checkpoint, m.UniRepConfig())
+    else:  # pragma: no cover — argparse choices guard this
+        raise ValueError(fam)
+    save_pytree(params, args.output)
+    print(f"converted {fam}/{preset} -> {args.output}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pgym", description=__doc__)
     p.add_argument(
@@ -461,6 +545,33 @@ def build_parser() -> argparse.ArgumentParser:
     ss.add_argument("--output-dir", required=True)
     ss.add_argument("--lam", type=float, default=1.0)
     ss.set_defaults(fn=cmd_supervised_score)
+
+    dl = sub.add_parser(
+        "download",
+        help="fetch + SHA256-verify + unzip benchmark resources",
+    )
+    dl.add_argument("--resources", nargs="*", default=None,
+                    help="resource names (default: all)")
+    dl.add_argument("--cache", default=None, help="extraction directory")
+    dl.add_argument("--force", action="store_true")
+    dl.add_argument("--keep-zip", action="store_true")
+    dl.add_argument("--list", action="store_true", dest="list_only",
+                    help="print the resource table and exit")
+    dl.set_defaults(fn=cmd_download)
+
+    cv = sub.add_parser(
+        "convert",
+        help="convert a torch/TF checkpoint to an orbax pytree",
+    )
+    cv.add_argument("--family", required=True,
+                    choices=sorted(CONVERTERS))
+    cv.add_argument("--checkpoint", required=True,
+                    help="torch .pt/.bin state_dict path (UniRep: TF dir)")
+    cv.add_argument("--preset", required=True,
+                    help="architecture preset name for the family")
+    cv.add_argument("--output", required=True,
+                    help="output orbax checkpoint directory")
+    cv.set_defaults(fn=cmd_convert)
 
     lm = sub.add_parser("models", help="list available scorers")
     lm.set_defaults(fn=cmd_models)

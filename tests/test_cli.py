@@ -165,3 +165,53 @@ def test_score_merge_evaluate(world):
     )
     assert set(summary["Model_name"]) == {"Site_Independent", "HMM"}
     assert "Average_Spearman" in summary.columns
+
+
+def test_download_list(capsys):
+    assert main(["download", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "DMS_ProteinGym_substitutions" in out and "sha256:" in out
+
+
+def test_convert_esm_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from proteingym_tpu.models import esm2
+    from proteingym_tpu.pipeline.checkpoints import restore_pytree
+
+    cfg = esm2.PRESETS["esm2_t6_8M"]
+    rs = np.random.RandomState(0)
+    d, f, v = cfg.embed_dim, cfg.ffn_dim, cfg.alphabet_size
+
+    def t(*shape):
+        return torch.tensor(rs.randn(*shape).astype(np.float32) * 0.02)
+
+    sd = {"embed_tokens.weight": t(v, d), "lm_head.bias": t(v),
+          "lm_head.dense.weight": t(d, d), "lm_head.dense.bias": t(d),
+          "lm_head.layer_norm.weight": torch.ones(d),
+          "lm_head.layer_norm.bias": torch.zeros(d),
+          "emb_layer_norm_after.weight": torch.ones(d),
+          "emb_layer_norm_after.bias": torch.zeros(d)}
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}"
+        for nm, shp in [("self_attn.q_proj", (d, d)),
+                        ("self_attn.k_proj", (d, d)),
+                        ("self_attn.v_proj", (d, d)),
+                        ("self_attn.out_proj", (d, d)),
+                        ("fc1", (f, d)), ("fc2", (d, f))]:
+            sd[f"{p}.{nm}.weight"] = t(*shp)
+            sd[f"{p}.{nm}.bias"] = t(shp[0])
+        for nm in ["self_attn_layer_norm", "final_layer_norm"]:
+            sd[f"{p}.{nm}.weight"] = torch.ones(d)
+            sd[f"{p}.{nm}.bias"] = torch.zeros(d)
+    torch.save(sd, tmp_path / "m.pt")
+    rc = main(["convert", "--family", "esm", "--preset", "esm2_t6_8M",
+               "--checkpoint", str(tmp_path / "m.pt"),
+               "--output", str(tmp_path / "out")])
+    assert rc == 0
+    params = restore_pytree(tmp_path / "out")
+    direct = esm2.convert_torch_state_dict(sd, cfg)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
