@@ -25,6 +25,7 @@ draws vectorize over the sample axis with vmap.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -316,8 +317,15 @@ def train(
     learning_rate: float = 1e-4,
     seed: int = 0,
     log_every: int = 0,
+    steps_per_dispatch: int = 100,
 ):
-    """Train EVE on (N, L, q) one-hots with cluster weights."""
+    """Train EVE on (N, L, q) one-hots with cluster weights.
+
+    ``steps_per_dispatch`` steps run inside ONE jitted lax.scan, so the
+    params/opt-state never leave the device between host round-trips — a
+    per-step Python loop ships the full ~360MB state each step on runtimes
+    that materialize jit outputs (and pays a dispatch RTT regardless).
+    """
     rng = jax.random.PRNGKey(seed)
     rng, init_key = jax.random.split(rng)
     params = init_params(init_key, config)
@@ -326,13 +334,34 @@ def train(
     onehot = jnp.asarray(matrix_onehot, jnp.float32)
     probs = jnp.asarray(weights / weights.sum(), jnp.float32)
     neff = float(weights.sum())
-    step_jit = jax.jit(train_step, donate_argnums=(0, 1))
-    for step in range(steps):
-        rng, k = jax.random.split(rng)
-        params, opt_state, loss = step_jit(
-            params, opt_state, k, onehot, probs, neff, step
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("n_steps",))
+    def run_chunk(params, opt_state, rng, step0, n_steps):
+        def body(carry, i):
+            p, o = carry
+            p, o, loss = train_step(
+                p, o, jax.random.fold_in(rng, i), onehot, probs, neff,
+                step0 + i,
+            )
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps)
         )
-        if log_every and step % log_every == 0:
+        return params, opt_state, losses[-1]
+
+    step = 0
+    while step < steps:
+        n = min(steps_per_dispatch, steps - step)
+        rng, k = jax.random.split(rng)
+        params, opt_state, loss = run_chunk(
+            params, opt_state, k, jnp.asarray(step), n_steps=n
+        )
+        step += n
+        if log_every and (step // steps_per_dispatch) % max(
+            1, log_every // steps_per_dispatch
+        ) == 0:
             print(f"step {step}: loss={float(loss):.3f}")
     return params
 
