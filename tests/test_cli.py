@@ -215,3 +215,83 @@ def test_convert_esm_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(direct)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_indel_score_merge_evaluate(tmp_path):
+    """End-to-end indel benchmark: AR scoring of variable-length sequences
+    keyed on mutated_sequence, merge with mutation_type=indels, evaluate
+    without depth splits (ref merge.py:71, performance indel mode)."""
+    rs = np.random.RandomState(3)
+    L = 18
+    target = "".join("ACDEFGHIKLMNPQRSTVWY"[i] for i in rs.randint(0, 20, L))
+    seqs = [target]
+    for i in range(14):
+        p = rs.randint(1, L - 1)
+        if i % 2:  # insertion
+            seqs.append(target[:p] + "A" + target[p:])
+        else:  # deletion
+            seqs.append(target[:p] + target[p + 1:])
+    dms = pd.DataFrame({
+        "mutant": seqs, "mutated_sequence": seqs,
+        "DMS_score": rs.normal(size=len(seqs)),
+    })
+    dms["DMS_score_bin"] = (dms.DMS_score > dms.DMS_score.median()).astype(int)
+    (tmp_path / "dms").mkdir()
+    dms.to_csv(tmp_path / "dms" / "IND.csv", index=False)
+    pd.DataFrame([{
+        "DMS_id": "IND", "DMS_filename": "IND.csv", "UniProt_ID": "U_IND",
+        "target_seq": target, "seq_len": L, "taxon": "Virus",
+        "includes_multiple_mutants": False,
+        "DMS_total_number_mutants": len(seqs),
+        "coarse_selection_type": "Activity", "selection_type": "Activity",
+        "MSA_Neff_L_category": "Low",
+    }]).to_csv(tmp_path / "ref.csv", index=False)
+
+    rc = main([
+        "score", "--model", "rita",
+        "--dms-reference", str(tmp_path / "ref.csv"),
+        "--dms-dir", str(tmp_path / "dms"),
+        "--output-dir", str(tmp_path / "scores" / "rita"),
+        "--indel-mode", "--batch-size", "8", "--quiet", "--fail-fast",
+    ])
+    assert rc == 0
+    scored = pd.read_csv(tmp_path / "scores" / "rita" / "IND.csv")
+    assert scored["RITA_s_score"].notna().all()
+
+    config = {"model_list_zero_shot_indels_DMS": {
+        "RITA_S": {"input_score_name": "RITA_s_score", "location": "rita",
+                   "directionality": 1, "key": "mutated_sequence",
+                   "model_type": "Protein language model"},
+    }}
+    import json
+
+    (tmp_path / "config.json").write_text(json.dumps(config))
+    rc = main([
+        "merge",
+        "--dms-reference", str(tmp_path / "ref.csv"),
+        "--dms-dir", str(tmp_path / "dms"),
+        "--scores-root", str(tmp_path / "scores"),
+        "--config", str(tmp_path / "config.json"),
+        "--output-dir", str(tmp_path / "merged"),
+        "--mutation-type", "indels",
+    ])
+    assert rc == 0
+    merged = pd.read_csv(tmp_path / "merged" / "IND.csv")
+    assert "RITA_S" in merged.columns and merged["RITA_S"].notna().all()
+
+    rc = main([
+        "evaluate",
+        "--dms-reference", str(tmp_path / "ref.csv"),
+        "--merged-dir", str(tmp_path / "merged"),
+        "--config", str(tmp_path / "config.json"),
+        "--output-dir", str(tmp_path / "bench"),
+        "--mutation-type", "indels",
+        "--bootstrap-samples", "20", "--no-html",
+    ])
+    assert rc == 0
+    summary = pd.read_csv(
+        tmp_path / "bench" / "Spearman"
+        / "Summary_performance_DMS_indels_Spearman.csv"
+    )
+    assert summary.iloc[0]["Model_name"] == "RITA_S"
+    assert np.isfinite(summary.iloc[0]["Average_Spearman"])
