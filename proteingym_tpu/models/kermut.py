@@ -191,7 +191,6 @@ def fit(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(hypers)
 
-    @jax.jit
     def step(hypers, opt_state):
         loss, grads = jax.value_and_grad(neg_log_marginal_likelihood)(
             hypers, data, train, y, zs, embj
@@ -199,9 +198,19 @@ def fit(
         updates, opt_state = optimizer.update(grads, opt_state)
         return optax.apply_updates(hypers, updates), opt_state, loss
 
-    for _ in range(steps):
-        hypers, opt_state, _ = step(hypers, opt_state)
-    return hypers
+    @jax.jit
+    def run(hypers, opt_state):  # all steps in one dispatch (one lax.scan)
+        def body(carry, _):
+            h, o = carry
+            h, o, loss = step(h, o)
+            return (h, o), loss
+
+        (hypers, opt_state), _ = jax.lax.scan(
+            body, (hypers, opt_state), None, length=steps
+        )
+        return hypers
+
+    return run(hypers, opt_state)
 
 
 def predict(

@@ -380,7 +380,6 @@ def train_potts_plm(
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
 
-    @jax.jit
     def step(params, opt_state):
         loss, grads = jax.value_and_grad(
             lambda p: _plm_loss(p, onehot, w, lambda_h, lambda_j, q)
@@ -389,8 +388,23 @@ def train_potts_plm(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+    # all steps inside one jitted scan: the (L, L, q, q) couplings never
+    # leave the device mid-training (a per-step Python loop pays a dispatch
+    # round trip per step, and ships the full J tensor on runtimes that
+    # materialize jit outputs)
+    @jax.jit
+    def run(params, opt_state):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=steps
+        )
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = run(params, opt_state)
 
     h = np.asarray(params["h"], dtype=np.float64)
     J = np.asarray(params["J"], dtype=np.float64)

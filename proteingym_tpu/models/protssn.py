@@ -135,8 +135,16 @@ def train_denoising(
         updates, opt_state = optimizer.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = jax.random.PRNGKey(seed)
-    for i in range(steps):
-        rng, k = jax.random.split(rng)
-        params, opt_state, _ = step_fn(params, opt_state, k)
-    return params
+    @jax.jit
+    def run(params, opt_state, rng):  # all steps in one lax.scan dispatch
+        def body(carry, i):
+            p, o = carry
+            p, o, loss = step_fn(p, o, jax.random.fold_in(rng, i))
+            return (p, o), loss
+
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps)
+        )
+        return params
+
+    return run(params, opt_state, jax.random.PRNGKey(seed))

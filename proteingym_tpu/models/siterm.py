@@ -140,15 +140,24 @@ def fit_site_rates(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(raw)
 
-    @jax.jit
     def step(raw, opt_state):
         loss, g = jax.value_and_grad(loss_fn)(raw)
         updates, opt_state = optimizer.update(g, opt_state)
         return optax.apply_updates(raw, updates), opt_state, loss
 
-    for _ in range(steps):
-        raw, opt_state, _ = step(raw, opt_state)
-    return np.asarray(jax.nn.softplus(raw))
+    @jax.jit
+    def run(raw, opt_state):  # all steps in one dispatch (one lax.scan)
+        def body(carry, _):
+            r, o = carry
+            r, o, loss = step(r, o)
+            return (r, o), loss
+
+        (raw, opt_state), _ = jax.lax.scan(
+            body, (raw, opt_state), None, length=steps
+        )
+        return raw
+
+    return np.asarray(jax.nn.softplus(run(raw, opt_state)))
 
 
 def fit_siterm(

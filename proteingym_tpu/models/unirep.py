@@ -168,8 +168,26 @@ def evotune(
         updates, opt_state = optimizer.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = np.random.default_rng(seed)
-    for _ in range(steps):
-        idx = rng.choice(len(rows), size=min(batch_size, len(rows)), p=probs)
-        params, opt_state, _ = step_fn(params, opt_state, jnp.asarray(batch_all[idx]))
-    return params
+    # batch sampling moves on device so all steps run in one lax.scan
+    # dispatch (per-step host sampling pays a dispatch RTT per step)
+    data = jnp.asarray(batch_all)
+    p_dev = jnp.asarray(probs, jnp.float32)
+    bsz = min(batch_size, len(rows))
+
+    @jax.jit
+    def run(params, opt_state, rng):
+        def body(carry, i):
+            p, o = carry
+            idx = jax.random.choice(
+                jax.random.fold_in(rng, i), data.shape[0], (bsz,),
+                replace=True, p=p_dev,
+            )
+            p, o, loss = step_fn(p, o, data[idx])
+            return (p, o), loss
+
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps)
+        )
+        return params
+
+    return run(params, opt_state, jax.random.PRNGKey(seed))

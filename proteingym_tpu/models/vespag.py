@@ -73,7 +73,6 @@ def train_from_teacher(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
-    @jax.jit
     def step(params, opt_state):
         def loss_fn(p):
             return jnp.mean((landscape(p, emb) - target) ** 2)
@@ -82,9 +81,19 @@ def train_from_teacher(
         updates, opt_state = optimizer.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for _ in range(steps):
-        params, opt_state, _ = step(params, opt_state)
-    return params
+    @jax.jit
+    def run(params, opt_state):  # all steps in one dispatch (one lax.scan)
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o)
+            return (p, o), loss
+
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=steps
+        )
+        return params
+
+    return run(params, opt_state)
 
 
 def score_mutants(

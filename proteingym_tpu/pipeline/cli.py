@@ -16,6 +16,7 @@ ref esm/compute_fitness.py:365-370), observability from JSONL telemetry.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
 from pathlib import Path
 
@@ -74,46 +75,68 @@ def cmd_score(args) -> int:
     manifest = Manifest(output_dir / "manifest.jsonl")
     scorer = SCORERS[args.model]
 
-    failures = 0
-    for rec in records:
-        task = f"{args.model}/{rec.DMS_id}"
-        out_path = output_dir / f"{rec.DMS_id}.csv"
-        if manifest.is_done(task) and out_path.exists() and not args.overwrite:
-            log.emit("task_skipped", task=task)
-            continue
-        dms_path = Path(args.dms_dir) / (rec.DMS_filename or f"{rec.DMS_id}.csv")
-        if not dms_path.exists():
-            log.emit("task_missing_input", task=task, path=str(dms_path))
-            continue
-        dms_frame = pd.read_csv(dms_path)
-        if "mutated_sequence" not in dms_frame and "mutant" in dms_frame:
-            from proteingym_tpu.data.mutants import apply_mutant
+    from proteingym_tpu.pipeline.profiler import Throughput, trace
 
-            dms_frame["mutated_sequence"] = [
-                apply_mutant(rec.target_seq, m) for m in dms_frame["mutant"]
-            ]
-        ctx = ScoreContext(
-            record=rec,
-            dms_frame=dms_frame,
-            msa_dir=Path(args.msa_dir) if args.msa_dir else None,
-            weights_dir=Path(args.weights_dir) if args.weights_dir else None,
-            checkpoint=args.checkpoint,
-            structure_dir=Path(args.structure_dir) if args.structure_dir else None,
-            indel_mode=args.indel_mode,
-            batch_size=args.batch_size,
-            extra={"_scorer_name": args.model, **_parse_extra(args.extra)},
-        )
-        try:
-            with log.phase("score", task=task, n_mutants=len(dms_frame)):
-                scores = scorer(ctx)
-            scores.to_csv(out_path, index=False)
-            manifest.mark_done(task, rows=len(scores))
-        except Exception as e:  # noqa: BLE001 — per-assay isolation
-            failures += 1
-            manifest.mark_failed(task, error=repr(e))
-            log.emit("task_failed", task=task, error=repr(e))
-            if args.fail_fast:
-                raise
+    throughput = Throughput(event_log=log)
+    profile_ctx = (
+        trace(args.profile_dir) if getattr(args, "profile_dir", None)
+        else contextlib.nullcontext()
+    )
+
+    failures = 0
+    with profile_ctx:
+        for rec in records:
+            task = f"{args.model}/{rec.DMS_id}"
+            out_path = output_dir / f"{rec.DMS_id}.csv"
+            if (manifest.is_done(task) and out_path.exists()
+                    and not args.overwrite):
+                log.emit("task_skipped", task=task)
+                continue
+            dms_path = Path(args.dms_dir) / (
+                rec.DMS_filename or f"{rec.DMS_id}.csv"
+            )
+            if not dms_path.exists():
+                log.emit("task_missing_input", task=task, path=str(dms_path))
+                continue
+            dms_frame = pd.read_csv(dms_path)
+            if "mutated_sequence" not in dms_frame and "mutant" in dms_frame:
+                from proteingym_tpu.data.mutants import apply_mutant
+
+                dms_frame["mutated_sequence"] = [
+                    apply_mutant(rec.target_seq, m)
+                    for m in dms_frame["mutant"]
+                ]
+            ctx = ScoreContext(
+                record=rec,
+                dms_frame=dms_frame,
+                msa_dir=Path(args.msa_dir) if args.msa_dir else None,
+                weights_dir=(
+                    Path(args.weights_dir) if args.weights_dir else None
+                ),
+                checkpoint=args.checkpoint,
+                structure_dir=(
+                    Path(args.structure_dir) if args.structure_dir else None
+                ),
+                indel_mode=args.indel_mode,
+                batch_size=args.batch_size,
+                extra={"_scorer_name": args.model,
+                       **_parse_extra(args.extra)},
+            )
+            try:
+                with log.phase("score", task=task,
+                               n_mutants=len(dms_frame)), \
+                        throughput.measure(len(dms_frame), label=task):
+                    scores = scorer(ctx)
+                scores.to_csv(out_path, index=False)
+                manifest.mark_done(task, rows=len(scores))
+            except Exception as e:  # noqa: BLE001 — per-assay isolation
+                failures += 1
+                manifest.mark_failed(task, error=repr(e))
+                log.emit("task_failed", task=task, error=repr(e))
+                if args.fail_fast:
+                    raise
+    if throughput.total_mutants:
+        log.emit("throughput_summary", **throughput.summary())
     return 1 if failures else 0
 
 
@@ -452,6 +475,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--output-dir", required=True)
     s.add_argument("--batch-size", type=int, default=32)
     s.add_argument("--indel-mode", action="store_true")
+    s.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "scoring run (TensorBoard-compatible)")
     s.add_argument("--overwrite", action="store_true")
     s.add_argument("--fail-fast", action="store_true")
     s.add_argument("--quiet", action="store_true")

@@ -177,10 +177,14 @@ def score_hmm(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
+@register_scorer("escott")
 @register_scorer("gemme")
 def score_gemme(ctx: ScoreContext) -> pd.DataFrame:
     """Native GEMME-class evolutionary-distance predictor
-    (ref gemme/compute_fitness.py wraps the external package)."""
+    (ref gemme/compute_fitness.py wraps the external package). As
+    ``escott``, the conservation signal is modulated by per-position
+    relative solvent accessibility when a structure is available (the
+    ESCOTT/PRESCOTT refinement, ref escott/compute_fitness.py)."""
     from proteingym_tpu.data.mutants import set_mutant_offset
     from proteingym_tpu.models import gemme as gemme_mod
 
@@ -192,8 +196,27 @@ def score_gemme(ctx: ScoreContext) -> pd.DataFrame:
             model, wt, remapped, mode=ctx.extra.get("mode", "combined")
         ), muts,
     )
+    name = ctx.extra.get("_scorer_name", "gemme")
+    if name == "escott" and ctx.structure_dir is not None:
+        from proteingym_tpu.data.structures import parse_pdb_backbone
+        from proteingym_tpu.models.rsalor import rsa_from_structure
+
+        for stem in (ctx.record.UniProt_ID, ctx.record.DMS_id):
+            pdb = Path(ctx.structure_dir) / f"{stem}.pdb"
+            if pdb.exists():
+                coords, _ = parse_pdb_backbone(pdb)
+                rsa = np.asarray(rsa_from_structure(coords))
+                # buried positions (low RSA) amplify the epistatic signal
+                weight = 1.0 + (1.0 - rsa)
+                pos = np.array(
+                    [int(m.split(":")[0][1:-1]) - 1 for m in muts]
+                )
+                pos = np.clip(pos, 0, len(weight) - 1)
+                scores = np.asarray(scores) * weight[pos]
+                break
     out = ctx.dms_frame.copy()
-    out["GEMME_score"] = scores
+    col = "ESCOTT_score" if name == "escott" else "GEMME_score"
+    out[col] = scores
     return out
 
 
@@ -247,10 +270,13 @@ def _score_focus_model(ctx: ScoreContext, msa, score_fn, mutants) -> np.ndarray:
     return out
 
 
+@register_scorer("deepsequence")
 @register_scorer("eve")
 def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     """EVE VAE: train from the MSA (or restore an orbax checkpoint), then
-    evol indices over MC samples (ref EVE/compute_evol_indices_DMS.py)."""
+    evol indices over MC samples (ref EVE/compute_evol_indices_DMS.py).
+    ``deepsequence`` is the same delta-ELBO family (the reference treats
+    DeepSequence as the EVE predecessor with this scoring recipe)."""
     import jax
 
     from proteingym_tpu.models import eve as eve_mod

@@ -160,9 +160,12 @@ def score_protssn(ctx: ScoreContext) -> pd.DataFrame:
     return _with_column(ctx, "ProtSSN_score", scores)
 
 
+@register_scorer("mif_st")
 @register_scorer("mif")
 def score_mif(ctx: ScoreContext) -> pd.DataFrame:
-    """MIF masked inverse folding (ref carp_mif/compute_fitness.py:31-48)."""
+    """MIF masked inverse folding (ref carp_mif/compute_fitness.py:31-48);
+    ``mif_st`` is the sequence-transfer variant (same readout, CARP-size
+    trunk per ref MIF-ST config)."""
     import jax
 
     from proteingym_tpu.models.carp import CarpConfig

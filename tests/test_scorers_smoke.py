@@ -75,6 +75,8 @@ def world(tmp_path_factory):
 FAST_EXTRA = {
     "eve": ["train_steps=30", "num_samples=50", "encoder_hidden=32",
             "decoder_hidden=32", "z_dim=4"],
+    "deepsequence": ["train_steps=30", "num_samples=50", "encoder_hidden=32",
+                     "decoder_hidden=32", "z_dim=4"],
     "potts": ["plm_steps=30"],
     "evmutation": ["plm_steps=30"],
     "vespag": ["train_steps=30"],
