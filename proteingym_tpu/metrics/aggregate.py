@@ -22,7 +22,6 @@ artifact contract is CSV, as in the reference).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Callable, Dict, List, Optional
 

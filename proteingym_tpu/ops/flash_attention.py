@@ -31,7 +31,6 @@ NEG_INF = -1e30
 
 try:  # Pallas is TPU/interpret-only; import guarded for exotic builds
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _HAVE_PALLAS = True
 except Exception:  # pragma: no cover

@@ -15,8 +15,7 @@ unit direction vectors) — dense (L, K, .) gathers as in ops/gnn.py.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
