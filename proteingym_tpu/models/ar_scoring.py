@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import weakref
+from collections import OrderedDict
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -118,16 +118,18 @@ def stable_params_fn(apply_fn: Callable, config, static_kv: Tuple = ()):
 
 # Jitted block functions cached per logits_fn OBJECT (see esm_scoring):
 # re-wrapping with jax.jit per call would recompile the full model graph on
-# every assay. Keys inside each entry: (params_mode, fusion_fn, reverse).
-_BLOCK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# every assay. Bounded LRU — the jitted value closes over its key, so a
+# weak-key mapping would never evict.
+_BLOCK_CACHE_MAX = 32
+_BLOCK_CACHE: "OrderedDict" = OrderedDict()
 
 
 def _get_block_fn(logits_fn, params_mode: bool, fusion_fn, reverse: bool,
                   legacy_fusion: bool):
-    per_fn = _BLOCK_CACHE.setdefault(logits_fn, {})
-    key = (params_mode, fusion_fn, reverse, legacy_fusion)
-    if key in per_fn:
-        return per_fn[key]
+    key = (logits_fn, params_mode, fusion_fn, reverse, legacy_fusion)
+    if key in _BLOCK_CACHE:
+        _BLOCK_CACHE.move_to_end(key)
+        return _BLOCK_CACHE[key]
 
     def body(logits, tokens, starts, ends, fargs, pad_id):
         logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -158,7 +160,9 @@ def _get_block_fn(logits_fn, params_mode: bool, fusion_fn, reverse: bool,
             return body(logits_fn(tokens), tokens, starts, ends, fargs,
                         pad_id)
 
-    per_fn[key] = block
+    _BLOCK_CACHE[key] = block
+    while len(_BLOCK_CACHE) > _BLOCK_CACHE_MAX:
+        _BLOCK_CACHE.popitem(last=False)
     return block
 
 

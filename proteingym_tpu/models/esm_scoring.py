@@ -24,7 +24,7 @@ compiled steps with zero host round-trips.
 from __future__ import annotations
 
 import math
-import weakref
+from collections import OrderedDict
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -44,14 +44,19 @@ from proteingym_tpu.models.esm2 import ALPHABET, EsmAlphabet
 # on every call would recompile the full model graph each time (~20s for
 # ESM2-650M) — the single biggest throughput bug a scoring loop can have.
 # Callers must therefore pass a STABLE callable (e.g. esm2.make_apply_fn)
-# rather than a fresh lambda per call.
-_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# rather than a fresh lambda per call. The cache is a bounded LRU (a
+# WeakKeyDictionary can never evict here: the jitted value closes over its
+# own key), so careless per-call lambdas cost recompiles but not unbounded
+# executable/weight leaks.
+_STEP_CACHE_MAX = 32
+_STEP_CACHE: "OrderedDict" = OrderedDict()
 
 
 def _cached_jit(fn, kind: str):
-    per_fn = _STEP_CACHE.setdefault(fn, {})
-    if kind in per_fn:
-        return per_fn[kind]
+    key = (fn, kind)
+    if key in _STEP_CACHE:
+        _STEP_CACHE.move_to_end(key)
+        return _STEP_CACHE[key]
     if kind == "step_params":
 
         @jax.jit
@@ -88,7 +93,9 @@ def _cached_jit(fn, kind: str):
 
     else:  # plain jitted forward
         wrapped = jax.jit(fn)
-    per_fn[kind] = wrapped
+    _STEP_CACHE[key] = wrapped
+    while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+        _STEP_CACHE.popitem(last=False)
     return wrapped
 
 
@@ -182,6 +189,20 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _pad_to_bucket(rows: np.ndarray, pad_to_multiple: Optional[int],
+                   pad_idx: Optional[int]) -> np.ndarray:
+    """Right-pad (N, T) token rows so T hits the next bucket boundary."""
+    t = rows.shape[1]
+    if pad_to_multiple is None or t % pad_to_multiple == 0:
+        return rows
+    pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
+    bucket = _round_up(t, pad_to_multiple)
+    return np.concatenate(
+        [rows, np.full((rows.shape[0], bucket - t), pad_idx, rows.dtype)],
+        axis=1,
+    )
+
+
 def masked_marginal_table(
     logits_fn,
     tokens: np.ndarray,
@@ -211,16 +232,10 @@ def masked_marginal_table(
 
     if params is not None and total <= window:
         # fast path: rows built on device from ONE (T,) upload; each chunk
-        # dispatch ships only a (chunk,) offsets vector. Matches the slow
-        # path bit-for-bit (same masked rows, same gather).
-        eff_len = total
-        if pad_to_multiple is not None and eff_len % pad_to_multiple:
-            pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
-            bucket = _round_up(eff_len, pad_to_multiple)
-            tokens = np.concatenate(
-                [tokens, np.full(bucket - eff_len, pad_idx, tokens.dtype)]
-            )
-            eff_len = bucket
+        # dispatch ships only a (chunk,) offsets vector. Same masked rows
+        # and gather as the host-built path (pad-bucketed tables differ
+        # from unpadded ones only by attention-mask float noise, ~1e-7).
+        tokens = _pad_to_bucket(tokens[None], pad_to_multiple, pad_idx)[0]
         n_pad = _round_up(total, chunk)
         offsets = np.concatenate(
             [np.arange(total, dtype=np.int32),
@@ -255,14 +270,8 @@ def masked_marginal_table(
         offsets = np.arange(total, dtype=np.int32)
         eff_len = total
 
-    if pad_to_multiple is not None and eff_len % pad_to_multiple:
-        pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
-        bucket = _round_up(eff_len, pad_to_multiple)
-        rows = np.concatenate(
-            [rows, np.full((rows.shape[0], bucket - eff_len), pad_idx,
-                           dtype=rows.dtype)], axis=1,
-        )
-        eff_len = bucket
+    rows = _pad_to_bucket(rows, pad_to_multiple, pad_idx)
+    eff_len = rows.shape[1]
 
     n_pad = _round_up(total, chunk)
     if n_pad != total:
@@ -303,11 +312,19 @@ def pseudo_ppl(
     sequence: str,
     alphabet: EsmAlphabet = ALPHABET,
     chunk: int = 32,
+    params=None,
+    pad_to_multiple: Optional[int] = None,
 ) -> float:
-    """Sum over positions of log p(x_i | x with i masked) (ref :258-279)."""
+    """Sum over positions of log p(x_i | x with i masked) (ref :258-279).
+
+    With ``params``, logits_fn is (params, tokens) -> logits; pass a stable
+    callable + bucketing so mutant sequences of mixed lengths share
+    compiled programs."""
     tokens = alphabet.tokenize(sequence)
     table = masked_marginal_table(
-        logits_fn, tokens, mask_idx=alphabet.mask_idx, chunk=chunk
+        logits_fn, tokens, mask_idx=alphabet.mask_idx, chunk=chunk,
+        params=params, pad_to_multiple=pad_to_multiple,
+        pad_idx=alphabet.padding_idx,
     )
     idx = jnp.asarray(tokens[1 : 1 + len(sequence)])
     rows = jnp.arange(1, 1 + len(sequence))
@@ -407,13 +424,18 @@ def score_assay(
             pad_idx=alphabet.padding_idx,
         )
     elif strategy == "pseudo-ppl":
-        wt_ppl = pseudo_ppl(logits_fn, sequence, alphabet, chunk=chunk)
+        fn = apply_fn if params is not None else logits_fn
+        wt_ppl = pseudo_ppl(fn, sequence, alphabet, chunk=chunk,
+                            params=params, pad_to_multiple=pad_to_multiple)
         from proteingym_tpu.data.mutants import apply_mutant
 
         out = np.zeros(len(mutants))
         for i, m in enumerate(mutants):
             mut_seq = apply_mutant(sequence, m, start_idx=offset_idx)
-            out[i] = pseudo_ppl(logits_fn, mut_seq, alphabet, chunk=chunk) - wt_ppl
+            out[i] = pseudo_ppl(
+                fn, mut_seq, alphabet, chunk=chunk, params=params,
+                pad_to_multiple=pad_to_multiple,
+            ) - wt_ppl
         return out
     else:
         raise ValueError(f"Unknown strategy: {strategy}")

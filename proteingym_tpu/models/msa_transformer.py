@@ -29,7 +29,7 @@ onto the MXU; the (R*C) token grid stays resident in HBM once per chunk.
 from __future__ import annotations
 
 import dataclasses
-import weakref
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -275,13 +275,16 @@ def tokenize_msa(
 # Masked-marginal scoring (batched over masked positions)
 # ---------------------------------------------------------------------------
 
-_MSA_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# bounded LRU — the jitted value closes over its key (see esm_scoring)
+_MSA_STEP_CACHE_MAX = 8
+_MSA_STEP_CACHE: "OrderedDict" = OrderedDict()
 
 
 def _msa_step(logits_fn, params_mode: bool):
-    per_fn = _MSA_STEP_CACHE.setdefault(logits_fn, {})
-    if params_mode in per_fn:
-        return per_fn[params_mode]
+    key = (logits_fn, params_mode)
+    if key in _MSA_STEP_CACHE:
+        _MSA_STEP_CACHE.move_to_end(key)
+        return _MSA_STEP_CACHE[key]
 
     def gather(logits, toks, offs):
         logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -299,7 +302,9 @@ def _msa_step(logits_fn, params_mode: bool):
         def step(toks, offs):
             return gather(logits_fn(toks), toks, offs)
 
-    per_fn[params_mode] = step
+    _MSA_STEP_CACHE[key] = step
+    while len(_MSA_STEP_CACHE) > _MSA_STEP_CACHE_MAX:
+        _MSA_STEP_CACHE.popitem(last=False)
     return step
 
 

@@ -164,11 +164,13 @@ def reference_mha(
     ).astype(q.dtype)
 
 
-# Below this many key/value positions the O(T^2) score tensor fits
-# comfortably on-chip and XLA's fused attention beats the Pallas flash
-# kernel (measured on v5e: 113 vs 94 TFLOP/s at T=252 on ESM2-650M);
-# flash attention pays off where memory, not math, binds.
-FLASH_MIN_SEQ_LEN = 1024
+# Below this many key/value positions XLA's fused attention beats the
+# Pallas flash kernel (measured on v5e: 113 vs 94 TFLOP/s at T=252 on
+# ESM2-650M); flash attention pays off where memory, not math, binds.
+# 512 keeps the XLA path's materialized (B, H, T, T) f32 score tensor
+# under ~0.7 GB at B=32/H=20 — above that the flash kernel's O(T*block)
+# footprint wins even though it is a little slower per FLOP.
+FLASH_MIN_SEQ_LEN = 512
 
 
 def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None):

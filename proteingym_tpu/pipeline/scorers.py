@@ -203,16 +203,23 @@ def score_gemme(ctx: ScoreContext) -> pd.DataFrame:
 
         for stem in (ctx.record.UniProt_ID, ctx.record.DMS_id):
             pdb = Path(ctx.structure_dir) / f"{stem}.pdb"
-            if pdb.exists():
+            if pdb.exists() and muts:
                 coords, _ = parse_pdb_backbone(pdb)
                 rsa = np.asarray(rsa_from_structure(coords))
-                # buried positions (low RSA) amplify the epistatic signal
+                # buried positions (low RSA) amplify the epistatic signal;
+                # multi-mutants take the mean weight over their positions
                 weight = 1.0 + (1.0 - rsa)
-                pos = np.array(
-                    [int(m.split(":")[0][1:-1]) - 1 for m in muts]
+
+                def mut_weight(m):
+                    pos = np.clip(
+                        [int(t[1:-1]) - 1 for t in m.split(":")],
+                        0, len(weight) - 1,
+                    )
+                    return float(weight[pos].mean())
+
+                scores = np.asarray(scores) * np.array(
+                    [mut_weight(m) for m in muts]
                 )
-                pos = np.clip(pos, 0, len(weight) - 1)
-                scores = np.asarray(scores) * weight[pos]
                 break
     out = ctx.dms_frame.copy()
     col = "ESCOTT_score" if name == "escott" else "GEMME_score"
@@ -275,22 +282,28 @@ def _score_focus_model(ctx: ScoreContext, msa, score_fn, mutants) -> np.ndarray:
 def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     """EVE VAE: train from the MSA (or restore an orbax checkpoint), then
     evol indices over MC samples (ref EVE/compute_evol_indices_DMS.py).
-    ``deepsequence`` is the same delta-ELBO family (the reference treats
-    DeepSequence as the EVE predecessor with this scoring recipe)."""
+    ``deepsequence`` scores with the DeepSequence-vintage architecture
+    (1500-1500 encoder, z=30, 100-500 decoder — the VAE EVE descends
+    from), same delta-ELBO recipe."""
     import jax
 
     from proteingym_tpu.models import eve as eve_mod
 
+    variant = ctx.extra.get("_scorer_name", "eve")
+    if variant == "deepsequence":
+        enc_default, dec_default, z_default = "1500,1500", "100,500", 30
+    else:
+        enc_default, dec_default, z_default = "2000,1000,300", "300,1000,2000", 50
     msa = ctx.load_msa()
     cfg = eve_mod.EveConfig(
         seq_len=msa.seq_len,
         encoder_hidden=tuple(
-            int(x) for x in str(ctx.extra.get("encoder_hidden", "2000,1000,300")).split(",")
+            int(x) for x in str(ctx.extra.get("encoder_hidden", enc_default)).split(",")
         ),
         decoder_hidden=tuple(
-            int(x) for x in str(ctx.extra.get("decoder_hidden", "300,1000,2000")).split(",")
+            int(x) for x in str(ctx.extra.get("decoder_hidden", dec_default)).split(",")
         ),
-        z_dim=int(ctx.extra.get("z_dim", 50)),
+        z_dim=int(ctx.extra.get("z_dim", z_default)),
     )
     if ctx.checkpoint:
         from proteingym_tpu.pipeline.checkpoints import restore_pytree
@@ -348,7 +361,9 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     out = ctx.dms_frame.copy()
     col = np.full(len(out), np.nan)
     col[valid] = np.asarray(scores)
-    out["evol_indices"] = col
+    name = ("DeepSequence_evol_indices" if variant == "deepsequence"
+            else "evol_indices")
+    out[name] = col
     return out
 
 

@@ -164,8 +164,9 @@ def score_protssn(ctx: ScoreContext) -> pd.DataFrame:
 @register_scorer("mif")
 def score_mif(ctx: ScoreContext) -> pd.DataFrame:
     """MIF masked inverse folding (ref carp_mif/compute_fitness.py:31-48);
-    ``mif_st`` is the sequence-transfer variant (same readout, CARP-size
-    trunk per ref MIF-ST config)."""
+    ``mif_st`` is the sequence-transfer variant — a deeper/wider trunk
+    (the ref MIF-ST couples MIF with the CARP-640M-pretrained stack) and
+    its own score column."""
     import jax
 
     from proteingym_tpu.models.carp import CarpConfig
@@ -173,15 +174,20 @@ def score_mif(ctx: ScoreContext) -> pd.DataFrame:
         mif_init, mif_score_assay, mif_structure_features,
     )
 
+    variant = ctx.extra.get("_scorer_name", "mif")
     coords = _load_structure(ctx)
-    config = CarpConfig("mif", 8, 256, max_dilation=32)
+    if variant == "mif_st":
+        config = CarpConfig("mif_st", 16, 512, max_dilation=64)
+    else:
+        config = CarpConfig("mif", 8, 256, max_dilation=32)
     feat_dim = mif_structure_features(coords).shape[1]
     params = mif_init(jax.random.PRNGKey(0), config, feat_dim)
     scores = mif_score_assay(
         params, config, coords, ctx.record.target_seq,
         ctx.dms_frame["mutant"].tolist(),
     )
-    return _with_column(ctx, "MIF_score", scores)
+    column = "MIF_ST_score" if variant == "mif_st" else "MIF_score"
+    return _with_column(ctx, column, scores)
 
 
 @register_scorer("mulan")
