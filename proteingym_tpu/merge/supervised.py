@@ -85,6 +85,14 @@ def merge_supervised(
                 keep = [key, entry.input_score_name]
                 scores = scores.copy()
                 if "normalized_targets" not in merged:
+                    if not entry.label_name or entry.label_name not in scores:
+                        raise KeyError(
+                            f"model {entry.name!r}: label_name "
+                            f"{entry.label_name!r} not found in its score "
+                            f"file (columns: {list(scores.columns)}) — the "
+                            "first merged model must carry the CV target "
+                            "column"
+                        )
                     scores = scores.rename(
                         columns={entry.label_name: "normalized_targets"}
                     )

@@ -155,14 +155,6 @@ def evaluate_benchmark(
         }
 
     summaries: Dict[str, pd.DataFrame] = {}
-    uniprot_neff = reference.uniprot_lookup("MSA_Neff_L_category")
-    uniprot_taxon = reference.uniprot_lookup("taxon").rename(
-        columns={"taxon": "Taxon"}
-    )
-    uniprot_function = reference.frame[["UniProt_ID", "coarse_selection_type"]].rename(
-        columns={"coarse_selection_type": "Selection Type"}
-    )
-
     for metric in METRICS:
         filename = f"DMS_{mutation_type}_{metric}"
         # rows = DMS_id, columns = model scores + metadata (post-transpose view)

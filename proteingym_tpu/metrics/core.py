@@ -102,8 +102,10 @@ def auc(
         valid = jnp.ones(y_bin.shape, dtype=bool)
     pos = valid & (y_bin > 0.5)
     neg = valid & (y_bin <= 0.5)
-    n_pos = jnp.sum(pos)
-    n_neg = jnp.sum(neg)
+    # counts in float: int32 products n_pos*(n_pos+1) overflow past ~46k
+    # positives (x64 is off in production; only tests enable it)
+    n_pos = jnp.sum(pos).astype(_ftype())
+    n_neg = jnp.sum(neg).astype(_ftype())
     r = average_rank(y_score, valid)
     rank_sum_pos = jnp.sum(jnp.where(pos, r, 0.0))
     val = (rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / jnp.maximum(n_pos * n_neg, 1)
@@ -135,18 +137,17 @@ def mcc(
     med = _masked_median(y_score, valid)
     pred = (y_score >= med) & valid
     t = (y_bin > 0.5) & valid
-    tp = jnp.sum(pred & t)
-    fp = jnp.sum(pred & ~t & valid)
-    fn = jnp.sum(~pred & t)
-    tn = jnp.sum(~pred & ~t & valid)
+    # counts in float: int32 tp*tn overflows (sign-flips) past ~185k rows
+    tp = jnp.sum(pred & t).astype(_ftype())
+    fp = jnp.sum(pred & ~t & valid).astype(_ftype())
+    fn = jnp.sum(~pred & t).astype(_ftype())
+    tn = jnp.sum(~pred & ~t & valid).astype(_ftype())
     num = tp * tn - fp * fn
-    den = jnp.sqrt(
-        (tp + fp).astype(_ftype())
-        * (tp + fn)
-        * (tn + fp)
-        * (tn + fn)
-    )
-    return jnp.where(den > 0, num / den, 0.0)
+    den = jnp.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    # degenerate confusion matrix -> 0.0 (sklearn convention), but a label
+    # column that is entirely NaN/absent must yield NaN, not a fake 0.0
+    val = jnp.where(den > 0, num / den, 0.0)
+    return jnp.where(jnp.sum(valid & ~jnp.isnan(y_bin)) > 0, val, jnp.nan)
 
 
 def _ordinal_ranks_desc(x, valid):

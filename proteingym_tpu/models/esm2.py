@@ -303,6 +303,12 @@ def apply(
             reps[i + 1] = x
 
     x = _layer_norm(x, params["final_ln"])
+    if return_representations:
+        # fair-esm overwrites representations[num_layers] with the
+        # POST-final-LN tensor (ref esm2.py:120-123) — downstream consumers
+        # (ProtSSN embeddings, supervised embedding baselines) expect the
+        # normalized scale
+        reps[config.num_layers] = x
 
     # Roberta LM head: dense -> gelu -> LN -> tied linear + bias
     h = _dense(x, params["lm_head"]["dense"])

@@ -375,32 +375,39 @@ def mean_elbos(
     config: EveConfig,
     onehots: np.ndarray,
     num_samples: int = 20_000,
-    chunk: int = 256,
+    chunk: int = 4,
     seed: int = 0,
 ) -> np.ndarray:
     """Mean ELBO per sequence over num_samples MC draws (ref :466-477).
 
-    The reference loops num_samples times per batch; here each chunk of
-    samples is one vmapped forward inside lax.map — sample-parallel on TPU.
+    The reference loops num_samples times per batch; here a lax.scan walks
+    small vmapped sample chunks so all num_samples draws run inside one
+    dispatch with O(chunk) memory. ``chunk`` stays small on purpose: each
+    vmapped sample materializes a full copy of the sampled Bayesian decoder
+    weights (the (L*q, hidden) output matrix alone is ~100 MB at real EVE
+    sizes), so sample-parallelism is memory-bound, while the per-sequence
+    batch dimension already feeds the MXU.
     """
     x = jnp.asarray(onehots, jnp.float32)
+    chunk = max(1, chunk)
     n_chunks = (num_samples + chunk - 1) // chunk
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chunks * chunk).reshape(
         n_chunks, chunk, -1
     )
 
     @jax.jit
-    def chunk_mean(keys_chunk):
-        def one(key):
-            elbo, _, _ = elbo_components(params, config, x, key)
-            return elbo
+    def total_elbo(p, xb, keys):
+        def body(acc, keys_chunk):
+            def one(key):
+                elbo, _, _ = elbo_components(p, config, xb, key)
+                return elbo
 
-        return jnp.mean(jax.vmap(one)(keys_chunk), axis=0)
+            return acc + jnp.sum(jax.vmap(one)(keys_chunk), axis=0), None
 
-    total = jnp.zeros(x.shape[0])
-    for i in range(n_chunks):
-        total = total + chunk_mean(keys[i])
-    return np.asarray(total / n_chunks)
+        acc, _ = jax.lax.scan(body, jnp.zeros(xb.shape[0]), keys)
+        return acc
+
+    return np.asarray(total_elbo(params, x, keys)) / (n_chunks * chunk)
 
 
 def evol_indices(
@@ -409,7 +416,7 @@ def evol_indices(
     wt_onehot: np.ndarray,
     mut_onehots: np.ndarray,
     num_samples: int = 20_000,
-    chunk: int = 256,
+    chunk: int = 4,
     seed: int = 0,
 ) -> np.ndarray:
     """evol_index = -(mean_ELBO(mut) - mean_ELBO(wt)) (ref :478-481).

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from proteingym_tpu.data.mutants import mutations_to_arrays, parse_mutant
+from proteingym_tpu.data.mutants import parse_mutant
 
 
 @dataclasses.dataclass
@@ -227,18 +227,22 @@ def read_plmc_model(path: str | Path, precision: str = "float32") -> PottsModel:
         index_list = np.fromfile(f, "int32", L)
         f_i = np.fromfile(f, precision, L * q).reshape(L, q)
         h_i = np.fromfile(f, precision, L * q).reshape(L, q)
-        f_ij = np.zeros((L, L, q, q), dtype=np.float64)
-        for i in range(L - 1):
-            for j in range(i + 1, L):
-                blk = np.fromfile(f, precision, q * q).reshape(q, q)
-                f_ij[i, j] = blk
-                f_ij[j, i] = blk.T
-        J_ij = np.zeros((L, L, q, q), dtype=np.float64)
-        for i in range(L - 1):
-            for j in range(i + 1, L):
-                blk = np.fromfile(f, precision, q * q).reshape(q, q)
-                J_ij[i, j] = blk
-                J_ij[j, i] = blk.T
+        # upper-triangle (i<j) blocks in row-major pair order; one bulk read
+        # per tensor instead of L*(L-1)/2 tiny fromfile calls
+        iu, ju = np.triu_indices(L, k=1)
+        n_pairs = iu.shape[0]
+
+        def read_pair_tensor():
+            blocks = np.fromfile(f, precision, n_pairs * q * q).reshape(
+                n_pairs, q, q
+            )
+            out = np.zeros((L, L, q, q), dtype=np.float64)
+            out[iu, ju] = blocks
+            out[ju, iu] = np.transpose(blocks, (0, 2, 1))
+            return out
+
+        f_ij = read_pair_tensor()
+        J_ij = read_pair_tensor()
     model = PottsModel(
         h=h_i.astype(np.float64),
         J=J_ij,
@@ -299,7 +303,11 @@ def train_site_independent(
     pseudocount: float = 0.5,
     theta: float = 0.2,
 ) -> PottsModel:
-    """Weighted single-site frequency model: h = log((1-pc)*f + pc/q).
+    """Weighted single-site frequency model:
+    h = log((1-lam)*f + lam/q) with lam = pseudocount/Neff — a
+    Jeffreys-style prior whose strength is relative to the effective
+    sample size, so deep alignments stay data-driven while unobserved
+    residues keep finite fields.
 
     matrix: (N, L) int codes over ``alphabet``; weights: (N,) cluster weights.
     """
@@ -324,8 +332,8 @@ def train_site_independent(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("q",))
-def _plm_loss(params, onehot, weights, lambda_h, lambda_j, q):
+@jax.jit
+def _plm_loss(params, onehot, weights, lambda_h, lambda_j):
     """Weighted pseudolikelihood of a Potts model with L2 regularization.
 
     onehot: (N, L, q). Conditional logits for site i given the rest:
@@ -382,7 +390,7 @@ def train_potts_plm(
 
     def step(params, opt_state):
         loss, grads = jax.value_and_grad(
-            lambda p: _plm_loss(p, onehot, w, lambda_h, lambda_j, q)
+            lambda p: _plm_loss(p, onehot, w, lambda_h, lambda_j)
         )(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)

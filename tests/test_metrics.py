@@ -173,3 +173,32 @@ def test_assay_metrics_padded_equals_unpadded(rng):
     padded = assay_metrics(yp, bp, sp, valid)
     for k in base:
         assert float(padded[k]) == pytest.approx(base[k], abs=1e-10), k
+
+
+class TestLargeAssayOverflow:
+    """int32 count products overflowed on 100k+-mutant assays when x64 is
+    off (the production default; conftest enables x64, so these tests
+    locally disable it)."""
+
+    def test_auc_mcc_large_assay_x64_off(self):
+        import jax
+        from sklearn.metrics import matthews_corrcoef, roc_auc_score
+
+        from proteingym_tpu.metrics.core import auc, mcc
+
+        rs = np.random.RandomState(0)
+        n = 500_000
+        y = rs.randint(0, 2, n).astype(np.float64)
+        s = y + rs.normal(0, 5, n)
+        with jax.enable_x64(False):
+            got_auc = float(auc(y, s))
+            got_mcc = float(mcc(y, s))
+        assert abs(got_auc - roc_auc_score(y, s)) < 1e-4
+        pred = (s >= np.median(s)).astype(int)
+        assert abs(got_mcc - matthews_corrcoef(y, pred)) < 1e-4
+
+    def test_mcc_all_nan_labels_is_nan(self):
+        from proteingym_tpu.metrics.core import mcc
+
+        rs = np.random.RandomState(1)
+        assert np.isnan(float(mcc(np.full(64, np.nan), rs.normal(size=64))))
