@@ -158,9 +158,13 @@ def download_resources(
             )
         filename, sha, _raw = table[name]
         extract_dir = cache / name
-        if extract_dir.exists() and not force:
+        done_marker = extract_dir / ".pgym_complete"
+        # only a COMPLETE extraction counts — a bare directory may be the
+        # debris of an interrupted unzip and must be redone
+        if done_marker.exists() and not force:
             out[name] = [
-                str(p) for p in extract_dir.rglob("*") if p.is_file()
+                str(p) for p in extract_dir.rglob("*")
+                if p.is_file() and p.name != ".pgym_complete"
             ]
             log.info("skipping %s (already extracted)", name)
             continue
@@ -168,6 +172,7 @@ def download_resources(
         archive = fetch_file(url, cache / filename, expected_sha256=sha,
                              force=force)
         out[name] = unzip(archive, extract_dir)
+        done_marker.write_text("")
         if remove_zip:
             archive.unlink(missing_ok=True)
     return out

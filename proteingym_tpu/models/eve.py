@@ -439,7 +439,10 @@ def onehot_mutants(
         aa_to_idx = {a: i for i, a in enumerate(alphabet)}
     q = len(alphabet)
     out = np.zeros((len(mutants), len(focus_codes), q), dtype=np.float32)
-    base = np.eye(q, dtype=np.float32)[focus_codes]
+    # indeterminate focus letters carry code -1 -> all-zero one-hot row
+    base = np.zeros((len(focus_codes), q), dtype=np.float32)
+    known = np.asarray(focus_codes) >= 0
+    base[known, np.asarray(focus_codes)[known]] = 1.0
     for i, m in enumerate(mutants):
         x = base.copy()
         for f, pos, t in parse_mutant(m):

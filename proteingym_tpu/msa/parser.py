@@ -43,6 +43,13 @@ _CODE_TABLE = _build_code_table()
 
 def encode_alignment(sequences: List[str]) -> np.ndarray:
     """Vectorized char->code mapping: (N, L) int8 matrix."""
+    lengths = {len(s) for s in sequences}
+    if len(lengths) > 1:
+        raise ValueError(
+            "ragged alignment: sequences have lengths "
+            f"{sorted(lengths)[:5]}… — align/pad rows to equal length "
+            "first (raw A3M insertions must be removed or upper-cased)"
+        )
     buf = np.frombuffer("".join(sequences).encode("latin-1"), dtype=np.uint8)
     return _CODE_TABLE[buf].reshape(len(sequences), -1)
 
@@ -80,12 +87,15 @@ class MSA:
         return float(np.sum(self.weights))
 
     def one_hot(self, dtype=np.float32) -> np.ndarray:
-        """(N, L, 20) one-hot over the ungapped alphabet; gaps are all-zero
-        (ref msa_utils.py:258-272)."""
+        """(N, L, 20) one-hot over the ungapped alphabet; gaps AND
+        indeterminate codes (the force-kept focus row may contain X/B/Z/U,
+        code 21) are all-zero rows (ref msa_utils.py:258-272: letters
+        outside the alphabet get no one-hot channel)."""
         n, length = self.matrix.shape
-        out = np.zeros((n, length, len(ALPHABET_PROTEIN_NOGAP)), dtype=dtype)
+        q = len(ALPHABET_PROTEIN_NOGAP)
+        out = np.zeros((n, length, q), dtype=dtype)
         aa = self.matrix.astype(np.int32) - 1  # gap -> -1
-        rows, cols = np.nonzero(aa >= 0)
+        rows, cols = np.nonzero((aa >= 0) & (aa < q))
         out[rows, cols, aa[rows, cols]] = 1.0
         return out
 

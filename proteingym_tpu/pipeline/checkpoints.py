@@ -51,6 +51,12 @@ def load_esm_checkpoint(spec: str) -> Tuple[Any, Any]:
     """
     from proteingym_tpu.models import esm2
 
+    if spec is None:
+        raise ValueError(
+            "esm scoring needs --checkpoint: a preset name (random init, "
+            f"e.g. one of {sorted(esm2.PRESETS)}), '<preset>:<path.pt>', a "
+            "fair-esm .pt file, or a 'pgym convert' output directory"
+        )
     if spec in esm2.PRESETS:
         import jax
 
@@ -71,7 +77,15 @@ def load_esm_checkpoint(spec: str) -> Tuple[Any, Any]:
         return esm2.convert_torch_state_dict(state, config), config
     with open(path / "config.json") as f:
         cfg = json.load(f)
-    config = esm2.EsmConfig(**cfg)
+    if cfg.get("preset") in esm2.PRESETS:  # pgym convert sidecar
+        config = esm2.PRESETS[cfg["preset"]]
+    else:
+        import dataclasses as _dc
+
+        fields = {f.name for f in _dc.fields(esm2.EsmConfig)}
+        config = esm2.EsmConfig(
+            **{k: v for k, v in cfg.items() if k in fields}
+        )
     return restore_pytree(path / "params"), config
 
 

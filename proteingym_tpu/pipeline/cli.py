@@ -98,31 +98,34 @@ def cmd_score(args) -> int:
             if not dms_path.exists():
                 log.emit("task_missing_input", task=task, path=str(dms_path))
                 continue
-            dms_frame = pd.read_csv(dms_path)
-            if "mutated_sequence" not in dms_frame and "mutant" in dms_frame:
-                from proteingym_tpu.data.mutants import apply_mutant
+            try:  # per-assay isolation covers input loading too: a bad CSV
+                # or WT-mismatched mutant must not abort the other assays
+                dms_frame = pd.read_csv(dms_path)
+                if ("mutated_sequence" not in dms_frame
+                        and "mutant" in dms_frame):
+                    from proteingym_tpu.data.mutants import apply_mutant
 
-                dms_frame["mutated_sequence"] = [
-                    apply_mutant(rec.target_seq, m)
-                    for m in dms_frame["mutant"]
-                ]
-            ctx = ScoreContext(
-                record=rec,
-                dms_frame=dms_frame,
-                msa_dir=Path(args.msa_dir) if args.msa_dir else None,
-                weights_dir=(
-                    Path(args.weights_dir) if args.weights_dir else None
-                ),
-                checkpoint=args.checkpoint,
-                structure_dir=(
-                    Path(args.structure_dir) if args.structure_dir else None
-                ),
-                indel_mode=args.indel_mode,
-                batch_size=args.batch_size,
-                extra={"_scorer_name": args.model,
-                       **_parse_extra(args.extra)},
-            )
-            try:
+                    dms_frame["mutated_sequence"] = [
+                        apply_mutant(rec.target_seq, m)
+                        for m in dms_frame["mutant"]
+                    ]
+                ctx = ScoreContext(
+                    record=rec,
+                    dms_frame=dms_frame,
+                    msa_dir=Path(args.msa_dir) if args.msa_dir else None,
+                    weights_dir=(
+                        Path(args.weights_dir) if args.weights_dir else None
+                    ),
+                    checkpoint=args.checkpoint,
+                    structure_dir=(
+                        Path(args.structure_dir) if args.structure_dir
+                        else None
+                    ),
+                    indel_mode=args.indel_mode,
+                    batch_size=args.batch_size,
+                    extra={"_scorer_name": args.model,
+                           **_parse_extra(args.extra)},
+                )
                 with log.phase("score", task=task,
                                n_mutants=len(dms_frame)), \
                         throughput.measure(len(dms_frame), label=task):
@@ -404,7 +407,8 @@ def cmd_convert(args) -> int:
     if fam == "esm":
         from proteingym_tpu.models import esm2 as m
 
-        params = m.convert_torch_state_dict(sd(), m.PRESETS[preset])
+        config = m.PRESETS[preset]
+        params = m.convert_torch_state_dict(sd(), config)
     elif fam == "msa_transformer":
         from proteingym_tpu.models import msa_transformer as m
 
@@ -413,37 +417,54 @@ def cmd_convert(args) -> int:
     elif fam == "esmc":
         from proteingym_tpu.models import esmc as m
 
-        params = m.convert_torch_state_dict(sd(), m.PRESETS[preset])
+        config = m.PRESETS[preset]
+        params = m.convert_torch_state_dict(sd(), config)
     elif fam == "tranception":
         from proteingym_tpu.models import tranception as m
 
-        params = m.convert_torch_state_dict(sd(), m.PRESETS[preset])
+        config = m.PRESETS[preset]
+        params = m.convert_torch_state_dict(sd(), config)
     elif fam == "poet":
         from proteingym_tpu.models import poet as m
 
-        params = m.convert_torch_state_dict(sd(), m.POET_PRESETS[preset])
+        config = m.POET_PRESETS[preset]
+        params = m.convert_torch_state_dict(sd(), config)
     elif fam == "protein_mpnn":
         from proteingym_tpu.models import protein_mpnn as m
 
-        params = m.convert_torch_state_dict(sd(), m.MpnnConfig())
+        config = m.MpnnConfig()
+        params = m.convert_torch_state_dict(sd(), config)
     elif fam == "progen2":
         from proteingym_tpu.models import ar_zoo as m
 
-        params = m.progen2_convert_torch_state_dict(
-            sd(), m.PROGEN2_PRESETS[preset]
-        )
+        config = m.PROGEN2_PRESETS[preset]
+        params = m.progen2_convert_torch_state_dict(sd(), config)
     elif fam == "rita":
         from proteingym_tpu.models import ar_zoo as m
 
-        params = m.rita_convert_torch_state_dict(sd(), m.RITA_PRESETS[preset])
+        config = m.RITA_PRESETS[preset]
+        params = m.rita_convert_torch_state_dict(sd(), config)
     elif fam == "unirep":
         from proteingym_tpu.models import unirep as m
 
-        params = m.convert_tf_weights(args.checkpoint, m.UniRepConfig())
+        config = m.UniRepConfig()
+        params = m.convert_tf_weights(args.checkpoint, config)
     else:  # pragma: no cover — argparse choices guard this
         raise ValueError(fam)
-    save_pytree(params, args.output)
-    print(f"converted {fam}/{preset} -> {args.output}")
+    # layout the loaders expect: <out>/params (orbax) + config.json sidecar
+    import dataclasses as _dc
+    import json as _json
+
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    save_pytree(params, out / "params")
+    sidecar = {"family": fam, "preset": preset}
+    if _dc.is_dataclass(config):
+        for k, v in _dc.asdict(config).items():
+            if isinstance(v, (int, float, str, bool, type(None), list, tuple)):
+                sidecar[k] = list(v) if isinstance(v, tuple) else v
+    (out / "config.json").write_text(_json.dumps(sidecar, indent=1))
+    print(f"converted {fam}/{preset} -> {out} (params/ + config.json)")
     return 0
 
 

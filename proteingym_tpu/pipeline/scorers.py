@@ -84,14 +84,48 @@ class ScoreContext:
         return (self.record.MSA_start or 1) - 1
 
 
-def _mutant_offset_to_msa(ctx: ScoreContext, mutants) -> list:
-    """Shift mutants from DMS coords into MSA-region coords
-    (ref utils/scoring_utils.py:54-76)."""
-    from proteingym_tpu.data.mutants import set_mutant_offset
+def resolve_zoo_checkpoint(spec, presets: dict, default_preset: str,
+                           init_fn, config_cls=None):
+    """Resolve a --checkpoint spec for a preset-based model family.
 
-    if ctx.record.MSA_start in (None, 1):
-        return list(mutants)
-    return [set_mutant_offset(m, ctx.record.MSA_start) for m in mutants]
+    None -> default preset, RANDOM init (documented smoke/test behavior);
+    preset name -> that preset, random init; an existing 'pgym convert'
+    output directory (params/ + config.json) -> restored weights; anything
+    else raises instead of silently scoring with random weights.
+    Returns (config, params)."""
+    import jax
+
+    if not spec:
+        config = presets[default_preset]
+        return config, init_fn(jax.random.PRNGKey(0), config)
+    if spec in presets:
+        config = presets[spec]
+        return config, init_fn(jax.random.PRNGKey(0), config)
+    p = Path(spec)
+    if (p / "params").exists():
+        from proteingym_tpu.pipeline.checkpoints import restore_pytree
+
+        config = presets[default_preset]
+        cfg_file = p / "config.json"
+        if cfg_file.exists():
+            import dataclasses as _dc
+            import json as _json
+
+            meta = _json.loads(cfg_file.read_text())
+            preset = meta.get("preset")
+            if preset in presets:
+                config = presets[preset]
+            elif config_cls is not None:
+                fields = {f.name for f in _dc.fields(config_cls)}
+                kw = {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in meta.items() if k in fields}
+                if kw:
+                    config = config_cls(**kw)
+        return config, restore_pytree(p / "params")
+    raise ValueError(
+        f"Unknown checkpoint {spec!r}: not a preset "
+        f"({sorted(presets)}) and not a converted checkpoint directory"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +239,17 @@ def score_gemme(ctx: ScoreContext) -> pd.DataFrame:
             pdb = Path(ctx.structure_dir) / f"{stem}.pdb"
             if pdb.exists() and muts:
                 coords, _ = parse_pdb_backbone(pdb)
+                if coords.shape[0] != len(ctx.record.target_seq):
+                    # the parser drops incomplete residues and carries no
+                    # residue numbering — a length mismatch means DMS
+                    # positions cannot be trusted to index the RSA array,
+                    # so fall back to unmodulated GEMME scores
+                    print(
+                        f"escott/{ctx.record.DMS_id}: structure length "
+                        f"{coords.shape[0]} != target {len(ctx.record.target_seq)}; "
+                        "skipping RSA modulation"
+                    )
+                    break
                 rsa = np.asarray(rsa_from_structure(coords))
                 # buried positions (low RSA) amplify the epistatic signal;
                 # multi-mutants take the mean weight over their positions
@@ -249,9 +294,13 @@ def score_siterm(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
-def _score_focus_model(ctx: ScoreContext, msa, score_fn, mutants) -> np.ndarray:
+def _score_focus_model(ctx: ScoreContext, msa, score_fn, mutants,
+                       require_alphabet: str | None = None) -> np.ndarray:
     """Remap DMS-coordinate mutants into trimmed-focus coordinates and run
-    ``score_fn(wt_focus_seq, remapped_mutants)``; unmappable mutants -> NaN."""
+    ``score_fn(wt_focus_seq, remapped_mutants)``; unmappable mutants -> NaN.
+
+    ``require_alphabet`` additionally invalidates mutants whose from/to
+    letters fall outside it (models with a fixed 20-AA vocabulary)."""
     from proteingym_tpu.data.mutants import parse_mutant
 
     msa_start = ctx.record.MSA_start or 1
@@ -264,6 +313,10 @@ def _score_focus_model(ctx: ScoreContext, msa, score_fn, mutants) -> np.ndarray:
             for f, pos, t in parse_mutant(m):
                 fi = col_to_focus[pos - msa_start]
                 if wt[fi] != f:
+                    raise KeyError(m)
+                if require_alphabet is not None and (
+                    f not in require_alphabet or t not in require_alphabet
+                ):
                     raise KeyError(m)
                 toks.append(f"{f}{fi + 1}{t}")
             remapped.append(":".join(toks))
@@ -322,45 +375,32 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     # (positions outside focus columns are unscorable -> NaN, as in the
     # reference's focus-col filtering)
     alphabet = "ACDEFGHIKLMNPQRSTVWY"
+    # indeterminate focus letters (X/B/Z/U) become all-zero one-hot rows
+    # downstream (code -1), matching MSA.one_hot's handling
+    aa_idx = {a: i for i, a in enumerate(alphabet)}
     focus_codes = np.asarray(
-        [alphabet.index(c) for c in msa.focus_seq_trimmed.upper()]
+        [aa_idx.get(c, -1) for c in msa.focus_seq_trimmed.upper()]
     )
-    msa_start = ctx.record.MSA_start or 1
-    col_to_focus = {
-        int(c): i for i, c in enumerate(np.asarray(msa.focus_cols))
-    }
-    from proteingym_tpu.data.mutants import parse_mutant
+    wt_onehot = np.zeros((len(focus_codes), len(alphabet)), np.float32)
+    known = focus_codes >= 0
+    wt_onehot[known, focus_codes[known]] = 1.0
 
-    remapped, valid = [], []
-    for m in ctx.dms_frame["mutant"].tolist():
-        try:
-            toks = []
-            for f, pos, t in parse_mutant(m):
-                fi = col_to_focus[pos - msa_start]
-                if alphabet[focus_codes[fi]] != f or t not in alphabet:
-                    raise KeyError(m)
-                toks.append(f"{f}{fi + 1}{t}")
-            remapped.append(":".join(toks))
-            valid.append(True)
-        except (KeyError, ValueError, IndexError):
-            remapped.append(None)
-            valid.append(False)
-    valid = np.asarray(valid)
-    onehots = eve_mod.onehot_mutants(
-        focus_codes, [m for m in remapped if m is not None], alphabet
-    )
-    wt_onehot = np.eye(len(alphabet), dtype=np.float32)[focus_codes]
-    scores = eve_mod.evol_indices(
-        params,
-        cfg,
-        wt_onehot,
-        onehots,
-        num_samples=int(ctx.extra.get("num_samples", 2000)),
-        seed=int(ctx.extra.get("seed", 42)),
+    def score_fn(wt, remapped):
+        onehots = eve_mod.onehot_mutants(focus_codes, remapped, alphabet)
+        return eve_mod.evol_indices(
+            params,
+            cfg,
+            wt_onehot,
+            onehots,
+            num_samples=int(ctx.extra.get("num_samples", 2000)),
+            seed=int(ctx.extra.get("seed", 42)),
+        )
+
+    col = _score_focus_model(
+        ctx, msa, score_fn, ctx.dms_frame["mutant"].tolist(),
+        require_alphabet=alphabet,
     )
     out = ctx.dms_frame.copy()
-    col = np.full(len(out), np.nan)
-    col[valid] = np.asarray(scores)
     name = ("DeepSequence_evol_indices" if variant == "deepsequence"
             else "evol_indices")
     out[name] = col
@@ -683,13 +723,12 @@ def score_protein_mpnn(ctx: ScoreContext) -> pd.DataFrame:
 @register_scorer("poet")
 def score_poet(ctx: ScoreContext) -> pd.DataFrame:
     """PoET family-conditioned AR scoring (ref PoET/scripts/score.py)."""
-    import jax
-
     from proteingym_tpu.models import poet
 
-    config = poet.POET_PRESETS.get(ctx.checkpoint or "poet_200m",
-                                   poet.PoetConfig())
-    params = poet.init_params(jax.random.PRNGKey(0), config)
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, poet.POET_PRESETS, "poet_tiny", poet.init_params,
+        config_cls=poet.PoetConfig,
+    )
     msa = ctx.load_msa()
     scores = poet.score_assay_poet(
         params,

@@ -41,13 +41,13 @@ def _with_column(ctx: ScoreContext, column: str, scores) -> pd.DataFrame:
 @register_scorer("carp")
 def score_carp(ctx: ScoreContext) -> pd.DataFrame:
     """CARP ByteNet conv LM marginals (ref carp_mif/compute_fitness.py)."""
-    import jax
-
     from proteingym_tpu.models import carp
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    preset = ctx.checkpoint or "carp_600k"
-    config = carp.CARP_PRESETS.get(preset, carp.CARP_PRESETS["carp_600k"])
-    params = carp.init_params(jax.random.PRNGKey(0), config)
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, carp.CARP_PRESETS, "carp_600k", carp.init_params,
+        config_cls=carp.CarpConfig,
+    )
     scores = carp.score_assay(
         params, config, ctx.record.target_seq,
         ctx.dms_frame["mutant"].tolist(),
@@ -61,13 +61,13 @@ def score_carp(ctx: ScoreContext) -> pd.DataFrame:
 @register_scorer("esm3")
 def score_esmc(ctx: ScoreContext) -> pd.DataFrame:
     """ESM-C / ESM3-open sequence scoring (ref evoscale/compute_fitness.py)."""
-    import jax
-
     from proteingym_tpu.models import esmc
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    preset = ctx.checkpoint or "esmc_300m"
-    config = esmc.PRESETS.get(preset, esmc.PRESETS["esmc_300m"])
-    params = esmc.init_params(jax.random.PRNGKey(0), config)
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, esmc.PRESETS, "esmc_300m", esmc.init_params,
+        config_cls=esmc.EsmcConfig,
+    )
     scores = esmc.score_assay(
         params, config, ctx.record.target_seq,
         ctx.dms_frame["mutant"].tolist(),
@@ -81,13 +81,13 @@ def score_esmc(ctx: ScoreContext) -> pd.DataFrame:
 def score_xtrimo(ctx: ScoreContext) -> pd.DataFrame:
     """xTrimoPGLM GLM scoring, MLM or AR branch
     (ref xtrimopglm/compute_fitness.py)."""
-    import jax
-
     from proteingym_tpu.models import xtrimo
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    preset = ctx.checkpoint or "xtrimopglm_1b"
-    config = xtrimo.PRESETS.get(preset, xtrimo.PRESETS["xtrimopglm_1b"])
-    params = xtrimo.init_params(jax.random.PRNGKey(0), config)
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, xtrimo.PRESETS, "xtrimopglm_1b", xtrimo.init_params,
+        config_cls=xtrimo.XtrimoConfig,
+    )
     scores = xtrimo.score_assay(
         params, config, ctx.record.target_seq,
         ctx.dms_frame["mutant"].tolist(),

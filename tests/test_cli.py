@@ -208,11 +208,21 @@ def test_convert_esm_roundtrip(tmp_path):
                "--checkpoint", str(tmp_path / "m.pt"),
                "--output", str(tmp_path / "out")])
     assert rc == 0
-    params = restore_pytree(tmp_path / "out")
+    # layout contract: params/ + config.json, loadable by the scorers
+    assert (tmp_path / "out" / "config.json").exists()
+    params = restore_pytree(tmp_path / "out" / "params")
     direct = esm2.convert_torch_state_dict(sd, cfg)
     import jax
 
     for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # full round trip: the converted directory loads through the esm path
+    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+
+    loaded, config = load_esm_checkpoint(str(tmp_path / "out"))
+    assert config.name == cfg.name
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
                     jax.tree_util.tree_leaves(direct)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 

@@ -11,9 +11,7 @@ from proteingym_tpu.data.mutants import (
 )
 from proteingym_tpu.data.windows import (
     get_optimal_window,
-    overlapping_windows,
     sliding_windows,
-    stitch_window_scores,
 )
 
 
@@ -72,23 +70,3 @@ def test_get_optimal_window():
     assert (s, e) == (450, 550)
 
 
-def test_overlapping_windows_cover_sequence():
-    wins = overlapping_windows(2500, 1022, 511)
-    covered = np.zeros(2500, dtype=bool)
-    for s, e in wins:
-        assert e - s == 1022
-        covered[s:e] = True
-    assert covered.all()
-
-
-def test_sliding_windows():
-    wins = sliding_windows(250, 100)
-    assert wins == [(0, 100), (100, 200), (200, 250)]
-
-
-def test_stitch_window_scores_constant():
-    # stitching constant tables must return the constant
-    wins = overlapping_windows(300, 128, 64)
-    tables = [np.full((e - s, 4), 3.0) for s, e in wins]
-    out = stitch_window_scores(300, wins, tables)
-    np.testing.assert_allclose(out, 3.0, rtol=1e-9)
