@@ -125,13 +125,14 @@ _BLOCK_CACHE: "OrderedDict" = OrderedDict()
 
 
 def _get_block_fn(logits_fn, params_mode: bool, fusion_fn, reverse: bool,
-                  legacy_fusion: bool):
-    key = (logits_fn, params_mode, fusion_fn, reverse, legacy_fusion)
+                  legacy_fusion: bool, per_row_fusion: bool = False):
+    key = (logits_fn, params_mode, fusion_fn, reverse, legacy_fusion,
+           per_row_fusion)
     if key in _BLOCK_CACHE:
         _BLOCK_CACHE.move_to_end(key)
         return _BLOCK_CACHE[key]
 
-    def body(logits, tokens, starts, ends, fargs, pad_id):
+    def body(logits, tokens, starts, ends, fargs, pad_id, tids):
         logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         targets = tokens[:, 1:]
         shift_logps = logps[:, :-1]
@@ -139,6 +140,9 @@ def _get_block_fn(logits_fn, params_mode: bool, fusion_fn, reverse: bool,
             if legacy_fusion:  # closure-style callable (priors are constants)
                 shift_logps = fusion_fn(shift_logps, targets, starts, ends,
                                         reverse)
+            elif per_row_fusion:  # indel: per-row realigned prior tables
+                shift_logps = fusion_fn(fargs, shift_logps, targets, starts,
+                                        ends, reverse, tids)
             else:  # Fusion: prior tables flow as jit arguments
                 shift_logps = fusion_fn(fargs, shift_logps, targets, starts,
                                         ends, reverse)
@@ -149,16 +153,16 @@ def _get_block_fn(logits_fn, params_mode: bool, fusion_fn, reverse: bool,
     if params_mode:
 
         @jax.jit
-        def block(p, tokens, starts, ends, fargs, pad_id):
+        def block(p, tokens, starts, ends, fargs, pad_id, tids):
             return body(logits_fn(p, tokens), tokens, starts, ends, fargs,
-                        pad_id)
+                        pad_id, tids)
 
     else:
 
         @jax.jit
-        def block(tokens, starts, ends, fargs, pad_id):
+        def block(tokens, starts, ends, fargs, pad_id, tids):
             return body(logits_fn(tokens), tokens, starts, ends, fargs,
-                        pad_id)
+                        pad_id, tids)
 
     _BLOCK_CACHE[key] = block
     while len(_BLOCK_CACHE) > _BLOCK_CACHE_MAX:
@@ -178,8 +182,12 @@ def batched_ar_loglik(
     window_ends: Optional[np.ndarray] = None,
     reverse: bool = False,
     params=None,
+    fusion_row_tables: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Teacher-forced log-likelihood of each token row.
+
+    ``fusion_row_tables`` (indel retrieval): per-row index into the
+    per-sequence realigned prior stack of a Fusion(per_row=True).
 
     token_rows: list of 1-D int arrays (already including special tokens).
     Returns sum_t log p(x_t | x_<t) over t >= 1 (the first token is pure
@@ -201,14 +209,17 @@ def batched_ar_loglik(
     buckets = _length_buckets(lengths, bucket_granularity)
     out = np.zeros(n, dtype=np.float64)
 
-    fusion_fn, fargs, legacy = None, (), False
+    fusion_fn, fargs, legacy, per_row = None, (), False, False
     if fusion is not None:
         if hasattr(fusion, "fn") and hasattr(fusion, "args"):
             fusion_fn, fargs = fusion.fn, fusion.args
+            per_row = bool(getattr(fusion, "per_row", False))
         else:
             fusion_fn, legacy = fusion, True
+    if per_row and fusion_row_tables is None:
+        raise ValueError("per-row fusion requires fusion_row_tables")
     block_loglik = _get_block_fn(
-        logits_fn, params is not None, fusion_fn, reverse, legacy
+        logits_fn, params is not None, fusion_fn, reverse, legacy, per_row
     )
     pad = jnp.asarray(pad_id, jnp.int32)
 
@@ -216,6 +227,8 @@ def batched_ar_loglik(
         window_starts = np.zeros(n, dtype=np.int32)
     if window_ends is None:
         window_ends = lengths.astype(np.int32)
+    if fusion_row_tables is None:
+        fusion_row_tables = np.zeros(n, dtype=np.int32)
 
     order = np.argsort(buckets, kind="stable")
     i = 0
@@ -237,6 +250,7 @@ def batched_ar_loglik(
             jnp.asarray(window_ends[blk_idx], dtype=jnp.int32),
             fargs,
             pad,
+            jnp.asarray(fusion_row_tables[blk_idx], dtype=jnp.int32),
         )
         if params is not None:
             lls = block_loglik(params, *call_args)
@@ -264,11 +278,14 @@ def score_mutants_ar(
     indel_mode: bool = False,
     fusion: Optional[Callable] = None,
     params=None,
+    fusion_table_of: Optional[Dict[str, int]] = None,
 ) -> pd.DataFrame:
     """Full AR scoring pipeline with mirroring and per-window WT deltas.
 
     With ``params``, logits_fn / reverse_logits_fn are (params, tokens) ->
     logits and the weights flow as jit arguments (see batched_ar_loglik).
+    ``fusion_table_of`` maps each mutated_sequence to its realigned-prior
+    table index for a Fusion(per_row=True) (indel retrieval).
 
     Mirrors ref model_pytorch.py:878-928: L->R pass (+ R->L pass on
     reversed strings using ``reverse_logits_fn`` or the same model), window
@@ -301,6 +318,12 @@ def score_mutants_ar(
             window_ends=np.asarray([p.window_end for p in plans], np.int32),
             reverse=reverse,
             params=params,
+            fusion_row_tables=(
+                None if fusion_table_of is None else np.asarray(
+                    [fusion_table_of[p.mutated_sequence] for p in plans],
+                    np.int32,
+                )
+            ),
         )
         frame = pd.DataFrame(
             {

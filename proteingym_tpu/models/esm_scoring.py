@@ -402,7 +402,10 @@ def score_assay(
     across assays (use esm2.make_apply_fn) or every assay recompiles."""
     tokens = alphabet.tokenize(sequence)
     if strategy == "wt-marginals":
-        if tokens.shape[0] > window and scoring_window == "overlapping":
+        if tokens.shape[0] > window:
+            # the reference ALWAYS windows long sequences for wt-marginals
+            # (ref :435-473); an unwindowed forward would silently clamp
+            # position embeddings / blow the context
             table = wt_marginal_table_overlapping(
                 logits_fn, tokens, window=window, params=params,
                 apply_fn=apply_fn,

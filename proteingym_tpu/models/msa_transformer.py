@@ -286,21 +286,34 @@ def _msa_step(logits_fn, params_mode: bool):
         _MSA_STEP_CACHE.move_to_end(key)
         return _MSA_STEP_CACHE[key]
 
-    def gather(logits, toks, offs):
+    def gather(logits, n, offs):
         logps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return logps[jnp.arange(toks.shape[0]), 0, offs]  # (chunk, V)
+        return logps[jnp.arange(n), 0, offs]  # (chunk, V)
 
-    if params_mode:
+    if params_mode == "build":
+        # grids BUILT ON DEVICE from one (R, C) upload per seed: each grid
+        # is the base MSA with a single first-row token masked, so shipping
+        # `total` host-built copies (GBs for deep MSAs) is pure waste
+        @jax.jit
+        def step(p, base, offs, mask_val):
+            chunk_ = offs.shape[0]
+            grids = jnp.broadcast_to(
+                base, (chunk_, base.shape[0], base.shape[1])
+            )
+            grids = grids.at[jnp.arange(chunk_), 0, offs].set(mask_val)
+            return gather(logits_fn(p, grids), chunk_, offs)
+
+    elif params_mode:
 
         @jax.jit
         def step(p, toks, offs):
-            return gather(logits_fn(p, toks), toks, offs)
+            return gather(logits_fn(p, toks), toks.shape[0], offs)
 
     else:
 
         @jax.jit
         def step(toks, offs):
-            return gather(logits_fn(toks), toks, offs)
+            return gather(logits_fn(toks), toks.shape[0], offs)
 
     _MSA_STEP_CACHE[key] = step
     while len(_MSA_STEP_CACHE) > _MSA_STEP_CACHE_MAX:
@@ -324,6 +337,22 @@ def masked_marginal_table_msa(
     mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
     msa_tokens = np.asarray(msa_tokens)
     r, total = msa_tokens.shape
+
+    if params is not None and total <= window:
+        # fast path: one (R, C) upload, masked grids built on device
+        n_pad = ((total + chunk - 1) // chunk) * chunk
+        offsets = np.concatenate(
+            [np.arange(total, dtype=np.int32),
+             np.zeros(n_pad - total, np.int32)]
+        ).reshape(n_pad // chunk, chunk)
+        step = _msa_step(logits_fn, "build")
+        base = jnp.asarray(msa_tokens)
+        mask_val = jnp.asarray(mask_idx, msa_tokens.dtype)
+        parts = [
+            step(params, base, jnp.asarray(offsets[i]), mask_val)
+            for i in range(offsets.shape[0])
+        ]
+        return jnp.concatenate(parts, axis=0)[:total]
 
     if total > window:
         grids = np.zeros((total, r, window), dtype=msa_tokens.dtype)

@@ -307,29 +307,45 @@ def score_queries(
     batch_size: int = 8,
 ) -> np.ndarray:
     """log p(query | context) summed over query tokens (incl. stop)."""
-    tokens, segments, positions, valid, qmask = build_rows(context, queries)
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+    from proteingym_tpu.models.esm_scoring import _cached_jit
 
-    @jax.jit
-    def block(tok, seg, pos, val, qm):
-        logits = apply(params, c, tok, seg, pos, val)
-        logps = jax.nn.log_softmax(logits, axis=-1)
-        targets = tok[:, 1:]
-        ll = jnp.take_along_axis(logps[:, :-1], targets[..., None], -1)[..., 0]
-        return jnp.sum(jnp.where(qm[:, 1:], ll, 0.0), axis=1)
+    tokens, segments, positions, valid, qmask = build_rows(context, queries)
+    # compile-once convention: weights flow as jit ARGUMENTS through a
+    # cached block keyed on the stable per-config callable (a nested
+    # @jax.jit would recompile the full PoET stack per call with the
+    # weights baked in as constants)
+    apply_fn = stable_params_fn(_score_apply, c)
+    block = _cached_jit(apply_fn, "fwd_params")
 
     out = np.zeros(len(queries))
+    # pad the final partial batch so every block shares one compiled shape
     for s in range(0, len(queries), batch_size):
         e = min(s + batch_size, len(queries))
-        out[s:e] = np.asarray(
-            block(
-                jnp.asarray(tokens[s:e]),
-                jnp.asarray(segments[s:e]),
-                jnp.asarray(positions[s:e]),
-                jnp.asarray(valid[s:e]),
-                jnp.asarray(qmask[s:e]),
-            )
+        pad = batch_size - (e - s)
+
+        def pick(arr):
+            blk = arr[s:e]
+            if pad:
+                blk = np.concatenate([blk, np.repeat(blk[-1:], pad, 0)])
+            return jnp.asarray(blk)
+
+        lls = block(
+            params,
+            (pick(tokens), pick(segments), pick(positions), pick(valid),
+             pick(qmask)),
         )
+        out[s:e] = np.asarray(lls)[: e - s]
     return out
+
+
+def _score_apply(params, c: PoetConfig, batch):
+    tok, seg, pos, val, qm = batch
+    logits = apply(params, c, tok, seg, pos, val)
+    logps = jax.nn.log_softmax(logits, axis=-1)
+    targets = tok[:, 1:]
+    ll = jnp.take_along_axis(logps[:, :-1], targets[..., None], -1)[..., 0]
+    return jnp.sum(jnp.where(qm[:, 1:], ll, 0.0), axis=1)
 
 
 def score_assay_poet(

@@ -42,7 +42,6 @@ NEG_INF = -np.inf
 
 def hamming_filter(
     sequences: Sequence[str],
-    weights: Optional[np.ndarray] = None,
     min_similarity: float = 0.2,
 ) -> List[int]:
     """Indices of sequences with Hamming similarity >= min_similarity to the
@@ -322,12 +321,21 @@ class Fusion:
     tables and mixture weights live in ``args`` and flow through jit as
     ARGUMENTS, so scoring 217 assays with 217 different MSA/EVE priors
     shares ONE compiled program per input shape (closing over the priors
-    would recompile the transformer per assay)."""
+    would recompile the transformer per assay).
+
+    ``per_row=True`` marks an indel-mode fusion whose prior is a STACK of
+    per-sequence realigned tables; the AR harness then threads a per-row
+    table index into ``fn(args, ..., reverse, table_ids)``."""
 
     fn: Callable
     args: Dict[str, Any]
+    per_row: bool = False
 
-    def __call__(self, shift_logps, targets, starts, ends, reverse):
+    def __call__(self, shift_logps, targets, starts, ends, reverse,
+                 table_ids=None):
+        if self.per_row:
+            return self.fn(self.args, shift_logps, targets, starts, ends,
+                           reverse, table_ids)
         return self.fn(self.args, shift_logps, targets, starts, ends, reverse)
 
 
@@ -378,6 +386,109 @@ def _fuse(args, shift_logps, targets, starts, ends, reverse):
     return jnp.where(mask & aa_cols, mixed, shift_logps)
 
 
+def _fuse_per_row(args, shift_logps, targets, starts, ends, reverse,
+                  table_ids):
+    """Indel-mode fusion: each row fuses against ITS OWN realigned prior
+    (the Clustal-role realignment, ref tranception msa_utils.py:141-192) —
+    positions are mutant-frame, so a shared WT-frame table would misalign
+    everything after the first indel."""
+    msa_lp = args["msa_lp"]  # (n_tables, Lp, V)
+    eve_lp = args.get("eve_lp")
+    alpha, beta = args["alpha"], args.get("beta", 0.0)
+    n_special = args["n_special"]
+    vocab = msa_lp.shape[-1]
+
+    T = shift_logps.shape[1]
+    t_idx = jnp.arange(T)[None, :]
+    if reverse:
+        pos = ends[:, None] - 1 - t_idx
+    else:
+        pos = starts[:, None] + t_idx
+    row_start = args["msa_start"][table_ids][:, None]
+    row_end = args["msa_end"][table_ids][:, None]
+    in_range = (pos >= row_start) & (pos < row_end)
+    is_aa = targets >= n_special
+    mask = (in_range & is_aa)[..., None]
+    pos_c = jnp.clip(pos, 0, msa_lp.shape[1] - 1)
+    tables = msa_lp[table_ids]  # (B, Lp, V)
+    msa_rows = jnp.take_along_axis(tables, pos_c[..., None], axis=1)
+
+    aa_cols = (jnp.arange(vocab) >= n_special)[None, None, :]
+    live = jnp.any(msa_rows != 0.0, axis=-1, keepdims=True)
+    mask = mask & live
+    mixed = (1.0 - alpha) * shift_logps + alpha * msa_rows
+    if eve_lp is not None:
+        eve_rows = jnp.take_along_axis(
+            eve_lp[table_ids], pos_c[..., None], axis=1
+        )
+        finite = jnp.isfinite(eve_rows)
+        beta_eff = jnp.where(finite, beta, 0.0)
+        safe_eve = jnp.where(finite, eve_rows, 0.0)
+        mixed = (1.0 - beta_eff) * mixed + beta_eff * safe_eve
+    return jnp.where(mask & aa_cols, mixed, shift_logps)
+
+
+def make_indel_fusion(
+    msa_log_prior: np.ndarray,
+    msa_start: int,
+    msa_end: int,
+    alpha: float,
+    target_seq: str,
+    sequences: Sequence[str],
+    eve_prior: Optional[np.ndarray] = None,
+    beta: float = 0.0,
+    n_special: int = 5,
+):
+    """Per-sequence realigned indel fusion.
+
+    Realigns the WT-frame prior(s) to every unique mutated sequence via
+    the native Gotoh aligner (deletions drop prior rows, insertions get
+    AR-only rows), stacks them padded to a shared bucket, and returns
+    (Fusion(per_row=True), {sequence: table_id}).
+    """
+    ref_region = target_seq[msa_start:msa_end]
+    uniq = list(dict.fromkeys(list(sequences) + [target_seq]))
+    msa_tabs, eve_tabs, starts_v, ends_v = [], [], [], []
+    for seq in uniq:
+        lp, s0, e0 = update_msa_prior_indel(
+            msa_log_prior, msa_start, msa_end, ref_region, seq
+        )
+        msa_tabs.append(lp)
+        starts_v.append(s0)
+        ends_v.append(e0)
+        if eve_prior is not None:
+            ev, _, _ = update_msa_prior_indel(
+                eve_prior, msa_start, msa_end, ref_region, seq
+            )
+            # inserted rows must be EVE-excluded (-inf -> beta masked),
+            # not zero (zero is a valid log-prob row for EVE)
+            ev = ev.copy()
+            ev[~np.any(msa_tabs[-1] != 0.0, axis=-1)] = -np.inf
+            eve_tabs.append(ev)
+    L_pad = 64 * ((max(t.shape[0] for t in msa_tabs) + 63) // 64)
+    vocab = msa_log_prior.shape[1]
+
+    def stack(tabs, fill=0.0):
+        out = np.full((len(tabs), L_pad, vocab), fill)
+        for i, t in enumerate(tabs):
+            out[i, : t.shape[0]] = t
+        return out
+
+    args = {
+        "msa_lp": jnp.asarray(stack(msa_tabs), jnp.float32),
+        "msa_start": jnp.asarray(starts_v, jnp.int32),
+        "msa_end": jnp.asarray(ends_v, jnp.int32),
+        "alpha": jnp.asarray(alpha, jnp.float32),
+        "n_special": jnp.asarray(n_special, jnp.int32),
+    }
+    if eve_prior is not None:
+        args["eve_lp"] = jnp.asarray(stack(eve_tabs, fill=-np.inf),
+                                     jnp.float32)
+        args["beta"] = jnp.asarray(beta, jnp.float32)
+    table_of = {seq: i for i, seq in enumerate(uniq)}
+    return Fusion(fn=_fuse_per_row, args=args, per_row=True), table_of
+
+
 def make_fusion(
     msa_log_prior: np.ndarray,
     msa_start: int,
@@ -388,7 +499,19 @@ def make_fusion(
     n_special: int = 5,
 ) -> Fusion:
     """Build a Fusion for ar_scoring.batched_ar_loglik (also directly
-    callable as f(shift_logps, targets, starts, ends, reverse))."""
+    callable as f(shift_logps, targets, starts, ends, reverse)).
+
+    The prior's length dim is padded up to a multiple of 64 so assays of
+    similar protein length share ONE compiled block program (token rows
+    are already bucketed; an unpadded (full_len, V) arg would force a
+    recompile per distinct protein length). Padded rows sit outside
+    [msa_start, msa_end) and are masked by in_range, never read."""
+    msa_log_prior = np.asarray(msa_log_prior)
+    pad = (-msa_log_prior.shape[0]) % 64
+    if pad:
+        msa_log_prior = np.pad(msa_log_prior, [(0, pad), (0, 0)])
+        if eve_prior is not None:
+            eve_prior = np.pad(np.asarray(eve_prior), [(0, pad), (0, 0)])
     args = {
         "msa_lp": jnp.asarray(msa_log_prior, dtype=jnp.float32),
         "msa_start": jnp.asarray(msa_start, jnp.int32),

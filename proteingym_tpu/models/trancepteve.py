@@ -49,14 +49,20 @@ class RetrievalConfig:
 def transformer_wt_mean_logprob(
     logits_fn: Callable,
     target_seq: str,
-    region: slice,
+    msa_start: int,
+    msa_end: int,
     n_special: int = 5,
 ) -> float:
-    """Mean WT log-prob over [region, AA cols], averaged over both reading
+    """Mean WT log-prob over the MSA overlap, averaged over both reading
     directions (ref trancepteve/model_pytorch.py:889-892). Used as the
-    recalibration target."""
+    recalibration target. In the reversed pass, shift-frame position t
+    predicts residue L-1-t, so the overlap [s, e) maps to [L-e, L-s)."""
+    L = len(target_seq)
     means = []
-    for seq in (target_seq, target_seq[::-1]):
+    for seq, region in (
+        (target_seq, slice(msa_start, msa_end)),
+        (target_seq[::-1], slice(L - msa_end, L - msa_start)),
+    ):
         tokens = jnp.asarray(VOCAB.tokenize(seq)[None, :])
         logps = jax.nn.log_softmax(
             logits_fn(tokens).astype(jnp.float32), axis=-1
@@ -83,10 +89,17 @@ def build_priors(
     [rcfg.msa_start, rcfg.msa_end) of the target sequence.
     """
     full_len = len(target_seq)
+    # filter ONCE; the filtered depth also drives the alpha/beta tables
+    # (ref uses the processed-MSA depth for both weights)
+    keep = retrieval.hamming_filter(msa_sequences)
+    msa_sequences = [msa_sequences[i] for i in keep]
+    if msa_weights is not None:
+        msa_weights = np.asarray(msa_weights)[keep]
     msa_lp = retrieval.log_msa_prior(
-        msa_sequences, msa_weights, rcfg.msa_start, rcfg.msa_end, full_len
+        msa_sequences, msa_weights, rcfg.msa_start, rcfg.msa_end, full_len,
+        filter_msa=False,
     )
-    msa_depth = len(retrieval.hamming_filter(msa_sequences))
+    msa_depth = len(msa_sequences)
     alpha = (
         rcfg.alpha
         if rcfg.alpha is not None
@@ -105,7 +118,7 @@ def build_priors(
             full_len,
             num_samples=eve_num_samples,
         )
-        eve_depth = len(msa_sequences)
+        eve_depth = len(msa_sequences)  # Hamming-filtered above
         beta = (
             rcfg.beta
             if rcfg.beta is not None
@@ -114,7 +127,9 @@ def build_priors(
 
     if rcfg.recalibrate and logits_fn is not None:
         region = slice(rcfg.msa_start, rcfg.msa_end)
-        target = transformer_wt_mean_logprob(logits_fn, target_seq, region)
+        target = transformer_wt_mean_logprob(
+            logits_fn, target_seq, rcfg.msa_start, rcfg.msa_end
+        )
         msa_lp = msa_lp.copy()
         msa_lp[region, 5:] = retrieval.recalibrate_log_prior(
             msa_lp[region, 5:], target
@@ -148,16 +163,31 @@ def score_trancepteve(
 
     logits_fn = stable_params_fn(apply, config)
 
-    fusion = None
+    fusion, table_of = None, None
     if msa_log_prior is not None and rcfg is not None:
-        fusion = retrieval.make_fusion(
-            msa_log_prior,
-            rcfg.msa_start,
-            rcfg.msa_end,
-            alpha,
-            eve_prior=eve_log_prior,
-            beta=beta,
-        )
+        if indel_mode:
+            # realign the prior(s) to EACH mutated sequence (the Clustal
+            # Omega role, ref tranception msa_utils.py:141-192): indels
+            # shift mutant-frame positions away from the WT-frame table
+            fusion, table_of = retrieval.make_indel_fusion(
+                msa_log_prior,
+                rcfg.msa_start,
+                rcfg.msa_end,
+                alpha,
+                target_seq,
+                mutated_sequences,
+                eve_prior=eve_log_prior,
+                beta=beta,
+            )
+        else:
+            fusion = retrieval.make_fusion(
+                msa_log_prior,
+                rcfg.msa_start,
+                rcfg.msa_end,
+                alpha,
+                eve_prior=eve_log_prior,
+                beta=beta,
+            )
 
     return score_mutants_ar(
         logits_fn,
@@ -172,4 +202,5 @@ def score_trancepteve(
         indel_mode=indel_mode,
         fusion=fusion,
         params=params,
+        fusion_table_of=table_of,
     )

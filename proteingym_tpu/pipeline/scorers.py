@@ -453,16 +453,24 @@ def score_msa_transformer(ctx: ScoreContext) -> pd.DataFrame:
     else:
         params = mt.init_params(jax.random.PRNGKey(0), config)
     msa = ctx.load_msa()
-    scores = mt.score_assay_msa_transformer(
-        params,
-        config,
-        ctx.record.target_seq,
+    # the masked-marginal table lives in trimmed-FOCUS-COLUMN coordinates
+    # (the sampled rows are focus-trimmed), so DMS-coordinate mutants must
+    # be remapped before indexing it — full-sequence positions would read
+    # rows shifted by MSA_start and silently clamp past MSA_end
+    scores = _score_focus_model(
+        ctx, msa,
+        lambda wt, remapped: mt.score_assay_msa_transformer(
+            params,
+            config,
+            wt,
+            remapped,
+            msa.sequences(),
+            msa.weights,
+            nseq=int(ctx.extra.get("msa_samples", 384)),
+            seeds=tuple(range(1, 1 + int(ctx.extra.get("num_seeds", 5)))),
+            chunk=max(1, ctx.batch_size // 8),
+        ),
         ctx.dms_frame["mutant"].tolist(),
-        msa.sequences(),
-        msa.weights,
-        nseq=int(ctx.extra.get("msa_samples", 384)),
-        seeds=tuple(range(1, 1 + int(ctx.extra.get("num_seeds", 5)))),
-        chunk=max(1, ctx.batch_size // 8),
     )
     out = ctx.dms_frame.copy()
     out["esm_msa1b_ensemble"] = scores

@@ -72,3 +72,53 @@ class TestIndelRealignment:
         # row 4 untouched; other in-range rows fused
         np.testing.assert_allclose(got[0, 4], shift[0, 4], atol=1e-6)
         assert not np.allclose(got[0, 3], shift[0, 3])
+
+
+class TestPerRowIndelFusion:
+    def test_make_indel_fusion_tables_and_scoring(self):
+        """End-to-end: per-sequence realigned priors flow through the AR
+        harness, and a deletion shifts which prior rows fuse (the tail of
+        the mutant must fuse against shifted, not WT-frame, rows)."""
+        import jax
+
+        from proteingym_tpu.models import trancepteve as te
+        from proteingym_tpu.models.tranception import TranceptionConfig, init_params
+
+        rs = np.random.RandomState(0)
+        target = "MKLVAGDEFWHCRTYPQNSA"
+        muts = [target[:7] + target[8:],            # deletion at pos 8
+                target[:5] + "A" + target[5:]]      # insertion at pos 6
+        prior = np.log(
+            rs.dirichlet(np.ones(20), len(target)) + 1e-9
+        )
+        full = np.zeros((len(target), 25))
+        full[:, 5:] = prior
+        fusion, table_of = retrieval.make_indel_fusion(
+            full, 0, len(target), alpha=0.5, target_seq=target,
+            sequences=muts,
+        )
+        assert fusion.per_row
+        assert set(table_of) == set(muts) | {target}
+        # deletion table: one fewer live row; insertion: AR-only row added
+        tabs = np.asarray(fusion.args["msa_lp"])
+        ends = np.asarray(fusion.args["msa_end"])
+        assert ends[table_of[muts[0]]] == len(target) - 1
+        assert ends[table_of[muts[1]]] == len(target) + 1
+        # exactly one AR-only (all-zero) row inside the live region — the
+        # aligner may place the insertion at either of the ambiguous 'A'
+        # positions, so check presence, not index
+        ins_tab = tabs[table_of[muts[1]]][: ends[table_of[muts[1]]]]
+        zero_rows = np.where(~np.any(ins_tab != 0.0, axis=-1))[0]
+        assert len(zero_rows) == 1
+
+        config = TranceptionConfig("tiny", 2, 64, 4)
+        params = init_params(jax.random.PRNGKey(0), config)
+        frame = te.score_trancepteve(
+            params, config, ["d8", "i6"], muts, target,
+            rcfg=te.RetrievalConfig(retrieval_type="Tranception",
+                                    msa_start=0, msa_end=len(target),
+                                    indel_mode=True),
+            msa_log_prior=full, alpha=0.5, scoring_mirror=True,
+            batch_size=4, indel_mode=True,
+        )
+        assert np.isfinite(frame["avg_score"]).all()
