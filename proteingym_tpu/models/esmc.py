@@ -189,8 +189,17 @@ def apply(params, c: EsmcConfig, tokens: jnp.ndarray) -> jnp.ndarray:
         x = x + ffn_out / c.residue_scaling
 
     x = _ln(x, params["final_ln"])
-    return jnp.dot(
-        x.astype(jnp.float32), params["head"], preferred_element_type=jnp.float32
+    x = x.astype(jnp.float32)
+    if "head_dense" in params:
+        # SDK RegressionHead: Linear -> GELU -> LayerNorm -> Linear(d, V)
+        # (a single-matrix head would silently misread converted weights)
+        x = jnp.dot(x, params["head_dense"],
+                    preferred_element_type=jnp.float32) + params["head_dense_b"]
+        x = jax.nn.gelu(x, approximate=False)
+        x = _ln(x, params["head_ln"])
+    return (
+        jnp.dot(x, params["head"], preferred_element_type=jnp.float32)
+        + params.get("head_b", 0.0)
     )
 
 
@@ -209,11 +218,18 @@ def score_assay(
     )
 
     from proteingym_tpu.models.ar_scoring import stable_params_fn
+    from proteingym_tpu.models.esm_scoring import wt_marginal_table_overlapping
 
     apply_fn = stable_params_fn(apply, c)
     tokens = ALPHABET.tokenize(sequence)
     if strategy == "wt-marginals":
-        table = wt_marginal_table(apply_fn, tokens, params=params)
+        if tokens.shape[0] > window:  # stitched windows, as in the ref SDK
+            table = wt_marginal_table_overlapping(
+                apply_fn, tokens, window=window, params=params,
+                apply_fn=apply_fn,
+            )
+        else:
+            table = wt_marginal_table(apply_fn, tokens, params=params)
     else:
         table = masked_marginal_table(
             apply_fn, tokens,
@@ -248,15 +264,20 @@ def convert_torch_state_dict(state_dict, c: EsmcConfig):
     params = {
         "embed": jnp.asarray(get("embed.weight")),
         "final_ln": ln("transformer.norm", bias=False),
-        "head": jnp.asarray(
-            get(
-                "sequence_head.0.weight"
-                if maybe("sequence_head.0.weight")
-                else "lm_head.weight"
-            ).T
-        ),
         "layers": [],
     }
+    if maybe("sequence_head.0.weight"):
+        # SDK RegressionHead is a 4-module stack: Linear(d,d) -> GELU ->
+        # LayerNorm -> Linear(d, out); collapsing it to one matrix would
+        # produce (B, T, d)-shaped "logits" and meaningless scores
+        params["head_dense"] = jnp.asarray(get("sequence_head.0.weight").T)
+        params["head_dense_b"] = jnp.asarray(get("sequence_head.0.bias"))
+        params["head_ln"] = ln("sequence_head.2")
+        params["head"] = jnp.asarray(get("sequence_head.3.weight").T)
+        if maybe("sequence_head.3.bias"):
+            params["head_b"] = jnp.asarray(get("sequence_head.3.bias"))
+    else:
+        params["head"] = jnp.asarray(get("lm_head.weight").T)
     for i in range(c.num_layers):
         lp = f"transformer.blocks.{i}"
         params["layers"].append(

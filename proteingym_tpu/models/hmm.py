@@ -120,8 +120,13 @@ def build_profile_hmm(
 
 
 def _encode(seq: str) -> np.ndarray:
+    """Canonical AAs -> 0..19; degenerate residues (X/B/Z/U...) -> 20
+    (emitted from the background, log-odds 0, as HMMER does); -1 is
+    RESERVED for batch padding (freezes the recursion)."""
     idx = {a: i for i, a in enumerate(AA_ORDER)}
-    return np.asarray([idx.get(c.upper(), -1) for c in seq], dtype=np.int32)
+    return np.asarray(
+        [idx.get(c.upper(), len(AA_ORDER)) for c in seq], dtype=np.int32
+    )
 
 
 def _lse(a, b):
@@ -178,8 +183,11 @@ def forward_logprob(
     def step(carry, tok):
         begin, ins0, m, i, d = carry
         is_pad = tok < 0
-        tok_c = jnp.maximum(tok, 0)
-        emit_m = e_m[:, tok_c] - bg[tok_c]  # log-odds match emission
+        is_degen = tok >= e_m.shape[1]  # X/B/Z/U: background emission
+        tok_c = jnp.clip(tok, 0, e_m.shape[1] - 1)
+        # log-odds match emission; degenerate residues contribute 0
+        # (emitted from the background) but still advance the recursion
+        emit_m = jnp.where(is_degen, 0.0, e_m[:, tok_c] - bg[tok_c])
 
         new_ins0 = _lse(begin + log_i_open, ins0 + log_i_ext)
         entry_m1 = _lse(begin + b_m1, ins0 + log_i_exit)

@@ -78,11 +78,15 @@ def score_assay_prosst(
 
     from proteingym_tpu.models.structure_plms import _conditioned_esm_apply_fn
 
+    tokens = esm2.ALPHABET.tokenize(sequence)
     table = masked_marginal_table(
         _conditioned_esm_apply_fn(esm_config),
-        esm2.ALPHABET.tokenize(sequence),
+        tokens,
         mask_idx=esm2.ALPHABET.mask_idx,
         chunk=chunk,
         params=(params, cond),
+        # full-length window: sliced rows would misalign the structure
+        # conditioning, which apply() always adds from position 0
+        window=len(tokens),
     )
     return score_mutants_from_table(table, mutants, sequence)

@@ -203,11 +203,16 @@ def encode(params, c: MpnnConfig, coords: jnp.ndarray):
     h_e = _dense(e, params["W_e"])
 
     for layer in params["encoder"]:
+        # slot order matches the reference's cat_neighbors_nodes layout
+        # [h_V_i, h_E, h_V_j] (ref protein_mpnn_utils: h_EV = cat([h_E,
+        # gather(h_V)]), then cat([h_V_expand, h_EV])) — converted
+        # checkpoints multiply these slots with trained weights, so a
+        # permutation scores garbage with no shape error
         h_ev = jnp.concatenate(
             [
                 jnp.broadcast_to(h_v[:, None], h_e.shape[:2] + (c.hidden_dim,)),
-                _gather_nodes(h_v, e_idx),
                 h_e,
+                _gather_nodes(h_v, e_idx),
             ],
             -1,
         )
@@ -251,13 +256,16 @@ def decode(
     )
     attend = (rank[e_idx] < rank[:, None])[..., None]  # (L, K, 1)
 
-    h_es = jnp.concatenate([_gather_nodes(h_s, e_idx), h_e], -1)
-    h_ex_enc = jnp.concatenate([jnp.zeros_like(_gather_nodes(h_s, e_idx)), h_e], -1)
-    h_exv_enc = jnp.concatenate([_gather_nodes(h_v, e_idx), h_ex_enc], -1)
+    # reference layouts: h_ES = [h_E, h_S_j]; h_EX_enc = [h_E, 0];
+    # h_EXV_enc = [h_E, 0, h_V_j]; per-layer input = [h_V_i, h_E, h_S_j,
+    # h_V_j] (ref cat_neighbors_nodes puts neighbors-first, gathered last)
+    h_es = jnp.concatenate([h_e, _gather_nodes(h_s, e_idx)], -1)
+    h_ex_enc = jnp.concatenate([h_e, jnp.zeros_like(_gather_nodes(h_s, e_idx))], -1)
+    h_exv_enc = jnp.concatenate([h_ex_enc, _gather_nodes(h_v, e_idx)], -1)
     h_exv_enc_fw = (1.0 - attend) * h_exv_enc
 
     for layer in params["decoder"]:
-        h_esv = jnp.concatenate([_gather_nodes(h_v, e_idx), h_es], -1)
+        h_esv = jnp.concatenate([h_es, _gather_nodes(h_v, e_idx)], -1)
         h_esv = attend * h_esv + h_exv_enc_fw
         h_in = jnp.concatenate(
             [jnp.broadcast_to(h_v[:, None], h_esv.shape[:2] + (c.hidden_dim,)),

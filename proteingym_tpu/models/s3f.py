@@ -86,11 +86,14 @@ def _relational_neighbors(L: int, ca: jnp.ndarray, k: int):
         v[:, 0] = ok
         valid.append(v)
     spatial = np.asarray(knn_graph(ca, k))
-    if spatial.shape[1] < k:  # tiny proteins
-        pad = np.tile(spatial[:, :1], (1, k - spatial.shape[1]))
+    spatial_valid = np.ones((L, k), bool)
+    if spatial.shape[1] < k:  # tiny proteins: pad, but do NOT double-count
+        pad_n = k - spatial.shape[1]
+        spatial_valid[:, spatial.shape[1]:] = False
+        pad = np.tile(spatial[:, :1], (1, pad_n))
         spatial = np.concatenate([spatial, pad], 1)
     rels.append(spatial)
-    valid.append(np.ones((L, k), bool))
+    valid.append(spatial_valid)
     return jnp.asarray(np.stack(rels)), jnp.asarray(np.stack(valid))
 
 

@@ -42,7 +42,8 @@ AA20 = "ACDEFGHIKLMNPQRSTVWY"
 
 def cherry_pairs(matrix: np.ndarray, max_pairs: Optional[int] = None
                  ) -> List[Tuple[int, int]]:
-    """Greedy min-Hamming pairing of rows; each row used at most once."""
+    """Greedy min-Hamming pairing of rows; each row used at most once.
+    O(N^2 L) — callers must subsample deep MSAs first (fit_siterm does)."""
     n = matrix.shape[0]
     nongap = matrix > 0
     sim = np.zeros((n, n))
@@ -165,10 +166,24 @@ def fit_siterm(
     weights: Optional[np.ndarray] = None,
     t: float = 1.0,
     max_pairs: Optional[int] = None,
+    max_sequences: int = 2048,
+    seed: int = 0,
 ) -> SiteRmModel:
+    """Site frequencies use the FULL alignment; the O(N^2 L) cherry
+    pairing runs on a (weighted) subsample of ``max_sequences`` rows — a
+    100k-row MSA would otherwise build a 20+ GB similarity matrix."""
     pi = estimate_site_frequencies(matrix, weights)
-    pairs = cherry_pairs(matrix, max_pairs=max_pairs)
-    mu = fit_site_rates(matrix, pi, pairs, t=t)
+    pair_matrix = matrix
+    if matrix.shape[0] > max_sequences:
+        rs = np.random.RandomState(seed)
+        p = None
+        if weights is not None:
+            w = np.asarray(weights, np.float64)
+            p = w / w.sum()
+        idx = rs.choice(matrix.shape[0], max_sequences, replace=False, p=p)
+        pair_matrix = matrix[idx]
+    pairs = cherry_pairs(pair_matrix, max_pairs=max_pairs)
+    mu = fit_site_rates(pair_matrix, pi, pairs, t=t)
     return SiteRmModel(pi=pi, mu=mu, t=t)
 
 

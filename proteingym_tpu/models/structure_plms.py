@@ -167,12 +167,17 @@ def mulan_score_assay(params, esm_config, coords: np.ndarray, sequence: str,
     cond_full = jnp.zeros((len(sequence) + 2, esm_config.embed_dim))
     cond_full = cond_full.at[1 : 1 + len(sequence)].set(cond)
 
+    tokens = esm2.ALPHABET.tokenize(sequence)
     table = masked_marginal_table(
         _conditioned_esm_apply_fn(esm_config),
-        esm2.ALPHABET.tokenize(sequence),
+        tokens,
         mask_idx=esm2.ALPHABET.mask_idx,
         chunk=chunk,
         params=(params, cond_full),
+        # full-length window: the trunk is rotary (no position table) and
+        # sliced windows would misalign the per-position conditioning,
+        # which apply() always adds from position 0
+        window=len(tokens),
     )
     return score_mutants_from_table(table, mutants, sequence)
 

@@ -113,8 +113,8 @@ def score_assay(
         batch_size=batch_size,
         params=params,
     )
-    order = {s: i for i, s in enumerate(mutated_sequences)}
-    frame = frame.sort_values(
-        by="mutated_sequence", key=lambda col: col.map(order)
-    )
-    return frame["avg_score"].to_numpy()
+    # map back by sequence: the AR harness dedups identical
+    # mutated_sequences, so positional alignment would shift every score
+    # after a duplicate row
+    score_of = dict(zip(frame["mutated_sequence"], frame["avg_score"]))
+    return np.asarray([score_of[s] for s in mutated_sequences])

@@ -257,7 +257,12 @@ extern "C" void pgym_hmm_forward(const int32_t* tokens, int64_t n, int64_t T,
                                       i[j - 1] + aIM[j - 1]),
                                  d[j - 1] + aDM[j - 1]);
                 }
-                nm[j] = log_e_match[j * 20 + tok] - log_bg[tok] + entry;
+                // degenerate residues (tok >= 20) emit from the background:
+                // log-odds 0, recursion still advances (HMMER convention)
+                const double emit = tok >= 20
+                    ? 0.0
+                    : log_e_match[j * 20 + tok] - log_bg[tok];
+                nm[j] = emit + entry;
                 ni[j] = lse2(m[j] + aMI[j], i[j] + aII[j]);
             }
             nd[0] = NEG;

@@ -150,3 +150,30 @@ class TestSemantics:
         h1 = build_profile_hmm(mat, w_flat)
         h2 = build_profile_hmm(mat, w_skew)
         assert not np.allclose(h1.log_e_match, h2.log_e_match)
+
+
+def test_degenerate_residues_score_as_background():
+    """X/B/Z residues emit from the background (log-odds 0) but still
+    advance the recursion — they must NOT freeze it like padding, and the
+    JAX and C++ paths must agree."""
+    import numpy as np
+
+    from proteingym_tpu.models import hmm as hmm_mod
+
+    rs = np.random.RandomState(0)
+    msa = ["".join("ACDEFGHIKLMNPQRSTVWY"[i] for i in rs.randint(0, 20, 12))
+           for _ in range(8)]
+    mat = np.stack([hmm_mod._encode(s) for s in msa])
+    model = hmm_mod.build_profile_hmm(mat)
+    clean = msa[0]
+    with_x = clean[:5] + "X" + clean[6:]
+    s_clean = hmm_mod.score_sequences(model, [clean])[0]
+    s_x = hmm_mod.score_sequences(model, [with_x])[0]
+    assert np.isfinite(s_x)
+    # replacing one residue with X removes exactly that residue's
+    # information: score must move, and NOT equal the frozen-recursion
+    # value of the 11-residue truncated sequence
+    truncated = clean[:5] + clean[6:]
+    s_trunc = hmm_mod.score_sequences(model, [truncated])[0]
+    assert s_x != s_clean
+    assert abs(s_x - s_trunc) > 1e-6
