@@ -413,26 +413,42 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
 
 @register_scorer("esm")
 def score_esm(ctx: ScoreContext) -> pd.DataFrame:
-    """ESM2/ESM-1v masked-marginal scoring (ref esm/compute_fitness.py:282-543)."""
+    """ESM2/ESM-1v masked-marginal scoring (ref esm/compute_fitness.py:282-543).
+
+    ``--extra ensemble=spec1,spec2,...`` scores each checkpoint and
+    averages (the ESM-1v 5-seed ensemble, ref :530-542); otherwise the
+    single --checkpoint spec is scored. Each spec follows
+    load_esm_checkpoint (preset | '<preset>:<path.pt>' | converted dir).
+    """
     from proteingym_tpu.models import esm2 as esm_mod
     from proteingym_tpu.models.esm_scoring import score_assay
     from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
 
-    params, config = load_esm_checkpoint(ctx.checkpoint)
-
-    apply_fn = esm_mod.make_apply_fn(config)
-    scores = score_assay(
-        lambda tokens: esm_mod.apply(params, config, tokens),
-        ctx.record.target_seq,
-        ctx.dms_frame["mutant"].tolist(),
-        strategy=ctx.extra.get("scoring_strategy", "masked-marginals"),
-        chunk=ctx.batch_size,
-        window=config.max_positions,
-        params=params,
-        apply_fn=apply_fn,
+    specs = (
+        str(ctx.extra["ensemble"]).split(",")
+        if ctx.extra.get("ensemble") else [ctx.checkpoint]
     )
+
+    per_member = []
+    name = None
+    for spec in specs:
+        params, config = load_esm_checkpoint(spec)
+        name = name or config.name
+        apply_fn = esm_mod.make_apply_fn(config)
+        per_member.append(np.asarray(score_assay(
+            lambda tokens: esm_mod.apply(params, config, tokens),
+            ctx.record.target_seq,
+            ctx.dms_frame["mutant"].tolist(),
+            strategy=ctx.extra.get("scoring_strategy", "masked-marginals"),
+            chunk=ctx.batch_size,
+            window=config.max_positions,
+            params=params,
+            apply_fn=apply_fn,
+        )))
     out = ctx.dms_frame.copy()
-    out[f"{config.name}_score"] = np.asarray(scores)
+    column = (f"{name}_ensemble" if len(per_member) > 1
+              else f"{name}_score")
+    out[column] = np.mean(per_member, axis=0)
     return out
 
 
