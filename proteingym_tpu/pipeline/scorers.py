@@ -337,7 +337,11 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     evol indices over MC samples (ref EVE/compute_evol_indices_DMS.py).
     ``deepsequence`` scores with the DeepSequence-vintage architecture
     (1500-1500 encoder, z=30, 100-500 decoder — the VAE EVE descends
-    from), same delta-ELBO recipe."""
+    from), same delta-ELBO recipe.
+
+    ``--extra seeds=1,2,3,4,5`` trains one VAE per seed and averages the
+    evol indices (the reference's 'EVE (ensemble)' column); --checkpoint
+    may likewise be a comma-separated list of orbax directories."""
     import jax
 
     from proteingym_tpu.models import eve as eve_mod
@@ -361,15 +365,23 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     if ctx.checkpoint:
         from proteingym_tpu.pipeline.checkpoints import restore_pytree
 
-        params = restore_pytree(ctx.checkpoint)
+        members = [restore_pytree(p) for p in str(ctx.checkpoint).split(",")]
     else:
-        params = eve_mod.train(
-            msa.one_hot(),
-            msa.weights,
-            cfg,
-            steps=int(ctx.extra.get("train_steps", 10000)),
-            seed=int(ctx.extra.get("seed", 42)),
+        seeds = (
+            [int(s) for s in str(ctx.extra["seeds"]).split(",")]
+            if ctx.extra.get("seeds")
+            else [int(ctx.extra.get("seed", 42))]
         )
+        members = [
+            eve_mod.train(
+                msa.one_hot(),
+                msa.weights,
+                cfg,
+                steps=int(ctx.extra.get("train_steps", 10000)),
+                seed=seed,
+            )
+            for seed in seeds
+        ]
 
     # map DMS-coordinate mutants to trimmed-focus-column coordinates
     # (positions outside focus columns are unscorable -> NaN, as in the
@@ -387,14 +399,18 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
 
     def score_fn(wt, remapped):
         onehots = eve_mod.onehot_mutants(focus_codes, remapped, alphabet)
-        return eve_mod.evol_indices(
-            params,
-            cfg,
-            wt_onehot,
-            onehots,
-            num_samples=int(ctx.extra.get("num_samples", 2000)),
-            seed=int(ctx.extra.get("seed", 42)),
-        )
+        per_member = [
+            eve_mod.evol_indices(
+                member,
+                cfg,
+                wt_onehot,
+                onehots,
+                num_samples=int(ctx.extra.get("num_samples", 2000)),
+                seed=int(ctx.extra.get("seed", 42)),
+            )
+            for member in members
+        ]
+        return np.mean(per_member, axis=0)
 
     col = _score_focus_model(
         ctx, msa, score_fn, ctx.dms_frame["mutant"].tolist(),
@@ -403,6 +419,8 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
     out = ctx.dms_frame.copy()
     name = ("DeepSequence_evol_indices" if variant == "deepsequence"
             else "evol_indices")
+    if len(members) > 1:
+        name += "_ensemble"
     out[name] = col
     return out
 
