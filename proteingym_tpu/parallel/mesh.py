@@ -76,8 +76,21 @@ def esm_param_sharding(params, mesh: Mesh) -> Dict:
         spec["embed_positions"] = P(None, "model")
     if "emb_ln_before" in params:
         spec["emb_ln_before"] = {"scale": P(), "bias": P()}
+
+    def checked(param, s):
+        # fall back to replication when a sharded dim isn't divisible by the
+        # mesh axis size (e.g. 33-entry vocab head on a model axis of 2)
+        shape = getattr(param, "shape", ())
+        for dim, axis in zip(shape, s):
+            if axis is None:
+                continue
+            if dim % mesh.shape[axis] != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, s)
+
     return jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s),
+        checked,
+        params,
         spec,
         is_leaf=lambda x: isinstance(x, P),
     )
