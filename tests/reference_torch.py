@@ -1,0 +1,185 @@
+"""Import helpers for the reference's vendored PyTorch models.
+
+Parity tests (SURVEY.md §4: "per-model log-prob parity vs tiny reference
+checkpoints on CPU") instantiate the reference's own vendored modules at
+tiny config, convert their real ``state_dict()`` with our converters, and
+assert logit/score agreement. These helpers deal with the import-time
+impedance (path layout, moved transformers symbols, missing optional deps)
+WITHOUT modifying anything under /root/reference.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference/proteingym/baselines")
+
+requires_reference = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not available"
+)
+
+
+def _ensure_path(p: Path):
+    s = str(p)
+    if s not in sys.path:
+        sys.path.insert(0, s)
+
+
+def load_ref_esm():
+    """Import the vendored fair-esm package (ref esm/esm/__init__.py).
+
+    esm/pretrained.py does ``from baselines.esm import esm``; satisfy it
+    with a lazy alias module so we don't need the reference's package
+    layout on sys.path.
+    """
+    if "esm" in sys.modules and hasattr(sys.modules["esm"], "ESM2"):
+        return sys.modules["esm"]
+    _ensure_path(REF / "esm")
+    if "baselines" not in sys.modules:
+        ba = types.ModuleType("baselines")
+        bae = types.ModuleType("baselines.esm")
+
+        def _getattr(name):
+            if name == "esm":
+                return sys.modules["esm"]
+            raise AttributeError(name)
+
+        bae.__getattr__ = _getattr
+        ba.esm = bae
+        sys.modules["baselines"] = ba
+        sys.modules["baselines.esm"] = bae
+    import esm  # noqa: F401
+
+    return esm
+
+
+def _shim_transformers():
+    """Re-export symbols tranception imports from their pre-4.30 homes."""
+    import transformers.modeling_utils as MU
+    import transformers.pytorch_utils as PU
+
+    for name in ("Conv1D", "find_pruneable_heads_and_indices", "prune_conv1d_layer"):
+        if not hasattr(MU, name):
+            setattr(MU, name, getattr(PU, name))
+    if not hasattr(MU, "SequenceSummary"):
+        import torch.nn as nn
+
+        class SequenceSummary(nn.Module):  # only the classification head uses it
+            def __init__(self, config):
+                super().__init__()
+
+            def forward(self, *a, **k):
+                raise NotImplementedError("SequenceSummary stub (removed in transformers>=4.57)")
+
+        MU.SequenceSummary = SequenceSummary
+
+
+def _stub_bio():
+    """biopython isn't installed; tranception only uses it to shell out to
+    Clustal Omega for indel retrieval, which parity tests never touch."""
+    if "Bio" in sys.modules:
+        return
+    bio = types.ModuleType("Bio")
+    align = types.ModuleType("Bio.Align")
+    apps = types.ModuleType("Bio.Align.Applications")
+    seqio = types.ModuleType("Bio.SeqIO")
+
+    class ClustalOmegaCommandline:
+        def __init__(self, *a, **k):
+            raise NotImplementedError("Bio stub")
+
+    apps.ClustalOmegaCommandline = ClustalOmegaCommandline
+    seqio.parse = lambda *a, **k: iter(())
+    align.Applications = apps
+    bio.Align = align
+    bio.SeqIO = seqio
+    sys.modules["Bio"] = bio
+    sys.modules["Bio.Align"] = align
+    sys.modules["Bio.Align.Applications"] = apps
+    sys.modules["Bio.SeqIO"] = seqio
+
+
+def load_ref_tranception():
+    _shim_transformers()
+    _stub_bio()
+    _ensure_path(REF / "tranception")
+    import tranception  # noqa: F401
+    import tranception.model_pytorch
+
+    return tranception
+
+
+def load_ref_trancepteve():
+    _shim_transformers()
+    _stub_numba()
+    _ensure_path(REF / "trancepteve")
+    import trancepteve  # noqa: F401
+    import trancepteve.model_pytorch
+
+    return trancepteve
+
+
+def load_ref_poet():
+    _ensure_path(REF / "PoET")
+    import poet.models.poet
+
+    return sys.modules["poet"]
+
+
+def load_ref_progen2():
+    _ensure_path(REF / "progen2")
+    import models.progen.modeling_progen as m
+
+    return m
+
+
+def load_ref_mpnn():
+    _ensure_path(REF / "protein_mpnn")
+    import protein_mpnn_utils as m
+
+    return m
+
+
+def _stub_numba():
+    """The reference EVE pulls in numba only for the weights kernel; stub it
+    (we never call that code path in parity tests)."""
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+
+        def _passthrough(*args, **kwargs):
+            if len(args) == 1 and callable(args[0]) and not kwargs:
+                return args[0]
+            return lambda f: f
+
+        numba.jit = _passthrough
+        numba.njit = _passthrough
+        numba.prange = range
+        sys.modules["numba"] = numba
+    if "numba_progress" not in sys.modules:
+        np_mod = types.ModuleType("numba_progress")
+
+        class ProgressBar:
+            def __init__(self, *a, **k):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def update(self, *a):
+                pass
+
+        np_mod.ProgressBar = ProgressBar
+        sys.modules["numba_progress"] = np_mod
+
+
+def load_ref_eve():
+    _stub_numba()
+    _ensure_path(REF / "EVE")
+    from EVE import VAE_model
+
+    return VAE_model
