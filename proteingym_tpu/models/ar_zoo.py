@@ -491,10 +491,17 @@ def rita_convert_torch_state_dict(state_dict, c: RitaConfig):
                 "b": jnp.asarray(get(f"{prefix}.bias"))}
 
     pfx = "transformer." if any(k.startswith("transformer.") for k in state_dict) else ""
+    # lm_head is bias-free in the reference (rita_modeling.py:291)
+    lm_head = {"w": jnp.asarray(get("lm_head.weight").T)}
+    lm_head["b"] = (
+        jnp.asarray(get("lm_head.bias"))
+        if "lm_head.bias" in state_dict
+        else jnp.zeros(lm_head["w"].shape[1], jnp.float32)
+    )
     params = {
         "embedding": jnp.asarray(get(f"{pfx}embedding.weight")),
         "final_norm": ln(f"{pfx}final_norm"),
-        "lm_head": dense("lm_head"),
+        "lm_head": lm_head,
         "layers": [],
     }
     for i in range(c.num_layers):
@@ -502,10 +509,11 @@ def rita_convert_torch_state_dict(state_dict, c: RitaConfig):
         params["layers"].append(
             {
                 "attn_norm": ln(f"{lp}.attn_norm"),
-                "q": dense(f"{lp}.self_attention.q_proj"),
-                "k": dense(f"{lp}.self_attention.k_proj"),
-                "v": dense(f"{lp}.self_attention.v_proj"),
-                "o": dense(f"{lp}.self_attention.out_proj"),
+                # ref module names are key/query/value/proj (rita_modeling.py:113-121)
+                "q": dense(f"{lp}.self_attention.query"),
+                "k": dense(f"{lp}.self_attention.key"),
+                "v": dense(f"{lp}.self_attention.value"),
+                "o": dense(f"{lp}.self_attention.proj"),
                 "mlp_norm": ln(f"{lp}.mlp_norm"),
                 "fc1": dense(f"{lp}.mlp.0"),
                 "fc2": dense(f"{lp}.mlp.2"),

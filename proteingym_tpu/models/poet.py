@@ -40,7 +40,8 @@ import numpy as np
 
 POET_CHARS = "ARNDCQEGHILKMFPSTWYV"
 GAP, START, STOP, MASK_X = 20, 21, 22, 23
-_SYNONYM = {"O": 11, "U": 4, "B": 2, "Z": 5}  # K, C, N, Q
+_SYNONYM = {"O": 11, "U": 4}  # O->K, U->C; B/Z fall through to mask
+# (ref alphabets.py:81-87: encoding for 'OUBZ' is [11, 4, mask, mask])
 
 
 class PoetAlphabet:

@@ -223,11 +223,13 @@ def encode(params, c: MpnnConfig, coords: jnp.ndarray):
         dh = _dense(_gelu(_dense(h_v, layer["ffn_in"])), layer["ffn_out"])
         h_v = _ln(h_v + dh, layer["norm2"])
 
+        # edge update uses the SAME [h_V_i, h_E, h_V_j] slot order as the
+        # node update (ref EncLayer.forward:663-666 via cat_neighbors_nodes)
         h_ev = jnp.concatenate(
             [
                 jnp.broadcast_to(h_v[:, None], h_e.shape[:2] + (c.hidden_dim,)),
-                _gather_nodes(h_v, e_idx),
                 h_e,
+                _gather_nodes(h_v, e_idx),
             ],
             -1,
         )

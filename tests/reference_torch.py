@@ -142,6 +142,19 @@ def load_ref_mpnn():
     return m
 
 
+def load_ref_rita():
+    """rita_modeling.py uses package-relative imports but ships without an
+    __init__.py; mount it as a synthetic package."""
+    if "refrita.rita_modeling" in sys.modules:
+        return sys.modules["refrita.rita_modeling"]
+    import importlib
+
+    pkg = types.ModuleType("refrita")
+    pkg.__path__ = [str(REF / "rita")]
+    sys.modules["refrita"] = pkg
+    return importlib.import_module("refrita.rita_modeling")
+
+
 def _stub_numba():
     """The reference EVE pulls in numba only for the weights kernel; stub it
     (we never call that code path in parity tests)."""

@@ -30,8 +30,9 @@ class TestAlphabet:
         assert enc[0] == 0 and enc[1] == 1 and enc[2] == 2
         assert enc[3] == poet.GAP
         assert enc[4] == poet.MASK_X
-        # synonyms: O->K(11), U->C(4), B->N(2), Z->Q(5)
-        assert list(enc[5:]) == [11, 4, 2, 5]
+        # synonyms: O->K(11), U->C(4); B/Z encode as mask
+        # (ref alphabets.py:81-87 maps 'OUBZ' -> [11, 4, mask, mask])
+        assert list(enc[5:]) == [11, 4, poet.MASK_X, poet.MASK_X]
 
 
 class TestTieredAttention:

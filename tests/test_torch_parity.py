@@ -228,3 +228,190 @@ def test_progen2_parity():
         ref_logits = _np(ref(torch.from_numpy(tokens).long()).logits)[0]
     got = np.asarray(ours.progen2_apply(params, config, tokens))[0]
     np.testing.assert_allclose(got, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# MSA Transformer (tied row attention + column attention)
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_msa_transformer_parity():
+    import argparse
+
+    esm = load_ref_esm()
+    alphabet = esm.data.Alphabet.from_architecture("msa_transformer")
+    args = argparse.Namespace(
+        layers=2, embed_dim=64, ffn_embed_dim=128, attention_heads=4,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        max_tokens_per_msa=2 ** 14, max_tokens=2 ** 14, max_positions=1024,
+        embed_positions_msa=True,
+    )
+    ref = esm.model.msa_transformer.MSATransformer(args, alphabet).eval()
+
+    import jax.numpy as jnp
+
+    from proteingym_tpu.models import msa_transformer as ours
+
+    config = ours.MsaTransformerConfig(
+        name="tiny", num_layers=2, embed_dim=64, num_heads=4, ffn_dim=128,
+        dtype=jnp.float32,
+    )
+    params = ours.convert_torch_state_dict(ref.state_dict(), config)
+
+    rows = [SEQ[:30], SEQ[5:35], SEQ[10:40].replace("A", "-"), SEQ[:30][::-1]]
+    tokens = ours.tokenize_msa(rows)[None]
+    with torch.no_grad():
+        ref_logits = _np(ref(torch.from_numpy(tokens).long())["logits"])[0]
+    got = np.asarray(ours.apply(params, config, tokens))[0]
+    np.testing.assert_allclose(got, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# PoET (tiered self/multi attention over packed sequence-of-sequences)
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_poet_parity():
+    from tests.reference_torch import load_ref_poet
+
+    poet_pkg = load_ref_poet()
+    ref = poet_pkg.models.poet.PoET(
+        n_vocab=24, hidden_dim=64, ff_dim=128, num_layers=2, nhead=4,
+        norm=True,
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from proteingym_tpu.models import poet as ours
+
+    config = ours.PoetConfig(
+        name="tiny", num_layers=2, hidden_dim=64, num_heads=4, ffn_dim=128,
+        dtype=jnp.float32,
+    )
+    params = ours.convert_torch_state_dict(ref.state_dict(), config)
+
+    context = [SEQ[:20], SEQ[12:40]]
+    query = SEQ[:30]
+    tokens, segments, positions, valid, qmask = ours.build_rows(context, [query])
+
+    # Reference PoET.forward (poet.py:1413-1485) builds its packed input
+    # with to_paddedable=False, which only works on the flash_attn path;
+    # replicate it with a paddedable packing so the vendored standard
+    # attention fallback runs on CPU.
+    import torch.nn.functional as F
+    from poet.models.modules.packed_sequence import PackedTensorSequences
+
+    sizes = [len(s) + 2 for s in context] + [len(query) + 2]
+    total = sum(sizes)
+    xs = torch.from_numpy(tokens[0, :total]).long()
+    seg_sizes = torch.tensor(sizes, dtype=torch.int32)
+    cu = F.pad(seg_sizes.cumsum(0, dtype=torch.int32), (1, 0))
+    seqs_cu = torch.tensor([0, total], dtype=torch.int32)
+    with torch.no_grad():
+        h = ref.token_embed(xs)
+        packed = PackedTensorSequences(
+            packed_tensor=h,
+            positions=torch.cat([torch.arange(s) for s in sizes]),
+            indices=PackedTensorSequences.compute_indices(seg_sizes),
+            cu_seqlens=cu,
+            cu_seqlens_cpu=cu,
+            max_s=int(seg_sizes.max()),
+            batch_size=len(sizes),
+            to_paddedable=True,
+        )
+        out = ref.decoder.forward(
+            packed, seqs_cu_seqlens=seqs_cu, seqs_cu_seqlens_cpu=seqs_cu
+        )
+        ref_logits = _np(ref.linear(ref.norm(out.x)))
+
+    got = np.asarray(
+        ours.apply(params, config, tokens, segments, positions, valid)
+    )[0][: sum(sizes)]
+    np.testing.assert_allclose(got, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# RITA (rotary causal LM)
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_rita_parity():
+    from tests.reference_torch import load_ref_rita
+
+    m = load_ref_rita()
+    cfg = m.RITAConfig(vocab_size=26, d_model=64, num_layers=2, num_heads=4)
+    ref = m.RITAModelForCausalLM(cfg).eval()
+
+    import jax.numpy as jnp
+
+    from proteingym_tpu.models import ar_zoo as ours
+
+    config = ours.RitaConfig(
+        name="tiny", num_layers=2, embed_dim=64, num_heads=4, ffn_dim=256,
+        vocab_size=26, dtype=jnp.float32,
+    )
+    params = ours.rita_convert_torch_state_dict(ref.state_dict(), config)
+    tokens = np.asarray([[2] + [5 + (i % 20) for i in range(40)]], np.int32)
+    with torch.no_grad():
+        ref_logits = _np(ref(torch.from_numpy(tokens).long()).logits)[0]
+    got = np.asarray(ours.rita_apply(params, config, tokens))[0]
+    np.testing.assert_allclose(got, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ProteinMPNN (structure-conditioned AR decoder, fixed decoding order)
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_protein_mpnn_parity():
+    from tests.reference_torch import load_ref_mpnn
+
+    m = load_ref_mpnn()
+    L = 25
+    ref = m.ProteinMPNN(
+        num_letters=21, node_features=128, edge_features=128, hidden_dim=128,
+        num_encoder_layers=3, num_decoder_layers=3, vocab=21,
+        k_neighbors=12, augment_eps=0.0,
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from proteingym_tpu.models import protein_mpnn as ours
+
+    config = ours.MpnnConfig(name="tiny", k_neighbors=12)
+    params = ours.convert_torch_state_dict(ref.state_dict(), config)
+
+    rng = np.random.default_rng(3)
+    # synthetic but physically-plausible backbone: CA trace + offsets
+    ca = np.cumsum(rng.normal(0, 1.5, (L, 3)), axis=0)
+    coords = np.stack(
+        [ca + rng.normal(0, 0.3, (L, 3)) for _ in range(4)], axis=1
+    )  # (L, 4, 3) = N, CA, C, O
+    seq = "".join("ACDEFGHIKLMNPQRSTVWY"[i % 20] for i in range(L))
+    order = rng.permutation(L).astype(np.int64)
+
+    X = torch.from_numpy(coords[None]).float()
+    S = torch.from_numpy(ours.tokenize_sequence(seq)[None]).long()
+    mask = torch.ones(1, L)
+    chain_M = torch.ones(1, L)
+    residue_idx = torch.arange(L)[None]
+    chain_encoding = torch.ones(1, L)
+    with torch.no_grad():
+        ref_logp = _np(
+            ref(
+                X, S, mask, chain_M, residue_idx, chain_encoding,
+                randn=torch.randn(1, L),
+                use_input_decoding_order=True,
+                decoding_order=torch.from_numpy(order[None]),
+            )
+        )[0]
+
+    enc = ours.encode(params, config, jnp.asarray(coords, jnp.float32))
+    got = np.asarray(
+        ours.decode(
+            params, config, enc,
+            jnp.asarray(ours.tokenize_sequence(seq)),
+            jnp.asarray(order.astype(np.int32)),
+        )
+    )
+    np.testing.assert_allclose(got, ref_logp, atol=1e-4, rtol=1e-4)
