@@ -163,8 +163,11 @@ def decode(params, config: EveConfig, z: jnp.ndarray, rng: jax.Array):
 
     if c.convolve_output:
         conv_w = _sample(next(keys), dec["conv_mean"], dec["conv_logvar"])
-        # (ref VAE_decoder.py:146-148): (L*H, channel) @ (channel, q)
-        w_out = w_out.reshape(c.seq_len * hidden, channel) @ conv_w.T.reshape(
+        # (ref VAE_decoder.py:146-148): (L*H, channel) @ (channel, q).
+        # NB the reference uses .view(channel, alphabet) on an
+        # (alphabet, channel) conv weight — a raw memory reinterpret, NOT a
+        # transpose; converted checkpoints depend on replicating it.
+        w_out = w_out.reshape(c.seq_len * hidden, channel) @ conv_w.reshape(
             channel, c.alphabet_size
         )
 
@@ -450,3 +453,107 @@ def onehot_mutants(
             x[pos - 1, aa_to_idx[t]] = 1.0
         out[i] = x
     return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion (reference torch EVE -> our pytree)
+# ---------------------------------------------------------------------------
+
+def config_from_torch_checkpoint(ckpt: Dict[str, Any]) -> EveConfig:
+    """Derive an EveConfig from a reference EVE checkpoint dict.
+
+    The reference saves {'model_state_dict', 'encoder_parameters',
+    'decoder_parameters', 'training_parameters'} (ref VAE_model.py:356-364);
+    the clinical reference file names one such checkpoint per protein via
+    its EVE_model_path column.
+    """
+    enc, dec = ckpt["encoder_parameters"], ckpt["decoder_parameters"]
+    if enc.get("convolve_input"):
+        raise NotImplementedError(
+            "convolve_input encoders are not used by published EVE models"
+        )
+    for k in ("nonlinear_activation",):
+        if enc.get(k, "relu") != "relu":
+            raise NotImplementedError(f"encoder {k}={enc[k]!r} unsupported")
+    for k in ("first_hidden_nonlinearity", "last_hidden_nonlinearity"):
+        if dec.get(k, "relu") != "relu":
+            raise NotImplementedError(f"decoder {k}={dec[k]!r} unsupported")
+    sd = ckpt["model_state_dict"]
+    w0 = np.asarray(sd["encoder.hidden_layers.0.weight"])
+    alphabet_size = int(enc.get("alphabet_size", 20))
+    seq_len = int(enc.get("seq_len", w0.shape[1] // alphabet_size))
+    return EveConfig(
+        seq_len=seq_len,
+        alphabet_size=alphabet_size,
+        encoder_hidden=tuple(enc["hidden_layers_sizes"]),
+        decoder_hidden=tuple(dec["hidden_layers_sizes"]),
+        z_dim=int(enc["z_dim"]),
+        convolve_output=bool(dec["convolve_output"]),
+        convolution_depth=int(dec.get("convolution_output_depth", 40)),
+        include_temperature_scaler=bool(dec["include_temperature_scaler"]),
+        include_sparsity=bool(dec["include_sparsity"]),
+        num_tiles_sparsity=int(dec.get("num_tiles_sparsity", 0)),
+    )
+
+
+def convert_torch_state_dict(state_dict, config: EveConfig) -> Dict[str, Any]:
+    """Reference EVE module names (VAE_encoder.py/VAE_decoder.py) -> pytree."""
+
+    def get(key):
+        v = state_dict[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(v, dtype=np.float32))
+
+    c = config
+    encoder = {
+        "layers": [
+            {
+                "w": get(f"encoder.hidden_layers.{i}.weight"),
+                "b": get(f"encoder.hidden_layers.{i}.bias"),
+            }
+            for i in range(len(c.encoder_hidden))
+        ],
+        "mean": {"w": get("encoder.fc_mean.weight"),
+                 "b": get("encoder.fc_mean.bias")},
+        "logvar": {"w": get("encoder.fc_log_var.weight"),
+                   "b": get("encoder.fc_log_var.bias")},
+    }
+    decoder = {
+        "layers": [
+            {
+                "w_mean": get(f"decoder.hidden_layers_mean.{i}.weight"),
+                "b_mean": get(f"decoder.hidden_layers_mean.{i}.bias"),
+                "w_logvar": get(f"decoder.hidden_layers_log_var.{i}.weight"),
+                "b_logvar": get(f"decoder.hidden_layers_log_var.{i}.bias"),
+            }
+            for i in range(len(c.decoder_hidden))
+        ],
+        "w_out_mean": get("decoder.last_hidden_layer_weight_mean"),
+        "w_out_logvar": get("decoder.last_hidden_layer_weight_log_var"),
+        "b_out_mean": get("decoder.last_hidden_layer_bias_mean"),
+        "b_out_logvar": get("decoder.last_hidden_layer_bias_log_var"),
+    }
+    if c.convolve_output:
+        # torch Conv1d weight (alphabet, channel, 1); we keep the squeezed
+        # (alphabet, channel) layout and reinterpret memory in decode()
+        decoder["conv_mean"] = get("decoder.output_convolution_mean.weight")[..., 0]
+        decoder["conv_logvar"] = get(
+            "decoder.output_convolution_log_var.weight"
+        )[..., 0]
+    if c.include_sparsity:
+        decoder["sparsity_mean"] = get("decoder.sparsity_weight_mean")
+        decoder["sparsity_logvar"] = get("decoder.sparsity_weight_log_var")
+    if c.include_temperature_scaler:
+        decoder["temp_mean"] = get("decoder.temperature_scaler_mean")
+        decoder["temp_logvar"] = get("decoder.temperature_scaler_log_var")
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def load_torch_checkpoint(path) -> Tuple[Dict[str, Any], EveConfig]:
+    """Load a reference EVE checkpoint file (torch.save format)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    config = config_from_torch_checkpoint(ckpt)
+    return convert_torch_state_dict(ckpt["model_state_dict"], config), config

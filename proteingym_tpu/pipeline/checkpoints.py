@@ -138,3 +138,31 @@ def load_tranception_checkpoint(spec: Optional[str]) -> Tuple[Any, Any]:
         cfg = json.load(f)
     config = tr.TranceptionConfig(**cfg)
     return restore_pytree(path / "params"), config
+
+
+def load_eve_checkpoint(spec: str | Path):
+    """Resolve one EVE checkpoint spec to (params, EveConfig).
+
+    spec is either a reference torch EVE checkpoint file (the format the
+    clinical reference file's EVE_model_path column points at, ref
+    EVE/VAE_model.py:356-364) or an orbax directory written by
+    ``pgym convert --family eve`` / native training (config.json sidecar).
+    """
+    import json
+
+    from proteingym_tpu.models import eve as eve_mod
+
+    path = Path(spec)
+    if path.is_file():
+        return eve_mod.load_torch_checkpoint(path)
+    params = restore_pytree(path / "params" if (path / "params").exists() else path)
+    sidecar = path / "config.json"
+    if sidecar.exists():
+        raw = json.loads(sidecar.read_text())
+        fields = {f.name for f in __import__("dataclasses").fields(eve_mod.EveConfig)}
+        cfg = eve_mod.EveConfig(**{
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in raw.items() if k in fields
+        })
+        return params, cfg
+    return params, None

@@ -368,7 +368,7 @@ def cmd_models(args) -> int:
 
 CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
-    "protein_mpnn", "progen2", "rita", "unirep",
+    "protein_mpnn", "progen2", "rita", "unirep", "eve",
 }
 
 
@@ -449,6 +449,13 @@ def cmd_convert(args) -> int:
 
         config = m.UniRepConfig()
         params = m.convert_tf_weights(args.checkpoint, config)
+    elif fam == "eve":
+        # self-describing checkpoint: the reference save dict carries the
+        # encoder/decoder hyperparameters (ref VAE_model.py:356-364), so the
+        # preset argument is ignored
+        from proteingym_tpu.models import eve as m
+
+        params, config = m.load_torch_checkpoint(args.checkpoint)
     else:  # pragma: no cover — argparse choices guard this
         raise ValueError(fam)
     # layout the loaders expect: <out>/params (orbax) + config.json sidecar

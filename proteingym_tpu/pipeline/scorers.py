@@ -363,9 +363,17 @@ def score_eve(ctx: ScoreContext) -> pd.DataFrame:
         z_dim=int(ctx.extra.get("z_dim", z_default)),
     )
     if ctx.checkpoint:
-        from proteingym_tpu.pipeline.checkpoints import restore_pytree
+        # each entry may be an orbax dir (native training / pgym convert)
+        # or a reference torch EVE checkpoint file; a converted/published
+        # checkpoint's own config overrides the --extra arch knobs
+        from proteingym_tpu.pipeline.checkpoints import load_eve_checkpoint
 
-        members = [restore_pytree(p) for p in str(ctx.checkpoint).split(",")]
+        members = []
+        for p in str(ctx.checkpoint).split(","):
+            params, loaded_cfg = load_eve_checkpoint(p)
+            members.append(params)
+            if loaded_cfg is not None:
+                cfg = loaded_cfg
     else:
         seeds = (
             [int(s) for s in str(ctx.extra["seeds"]).split(",")]
@@ -812,8 +820,24 @@ def score_tranception(ctx: ScoreContext) -> pd.DataFrame:
             msa_end=ctx.record.MSA_end or len(ctx.record.target_seq),
             indel_mode=ctx.indel_mode,
         )
+        # TranceptEVE: EVE-VAE priors from converted published checkpoints
+        # (--extra eve_checkpoints=path1,path2 — torch .pt files or orbax
+        # dirs via load_eve_checkpoint) (ref score_trancepteve.py:106-154)
+        eve_members, eve_cfg = [], None
+        if ctx.extra.get("eve_checkpoints"):
+            from proteingym_tpu.pipeline.checkpoints import load_eve_checkpoint
+
+            for p in str(ctx.extra["eve_checkpoints"]).split(","):
+                m, c = load_eve_checkpoint(p)
+                eve_members.append(m)
+                eve_cfg = c or eve_cfg
         msa_lp, eve_lp, alpha, beta = build_priors(
             msa.sequences(), msa.weights, ctx.record.target_seq, rcfg,
+            eve_params_list=eve_members or None,
+            eve_config=eve_cfg,
+            eve_focus_cols=msa.focus_cols,
+            eve_focus_seq=msa.focus_seq_trimmed,
+            eve_num_samples=int(ctx.extra.get("eve_num_samples", 20_000)),
         )
     return score_trancepteve(
         params,
