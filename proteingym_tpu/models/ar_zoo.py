@@ -520,3 +520,48 @@ def rita_convert_torch_state_dict(state_dict, c: RitaConfig):
             }
         )
     return params
+
+
+def gpt2_convert_torch_state_dict(state_dict, c: Gpt2Config):
+    """HF GPT-2 state_dict (ProtGPT2 is a stock GPT2LMHeadModel over BPE
+    protein "words", ref protgpt2/compute_fitness.py:13-97) -> pytree.
+
+    HF GPT-2 uses Conv1D modules whose weights are stored (in, out) —
+    i.e. already in our matmul layout; do NOT transpose them. LayerNorms
+    and the (tied) wte/wpe convert directly.
+    """
+
+    def get(key):
+        v = state_dict[key]
+        return jnp.asarray(np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+            np.float32,
+        ))
+
+    pfx = "transformer." if any(k.startswith("transformer.") for k in state_dict) else ""
+
+    def conv1d(prefix):
+        return {"w": get(f"{prefix}.weight"), "b": get(f"{prefix}.bias")}
+
+    def ln(prefix):
+        return {"g": get(f"{prefix}.weight"), "b": get(f"{prefix}.bias")}
+
+    params = {
+        "wte": get(f"{pfx}wte.weight"),
+        "wpe": get(f"{pfx}wpe.weight"),
+        "ln_f": ln(f"{pfx}ln_f"),
+        "layers": [],
+    }
+    for i in range(c.num_layers):
+        lp = f"{pfx}h.{i}"
+        params["layers"].append(
+            {
+                "ln_1": ln(f"{lp}.ln_1"),
+                "c_attn": conv1d(f"{lp}.attn.c_attn"),
+                "c_proj": conv1d(f"{lp}.attn.c_proj"),
+                "ln_2": ln(f"{lp}.ln_2"),
+                "c_fc": conv1d(f"{lp}.mlp.c_fc"),
+                "c_proj_mlp": conv1d(f"{lp}.mlp.c_proj"),
+            }
+        )
+    return params

@@ -291,15 +291,16 @@ def aido_init(rng: jax.Array, c: AidoConfig) -> Dict[str, Any]:
                 "out": mat(c.embed_dim, c.embed_dim),
                 "ffn_ln": ln(c.embed_dim),
                 "router": mat(c.embed_dim, c.num_experts),
-                "w_gate": jax.random.normal(
+                # gated-MLP experts in progen3.moe_ffn's stacked layout
+                "w1": jax.random.normal(
                     next(keys), (c.num_experts, c.embed_dim, c.ffn_dim),
                     jnp.float32,
                 ) * 0.02,
-                "w_up": jax.random.normal(
+                "w3": jax.random.normal(
                     next(keys), (c.num_experts, c.embed_dim, c.ffn_dim),
                     jnp.float32,
                 ) * 0.02,
-                "w_down": jax.random.normal(
+                "w2": jax.random.normal(
                     next(keys), (c.num_experts, c.ffn_dim, c.embed_dim),
                     jnp.float32,
                 ) * 0.02,
@@ -321,7 +322,7 @@ def aido_apply(params, c: AidoConfig, tokens: jnp.ndarray) -> jnp.ndarray:
     x = params["embed"].astype(c.dtype)[tokens]
     moe_cfg = ProGen3Config(
         num_experts=c.num_experts, top_k=c.top_k, hidden_dim=c.embed_dim,
-        ffn_dim=c.ffn_dim,
+        ffn_dim=c.ffn_dim, gated_mlp=True,
     )
 
     def _ln(z, p, eps=1e-5):

@@ -166,3 +166,48 @@ def load_eve_checkpoint(spec: str | Path):
         })
         return params, cfg
     return params, None
+
+
+def load_gpt2_checkpoint(spec: str | Path, default_config=None):
+    """Resolve a ProtGPT2/GPT-2 checkpoint spec to (params, Gpt2Config).
+
+    spec: an HF model dir (config.json + pytorch_model.bin), a bare torch
+    state_dict file, or an orbax dir written by ``pgym convert``.
+    """
+    import json
+
+    import jax.numpy as jnp
+
+    from proteingym_tpu.models import ar_zoo
+
+    path = Path(spec)
+    config = default_config or ar_zoo.Gpt2Config()
+    if path.is_dir() and (path / "params").exists():
+        sidecar = path / "config.json"
+        if sidecar.exists():
+            raw = json.loads(sidecar.read_text())
+            fields = {
+                f.name for f in __import__("dataclasses").fields(ar_zoo.Gpt2Config)
+            }
+            config = ar_zoo.Gpt2Config(
+                **{k: v for k, v in raw.items() if k in fields and k != "dtype"}
+            )
+        return restore_pytree(path / "params"), config
+    if path.is_dir():  # HF layout
+        hf_cfg = json.loads((path / "config.json").read_text())
+        config = ar_zoo.Gpt2Config(
+            name=path.name,
+            num_layers=int(hf_cfg["n_layer"]),
+            embed_dim=int(hf_cfg["n_embd"]),
+            num_heads=int(hf_cfg["n_head"]),
+            vocab_size=int(hf_cfg["vocab_size"]),
+            n_ctx=int(hf_cfg.get("n_positions", hf_cfg.get("n_ctx", 1024))),
+        )
+        weights = next(
+            p for p in (path / "pytorch_model.bin", path / "model.safetensors")
+            if p.exists()
+        )
+        state, _ = _load_torch_state_dict(weights)
+        return ar_zoo.gpt2_convert_torch_state_dict(state, config), config
+    state, _ = _load_torch_state_dict(path)
+    return ar_zoo.gpt2_convert_torch_state_dict(state, config), config

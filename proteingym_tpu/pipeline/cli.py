@@ -368,7 +368,8 @@ def cmd_models(args) -> int:
 
 CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
-    "protein_mpnn", "progen2", "rita", "unirep", "eve",
+    "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
+    "progen3",
 }
 
 
@@ -449,6 +450,15 @@ def cmd_convert(args) -> int:
 
         config = m.UniRepConfig()
         params = m.convert_tf_weights(args.checkpoint, config)
+    elif fam == "progen3":
+        from proteingym_tpu.models import progen3 as m
+
+        config = m.PRESETS[preset]
+        params = m.convert_torch_state_dict(sd(), config)
+    elif fam == "protgpt2":
+        from proteingym_tpu.pipeline.checkpoints import load_gpt2_checkpoint
+
+        params, config = load_gpt2_checkpoint(args.checkpoint)
     elif fam == "eve":
         # self-describing checkpoint: the reference save dict carries the
         # encoder/decoder hyperparameters (ref VAE_model.py:356-364), so the

@@ -576,6 +576,10 @@ def score_protgpt2(ctx: ScoreContext) -> pd.DataFrame:
         num_heads=int(ctx.extra.get("num_heads", 20)),
     )
     params = ctx.extra.get("params")
+    if params is None and ctx.checkpoint:
+        from proteingym_tpu.pipeline.checkpoints import load_gpt2_checkpoint
+
+        params, config = load_gpt2_checkpoint(ctx.checkpoint, config)
     if params is None:
         params = ar_zoo.gpt2_init(jax.random.PRNGKey(0), config)
     tok_name = ctx.extra.get("tokenizer")
@@ -635,7 +639,9 @@ def score_progen3(ctx: ScoreContext) -> pd.DataFrame:
                               num_heads=4, ffn_dim=96, num_experts=4)
             config = cfg
         params = progen3.init_params(jax.random.PRNGKey(0), config)
-    aa_tok = {c: i for i, c in enumerate("ABCDEFGHIKLMNOPQRSTUVWXYZ")}
+    # ProGen3's vocabulary is the full A-Z range at offset 8 (tokenizer.json;
+    # restricted_apply_fn adds the offset)
+    aa_tok = {c: i for i, c in enumerate("ABCDEFGHIJKLMNOPQRSTUVWXYZ")}
 
     def tokenize(s):
         return np.asarray([aa_tok.get(c, aa_tok["X"]) for c in s], np.int32)

@@ -190,6 +190,97 @@ def _stub_numba():
         sys.modules["numba_progress"] = np_mod
 
 
+def _stub_megablocks_and_flash():
+    """ProGen3's vendored modeling imports megablocks + flash_attn at module
+    scope but never touches them on the 'eager' MoE path; stub them with the
+    minimal surface (a pure-torch rms_norm_fn, placeholder dMoE/Arguments)."""
+    if "megablocks" not in sys.modules:
+        import torch
+
+        mb = types.ModuleType("megablocks")
+        layers = types.ModuleType("megablocks.layers")
+        moe = types.ModuleType("megablocks.layers.moe")
+        moe.clear_load_balancing_loss = lambda: None
+        moe.batched_load_balancing_loss = lambda args: torch.zeros(())
+        arguments = types.ModuleType("megablocks.layers.arguments")
+
+        class Arguments:
+            def __init__(self, **kwargs):
+                self.__dict__.update(kwargs)
+
+        arguments.Arguments = Arguments
+        common = types.ModuleType("megablocks.layers.common")
+        dmoe = types.ModuleType("megablocks.layers.dmoe")
+
+        class dMoE:  # only used for isinstance checks on the eager path
+            def __init__(self, *a, **k):
+                raise NotImplementedError("megablocks stub")
+
+        dmoe.dMoE = dMoE
+        layers.moe = moe
+        layers.arguments = arguments
+        layers.common = common
+        layers.dmoe = dmoe
+        mb.layers = layers
+        for name, mod in (
+            ("megablocks", mb),
+            ("megablocks.layers", layers),
+            ("megablocks.layers.moe", moe),
+            ("megablocks.layers.arguments", arguments),
+            ("megablocks.layers.common", common),
+            ("megablocks.layers.dmoe", dmoe),
+        ):
+            sys.modules[name] = mod
+    if "flash_attn" not in sys.modules:
+        import torch
+
+        fa = types.ModuleType("flash_attn")
+        ops = types.ModuleType("flash_attn.ops")
+        triton = types.ModuleType("flash_attn.ops.triton")
+        ln_mod = types.ModuleType("flash_attn.ops.triton.layer_norm")
+
+        def rms_norm_fn(x, weight, bias, residual=None, eps=1e-6,
+                        dropout_p=0.0, prenorm=False, residual_in_fp32=False):
+            x32 = x.float()
+            out = x32 * torch.rsqrt(x32.pow(2).mean(-1, keepdim=True) + eps)
+            out = out * weight.float()
+            if bias is not None:
+                out = out + bias.float()
+            return out.to(x.dtype)
+
+        ln_mod.rms_norm_fn = rms_norm_fn
+        triton.layer_norm = ln_mod
+        ops.triton = triton
+        fa.ops = ops
+        import importlib.machinery
+
+        for name, mod in (
+            ("flash_attn", fa),
+            ("flash_attn.ops", ops),
+            ("flash_attn.ops.triton", triton),
+            ("flash_attn.ops.triton.layer_norm", ln_mod),
+        ):
+            # transformers probes importlib.util.find_spec("flash_attn"),
+            # which raises if a registered module has __spec__ = None
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+
+
+def load_ref_progen3():
+    _stub_megablocks_and_flash()
+    # GenerationMixin moved out of modeling_utils in transformers>=4.50
+    import transformers.modeling_utils as MU
+
+    if not hasattr(MU, "GenerationMixin"):
+        from transformers.generation.utils import GenerationMixin
+
+        MU.GenerationMixin = GenerationMixin
+    _ensure_path(REF / "progen3")
+    import progen3.modeling as m
+
+    return m
+
+
 def load_ref_eve():
     _stub_numba()
     _ensure_path(REF / "EVE")

@@ -24,24 +24,29 @@ class TestRouting:
         assert (nonzero == 2).all()
         np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-5)
 
-    def test_moe_matches_explicit_loop(self):
+    @pytest.mark.parametrize("gated", [False, True])
+    def test_moe_matches_explicit_loop(self, gated):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, gated_mlp=gated)
         rs = np.random.RandomState(1)
-        params = progen3.init_params(jax.random.PRNGKey(0), TINY)
+        params = progen3.init_params(jax.random.PRNGKey(0), cfg)
         layer = params["layers"][0]
         x = jnp.asarray(rs.randn(2, 6, 32).astype(np.float32))
-        got = np.asarray(progen3.moe_ffn(x, layer, TINY))
+        got = np.asarray(progen3.moe_ffn(x, layer, cfg))
         # explicit per-expert loop
         w = np.asarray(
             progen3.router_weights(
-                x, layer["router"], TINY.num_experts, TINY.top_k
+                x, layer["router"], cfg.num_experts, cfg.top_k
             )
         )
         want = np.zeros_like(np.asarray(x))
-        for e in range(TINY.num_experts):
-            g = np.asarray(x) @ np.asarray(layer["w_gate"][e])
-            u = np.asarray(x) @ np.asarray(layer["w_up"][e])
-            h = (g / (1 + np.exp(-g))) * u  # silu * up
-            o = h @ np.asarray(layer["w_down"][e])
+        for e in range(cfg.num_experts):
+            g = np.asarray(x) @ np.asarray(layer["w1"][e])
+            h = g / (1 + np.exp(-g))  # silu
+            if gated:
+                h = h * (np.asarray(x) @ np.asarray(layer["w3"][e]))
+            o = h @ np.asarray(layer["w2"][e])
             want += w[..., e : e + 1] * o
         np.testing.assert_allclose(got, want, atol=1e-4)
 
@@ -61,7 +66,7 @@ class TestForward:
         params = progen3.init_params(jax.random.PRNGKey(0), TINY)
         fn = progen3.restricted_logits_fn(params, TINY)
         out = fn(jnp.zeros((1, 4), jnp.int32))
-        assert out.shape == (1, 4, 25)
+        assert out.shape == (1, 4, 26)
 
 
 class TestExpertParallel:

@@ -552,3 +552,84 @@ class TestEveParity:
         )
         idx = ours.evol_indices(params2, config2, wt, muts, num_samples=8)
         assert idx.shape == (2,) and np.isfinite(idx).all()
+
+
+# ---------------------------------------------------------------------------
+# ProtGPT2 (stock HF GPT-2; transformers is installed, no vendored code)
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_protgpt2_parity():
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    cfg = GPT2Config(
+        vocab_size=100, n_positions=512, n_embd=64, n_layer=2, n_head=4,
+        activation_function="gelu_new",
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    ref = GPT2LMHeadModel(cfg).eval()
+
+    import jax.numpy as jnp
+
+    from proteingym_tpu.models import ar_zoo as ours
+
+    config = ours.Gpt2Config(
+        name="tiny", num_layers=2, embed_dim=64, num_heads=4,
+        vocab_size=100, n_ctx=512, dtype=jnp.float32,
+    )
+    params = ours.gpt2_convert_torch_state_dict(ref.state_dict(), config)
+    tokens = np.asarray([[1] + [7 + (i % 50) for i in range(40)]], np.int32)
+    with torch.no_grad():
+        ref_logits = _np(ref(torch.from_numpy(tokens).long()).logits)[0]
+    got = np.asarray(ours.gpt2_apply(params, config, tokens))[0]
+    np.testing.assert_allclose(got, ref_logits, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ProGen3 (GQA + rotary + switch-MoE; vendored modeling, eager MoE path)
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_progen3_parity():
+    from tests.reference_torch import load_ref_progen3
+
+    m = load_ref_progen3()
+    cfg = m.ProGen3Config(
+        vocab_size=34, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, moe_implementation="eager",
+        gated_mlp=False, fused_attention_norm=False, attention_dropout=0.0,
+        max_num_sequences=8,
+    )
+    torch.manual_seed(0)
+    ref = m.ProGen3ForCausalLM(cfg).eval()
+
+    import jax.numpy as jnp
+
+    from proteingym_tpu.models import progen3 as ours
+
+    config = ours.ProGen3Config(
+        name="tiny", num_layers=2, hidden_dim=64, num_heads=4,
+        num_kv_heads=2, ffn_dim=96, num_experts=4, top_k=2,
+        gated_mlp=False, vocab_size=34, max_num_seqs=8,
+        dtype=jnp.float32,
+    )
+    params = ours.convert_torch_state_dict(ref.state_dict(), config)
+
+    tokens = ours.TOKENIZER.encode_clm(SEQ[:40])[None]
+    t = tokens.shape[1]
+    with torch.no_grad():
+        ref_logits = _np(
+            ref(
+                input_ids=torch.from_numpy(tokens).long(),
+                position_ids=torch.arange(t)[None],
+                sequence_ids=torch.zeros(1, t, dtype=torch.long),
+                return_dict=True,
+            ).logits
+        )[0]
+    got = np.asarray(ours.apply(params, config, tokens))[0]
+    np.testing.assert_allclose(got, ref_logits, atol=2e-4, rtol=1e-4)
+
+    # mirrored mean-LL scoring path stays finite and deterministic
+    scores = ours.score_sequences(params, config, [SEQ[:30], SEQ[5:40]])
+    assert scores.shape == (2,) and np.isfinite(scores).all()
