@@ -108,6 +108,8 @@ class EsmConfig:
 
 
 PRESETS: Dict[str, EsmConfig] = {
+    # f32 tiny config for CPU tests / mesh-parity checks
+    "esm2_tiny": EsmConfig("esm2_tiny", 2, 128, 4, dtype=jnp.float32),
     "esm2_t6_8M": EsmConfig("esm2_t6_8M", 6, 320, 20),
     "esm2_t12_35M": EsmConfig("esm2_t12_35M", 12, 480, 20),
     "esm2_t30_150M": EsmConfig("esm2_t30_150M", 30, 640, 20),
@@ -398,3 +400,23 @@ def convert_torch_state_dict(state_dict, config: EsmConfig) -> Dict[str, Any]:
         if config.emb_layer_norm_before:
             params["emb_ln_before"] = ln("emb_layer_norm_before")
     return params
+
+
+@functools.lru_cache(maxsize=16)
+def make_sharded_apply_fn(config: EsmConfig, mesh):
+    """STABLE (params, tokens) -> logits callable for mesh execution.
+
+    Token rows carry a ("data", None) sharding constraint so chunked
+    masked-marginal batches split over the data axis while the (already
+    tensor-parallel-sharded) params drive XLA's model-axis partitioning —
+    the production counterpart of tests/test_parallel.py's TP path.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sharding = NamedSharding(mesh, P("data", None))
+
+    def apply_fn(params, tokens):
+        tokens = jax.lax.with_sharding_constraint(tokens, data_sharding)
+        return apply(params, config, tokens)
+
+    return apply_fn

@@ -131,3 +131,23 @@ def generic_tp_sharding(params, mesh: Mesh, min_size: int = 1 << 16):
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree.map(spec_for, params)
+
+
+def mesh_from_spec(spec: str) -> Mesh:
+    """Build a mesh from a CLI spec like "data=4,model=2".
+
+    Unknown axes raise; missing axes default to 1. The product must fit the
+    available devices (make_mesh validates).
+    """
+    axes = {"data": 1, "model": 1}
+    for part in spec.split(","):
+        if not part:
+            continue
+        key, _, val = part.partition("=")
+        key = key.strip()
+        if key not in axes:
+            raise ValueError(
+                f"Unknown mesh axis {key!r} (expected data/model)"
+            )
+        axes[key] = int(val)
+    return make_mesh(data=axes["data"], model=axes["model"])

@@ -124,6 +124,8 @@ def cmd_score(args) -> int:
                     indel_mode=args.indel_mode,
                     batch_size=args.batch_size,
                     extra={"_scorer_name": args.model,
+                           **({"mesh": args.mesh} if getattr(args, "mesh", None)
+                              else {}),
                            **_parse_extra(args.extra)},
                 )
                 with log.phase("score", task=task,
@@ -513,6 +515,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--output-dir", required=True)
     s.add_argument("--batch-size", type=int, default=32)
     s.add_argument("--indel-mode", action="store_true")
+    s.add_argument("--mesh", default=None, metavar="SPEC",
+                   help="device mesh for sharded scoring, e.g. "
+                        "'data=4,model=2' (tensor-parallel params + "
+                        "data-parallel mutant chunks)")
     s.add_argument("--profile-dir", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the "
                         "scoring run (TensorBoard-compatible)")

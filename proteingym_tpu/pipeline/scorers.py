@@ -455,12 +455,27 @@ def score_esm(ctx: ScoreContext) -> pd.DataFrame:
         if ctx.extra.get("ensemble") else [ctx.checkpoint]
     )
 
+    # production mesh execution: --mesh data=N,model=M shards the params
+    # tensor-parallel (Megatron specs) and the chunked masked-marginal
+    # batches over the data axis — same code path dryrun_multichip compiles
+    mesh = None
+    if ctx.extra.get("mesh"):
+        from proteingym_tpu.parallel.mesh import (
+            esm_param_sharding, mesh_from_spec, shard_params,
+        )
+
+        mesh = mesh_from_spec(str(ctx.extra["mesh"]))
+
     per_member = []
     name = None
     for spec in specs:
         params, config = load_esm_checkpoint(spec)
         name = name or config.name
-        apply_fn = esm_mod.make_apply_fn(config)
+        if mesh is not None:
+            params = shard_params(params, esm_param_sharding(params, mesh))
+            apply_fn = esm_mod.make_sharded_apply_fn(config, mesh)
+        else:
+            apply_fn = esm_mod.make_apply_fn(config)
         per_member.append(np.asarray(score_assay(
             lambda tokens: esm_mod.apply(params, config, tokens),
             ctx.record.target_seq,

@@ -112,3 +112,50 @@ def test_generic_tp_sharding_scoring(mesh8):
     np.testing.assert_allclose(
         np.asarray(expected), np.asarray(got), atol=1e-4
     )
+
+
+def test_cli_mesh_scoring_matches_single_device(tmp_path):
+    """The production --mesh path (score_esm via ScoreContext) must produce
+    the same per-mutant scores as single-device scoring."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import pandas as pd
+
+    from proteingym_tpu.data.reference import AssayRecord
+    from proteingym_tpu.pipeline.scorers import SCORERS, ScoreContext
+
+    seq = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQAPILSRVGDGTQDNLSGAEKAVQ"
+    rng = np.random.default_rng(0)
+    mutants = []
+    for _ in range(12):
+        p = int(rng.integers(0, len(seq)))
+        wt = seq[p]
+        mt = "ACDEFGHIKLMNPQRSTVWY"[int(rng.integers(20))]
+        if mt == wt:
+            mt = "A" if wt != "A" else "C"
+        mutants.append(f"{wt}{p + 1}{mt}")
+    record = AssayRecord(
+        DMS_id="TEST_MESH", DMS_filename="test.csv", UniProt_ID="TEST",
+        target_seq=seq, seq_len=len(seq),
+    )
+    from proteingym_tpu.data.mutants import apply_mutant
+
+    frame = pd.DataFrame({
+        "mutant": mutants,
+        "mutated_sequence": [apply_mutant(seq, m) for m in mutants],
+    })
+
+    def run(extra):
+        ctx = ScoreContext(
+            record=record, dms_frame=frame.copy(), checkpoint="esm2_tiny",
+            batch_size=8,
+            extra={"_scorer_name": "esm", **extra},
+        )
+        return SCORERS["esm"](ctx)
+
+    single = run({})
+    meshed = run({"mesh": "data=4,model=2"})
+    col = [c for c in single.columns if c.endswith("_score")][0]
+    np.testing.assert_allclose(
+        meshed[col].to_numpy(), single[col].to_numpy(), atol=1e-4
+    )
