@@ -78,6 +78,24 @@ def _cached_jit(fn, kind: str):
             rows = rows.at[jnp.arange(chunk_), offs].set(mask_val)
             return row_log_softmax_gather(fn(p, rows), offs)
 
+    elif kind.startswith("step_window_params:"):
+        # long-sequence optimal-window path: each masked position i lives in
+        # its own window [start_i, start_i + window). Rows are CUT ON DEVICE
+        # from the one (T_total,) token upload (vmapped dynamic_slice), so a
+        # chunk dispatch ships two (chunk,) int vectors instead of a
+        # (chunk, window) row block — on a tunneled TPU the transfers, not
+        # the math, dominate.
+        window = int(kind.split(":", 1)[1])
+
+        @jax.jit
+        def wrapped(p, toks1d, starts, offs, mask_val):
+            def cut(start, off):
+                row = jax.lax.dynamic_slice(toks1d, (start,), (window,))
+                return row.at[off].set(mask_val)
+
+            rows = jax.vmap(cut)(starts, offs)
+            return row_log_softmax_gather(fn(p, rows), offs)
+
     elif kind == "step":
 
         @jax.jit
@@ -255,13 +273,33 @@ def masked_marginal_table(
                 "overlapping windows are not defined for masked-marginals "
                 "(matches reference behavior)"
             )
-        rows = np.zeros((total, window), dtype=tokens.dtype)
+        starts = np.zeros((total,), dtype=np.int32)
         offsets = np.zeros((total,), dtype=np.int32)
         for i in range(total):
-            start, end = get_optimal_window(i, total, window)
-            rows[i] = tokens[start:end]
-            rows[i, i - start] = mask_idx
+            start, _end = get_optimal_window(i, total, window)
+            starts[i] = start
             offsets[i] = i - start
+        if params is not None:
+            # device-built window rows from ONE (T_total,) upload
+            n_pad = _round_up(total, chunk)
+            pad = n_pad - total
+            starts_p = np.concatenate([starts, np.zeros(pad, np.int32)])
+            offs_p = np.concatenate([offsets, np.zeros(pad, np.int32)])
+            starts_p = starts_p.reshape(-1, chunk)
+            offs_p = offs_p.reshape(-1, chunk)
+            step = _cached_jit(logits_fn, f"step_window_params:{window}")
+            toks_dev = jnp.asarray(tokens)
+            mask_val = jnp.asarray(mask_idx, tokens.dtype)
+            parts = [
+                step(params, toks_dev, jnp.asarray(starts_p[i]),
+                     jnp.asarray(offs_p[i]), mask_val)
+                for i in range(starts_p.shape[0])
+            ]
+            return jnp.concatenate(parts, axis=0)[:total]
+        rows = np.zeros((total, window), dtype=tokens.dtype)
+        for i in range(total):
+            rows[i] = tokens[starts[i] : starts[i] + window]
+            rows[i, offsets[i]] = mask_idx
         eff_len = window
     else:
         rows = np.tile(tokens[None], (total, 1))
