@@ -371,7 +371,7 @@ def cmd_models(args) -> int:
 CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
-    "progen3",
+    "progen3", "esm_if1",
 }
 
 
@@ -461,6 +461,11 @@ def cmd_convert(args) -> int:
         from proteingym_tpu.pipeline.checkpoints import load_gpt2_checkpoint
 
         params, config = load_gpt2_checkpoint(args.checkpoint)
+    elif fam == "esm_if1":
+        from proteingym_tpu.models import gvp_transformer as m
+
+        config = m.PRESETS.get(preset) or m.PRESETS["esm_if1"]
+        params = m.convert_torch_state_dict(sd(), config)
     elif fam == "eve":
         # self-describing checkpoint: the reference save dict carries the
         # encoder/decoder hyperparameters (ref VAE_model.py:356-364), so the

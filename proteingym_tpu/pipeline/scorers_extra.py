@@ -118,15 +118,18 @@ def score_saprot(ctx: ScoreContext) -> pd.DataFrame:
 
 @register_scorer("esm_if1")
 def score_esm_if1(ctx: ScoreContext) -> pd.DataFrame:
-    """Inverse-folding AR log-lik (ref esm/compute_fitness_esm_if1.py)."""
-    import jax
+    """Inverse-folding ll_fullseq with the weight-compatible GVP-Transformer
+    (ref esm/compute_fitness_esm_if1.py:33-39; published checkpoints load
+    via ``pgym convert --family esm_if1``)."""
+    from proteingym_tpu.models import gvp_transformer
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    from proteingym_tpu.models import esm_if1
-
-    coords = _load_structure(ctx)
-    config = esm_if1.EsmIf1Config()
-    params = esm_if1.init_params(jax.random.PRNGKey(0), config)
-    scores = esm_if1.score_sequences(
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, gvp_transformer.PRESETS, "esm_if1_tiny",
+        gvp_transformer.init_params, gvp_transformer.GVPTransformerConfig,
+    )
+    coords = _load_structure(ctx)[:, :3]  # N, CA, C
+    scores = gvp_transformer.score_sequences(
         params, config, coords, ctx.dms_frame["mutated_sequence"].tolist(),
         batch_size=ctx.batch_size,
     )

@@ -287,3 +287,103 @@ def load_ref_eve():
     from EVE import VAE_model
 
     return VAE_model
+
+
+def _stub_torch_geometric():
+    """Minimal MessagePassing covering the vendored GVPConv usage
+    (ref esm/esm/inverse_folding/gvp_modules.py:267-328): gather _i (dst)
+    and _j (src) suffixed kwargs, call message(), scatter-aggregate at dst."""
+    if "torch_geometric" in sys.modules:
+        return
+    import inspect
+
+    import torch
+    import torch.nn as nn
+
+    class MessagePassing(nn.Module):
+        def __init__(self, aggr="mean"):
+            super().__init__()
+            self.aggr = aggr
+
+        def propagate(self, edge_index, **kwargs):
+            src, dst = edge_index[0], edge_index[1]
+            sig = inspect.signature(self.message).parameters
+            call = {}
+            for name in sig:
+                if name.endswith("_i"):
+                    call[name] = kwargs[name[:-2]][dst]
+                elif name.endswith("_j"):
+                    call[name] = kwargs[name[:-2]][src]
+                else:
+                    call[name] = kwargs[name]
+            out = self.message(**call)
+            num_nodes = kwargs["s"].shape[0]
+            agg = torch.zeros(
+                num_nodes, out.shape[-1], dtype=out.dtype, device=out.device
+            )
+            agg.index_add_(0, dst, out)
+            if self.aggr == "mean":
+                count = torch.zeros(num_nodes, dtype=out.dtype)
+                count.index_add_(0, dst, torch.ones_like(dst, dtype=out.dtype))
+                agg = agg / count.clamp(min=1).unsqueeze(-1)
+            return agg
+
+    tg = types.ModuleType("torch_geometric")
+    tg_nn = types.ModuleType("torch_geometric.nn")
+    tg_nn.MessagePassing = MessagePassing
+    tg.nn = tg_nn
+    sys.modules["torch_geometric"] = tg
+    sys.modules["torch_geometric.nn"] = tg_nn
+
+
+def _stub_biotite():
+    """biotite is only used for PDB IO in inverse_folding/util.py; parity
+    tests feed coordinates directly."""
+    if "biotite" in sys.modules:
+        return
+    bs = types.ModuleType("biotite.structure")
+    bs.filter_backbone = lambda *a, **k: None
+    bs.get_chains = lambda *a, **k: []
+    bs.apply_residue_wise = lambda *a, **k: None
+
+    class _AtomArray:
+        pass
+
+    bs.AtomArray = _AtomArray
+    bio = types.ModuleType("biotite")
+    bio.structure = bs
+    bsio = types.ModuleType("biotite.structure.io")
+    bsio.pdbx = types.ModuleType("biotite.structure.io.pdbx")
+    bsio.pdb = types.ModuleType("biotite.structure.io.pdb")
+    bsr = types.ModuleType("biotite.structure.residues")
+    bsr.get_residues = lambda *a, **k: None
+    bseq = types.ModuleType("biotite.sequence")
+
+    class ProteinSequence:
+        @staticmethod
+        def convert_letter_3to1(r):
+            raise NotImplementedError("biotite stub")
+
+    bseq.ProteinSequence = ProteinSequence
+    bs.io = bsio
+    bs.residues = bsr
+    for name, mod in (
+        ("biotite", bio),
+        ("biotite.structure", bs),
+        ("biotite.structure.io", bsio),
+        ("biotite.structure.io.pdbx", bsio.pdbx),
+        ("biotite.structure.io.pdb", bsio.pdb),
+        ("biotite.structure.residues", bsr),
+        ("biotite.sequence", bseq),
+    ):
+        sys.modules[name] = mod
+
+
+def load_ref_if1():
+    """Import the vendored GVP-Transformer (ESM-IF1) model."""
+    load_ref_esm()
+    _stub_torch_geometric()
+    _stub_biotite()
+    import esm.inverse_folding.gvp_transformer as m
+
+    return m
