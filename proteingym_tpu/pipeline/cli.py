@@ -371,7 +371,7 @@ def cmd_models(args) -> int:
 CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
-    "progen3", "esm_if1",
+    "progen3", "esm_if1", "protssn",
 }
 
 
@@ -466,6 +466,13 @@ def cmd_convert(args) -> int:
 
         config = m.PRESETS.get(preset) or m.PRESETS["esm_if1"]
         params = m.convert_torch_state_dict(sd(), config)
+    elif fam == "protssn":
+        from proteingym_tpu.models import protssn as m
+
+        base = m.PROTSSN_PRESETS.get(preset) or m.ProtssnEgnnConfig()
+        state = sd()
+        config = m.config_from_state_dict(state, base)
+        params = m.convert_torch_state_dict(state, config)
     elif fam == "eve":
         # self-describing checkpoint: the reference save dict carries the
         # encoder/decoder hyperparameters (ref VAE_model.py:356-364), so the

@@ -85,7 +85,8 @@ class ScoreContext:
 
 
 def resolve_zoo_checkpoint(spec, presets: dict, default_preset: str,
-                           init_fn, config_cls=None):
+                           init_fn, config_cls=None,
+                           prefer_sidecar_fields: bool = False):
     """Resolve a --checkpoint spec for a preset-based model family.
 
     None -> default preset, RANDOM init (documented smoke/test behavior);
@@ -113,7 +114,7 @@ def resolve_zoo_checkpoint(spec, presets: dict, default_preset: str,
 
             meta = _json.loads(cfg_file.read_text())
             preset = meta.get("preset")
-            if preset in presets:
+            if preset in presets and not prefer_sidecar_fields:
                 config = presets[preset]
             elif config_cls is not None:
                 fields = {f.name for f in _dc.fields(config_cls)}

@@ -9,6 +9,7 @@ contract (see pipeline/scorers.py).
 
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
 
 import numpy as np
@@ -138,27 +139,66 @@ def score_esm_if1(ctx: ScoreContext) -> pd.DataFrame:
 
 @register_scorer("protssn")
 def score_protssn(ctx: ScoreContext) -> pd.DataFrame:
-    """ProtSSN: PLM embeddings + EGNN readout (ref protssn/compute_fitness.py)."""
+    """ProtSSN: frozen PLM embeddings + EGNN readout, weight-compatible with
+    the published protssn_k{k}_h{h}.pt checkpoints
+    (ref protssn/compute_fitness.py:53-113; convert via
+    ``pgym convert --family protssn``). ``--extra esm_checkpoint=`` selects
+    the PLM; ``--extra norm_stats=`` points at the shipped
+    cath_k{k}_mean_attr.pt statistics (identity statistics otherwise)."""
     import jax
-    import jax.numpy as jnp
 
-    from proteingym_tpu.models import esm2, protssn
+    from proteingym_tpu.models import protssn
     from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    coords = _load_structure(ctx)
+    presets = protssn.PROTSSN_PRESETS | {
+        "protssn_tiny": protssn.ProtssnEgnnConfig(
+            name="protssn_tiny", input_dim=320, m_dim=32, n_layers=2,
+        )
+    }
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, presets, "protssn_tiny",
+        protssn.init_egnn_params, protssn.ProtssnEgnnConfig,
+        # converted sidecars carry dims inferred from the checkpoint shapes;
+        # those must win over the (k, h) preset defaults
+        prefer_sidecar_fields=True,
+    )
     esm_params, esm_config = load_esm_checkpoint(
         ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
     )
-    emb = protssn.esm_embeddings(esm_params, esm_config, ctx.record.target_seq)
-    config = protssn.ProtssnConfig(
-        node_dim=esm_config.embed_dim,
-        hidden_dim=int(ctx.extra.get("hidden_dim", 512)),
-        k_neighbors=int(ctx.extra.get("k_neighbors", 20)),
+    if esm_config.embed_dim != config.input_dim:
+        if ctx.checkpoint is None or ctx.checkpoint in presets:
+            # random-init preset: shrink/grow the EGNN to the PLM width
+            config = dataclasses.replace(
+                config, input_dim=esm_config.embed_dim
+            )
+            params = protssn.init_egnn_params(jax.random.PRNGKey(0), config)
+        else:
+            raise ValueError(
+                f"PLM width {esm_config.embed_dim} != EGNN input_dim "
+                f"{config.input_dim} of the converted checkpoint"
+            )
+    coords = _load_structure(ctx)
+    emb = np.asarray(
+        protssn.esm_embeddings(esm_params, esm_config,
+                               ctx.record.target_seq)
     )
-    params = protssn.init_params(jax.random.PRNGKey(0), config)
-    scores = protssn.score_mutants(
-        params, config, emb, jnp.asarray(coords[:, 1]),
-        ctx.record.target_seq, ctx.dms_frame["mutant"].tolist(),
+    src, dst, edge_attr, pos = protssn.build_calpha_graph(
+        coords[:, :3], config.k_neighbors, config.cutoff, config.seq_dist_cut
+    )
+    stats_path = ctx.extra.get("norm_stats")
+    if stats_path:
+        stats = protssn.load_norm_stats(stats_path)
+    else:  # identity statistics: centering only (documented fallback)
+        stats = {
+            "pos_std": np.ones(3, np.float32),
+            "edge_attr_mean": np.zeros(93, np.float32),
+            "edge_attr_std": np.ones(93, np.float32) - 1e-10,
+        }
+    npos, nea = protssn.apply_norm_stats(pos, edge_attr, stats)
+    logp = protssn.egnn_log_probs(params, config, emb, npos, src, dst, nea)
+    scores = protssn.score_mutants_egnn(
+        logp, ctx.record.target_seq, ctx.dms_frame["mutant"].tolist()
     )
     return _with_column(ctx, "ProtSSN_score", scores)
 

@@ -290,9 +290,11 @@ def load_ref_eve():
 
 
 def _stub_torch_geometric():
-    """Minimal MessagePassing covering the vendored GVPConv usage
-    (ref esm/esm/inverse_folding/gvp_modules.py:267-328): gather _i (dst)
-    and _j (src) suffixed kwargs, call message(), scatter-aggregate at dst."""
+    """Minimal torch_geometric surface for the vendored GVPConv
+    (ref esm/esm/inverse_folding/gvp_modules.py:267-328) and ProtSSN's
+    EGNN_Sparse, whose OVERRIDDEN propagate calls the MessagePassing
+    internals _check_input/_collect/inspector/aggregate/update
+    (ref protssn/src/module/egnn/egnn_pytorch_geometric.py:245-299)."""
     if "torch_geometric" in sys.modules:
         return
     import inspect
@@ -300,40 +302,111 @@ def _stub_torch_geometric():
     import torch
     import torch.nn as nn
 
+    class _Inspector:
+        def __init__(self, module):
+            self.module = module
+
+        def distribute(self, name, coll):
+            params = inspect.signature(
+                getattr(self.module, name)
+            ).parameters
+            return {p: coll[p] for p in params if p in coll}
+
     class MessagePassing(nn.Module):
-        def __init__(self, aggr="mean"):
+        def __init__(self, aggr="mean", **kwargs):
             super().__init__()
             self.aggr = aggr
+            self.inspector = _Inspector(self)
+            self._user_args = []
 
-        def propagate(self, edge_index, **kwargs):
+        def _check_input(self, edge_index, size):
+            return size
+
+        def _collect(self, user_args, edge_index, size, kwargs):
             src, dst = edge_index[0], edge_index[1]
-            sig = inspect.signature(self.message).parameters
-            call = {}
-            for name in sig:
-                if name.endswith("_i"):
-                    call[name] = kwargs[name[:-2]][dst]
-                elif name.endswith("_j"):
-                    call[name] = kwargs[name[:-2]][src]
-                else:
-                    call[name] = kwargs[name]
-            out = self.message(**call)
-            num_nodes = kwargs["s"].shape[0]
+            coll = dict(kwargs)
+            num_nodes = None
+            for k, v in list(kwargs.items()):
+                if torch.is_tensor(v) and k not in ("edge_attr",):
+                    coll[f"{k}_i"] = v[dst]
+                    coll[f"{k}_j"] = v[src]
+                    if k in ("s", "x"):
+                        num_nodes = v.shape[0]
+            coll["index"] = dst
+            coll["dim_size"] = num_nodes
+            return coll
+
+        def aggregate(self, inputs, index, dim_size=None):
             agg = torch.zeros(
-                num_nodes, out.shape[-1], dtype=out.dtype, device=out.device
+                dim_size, inputs.shape[-1], dtype=inputs.dtype,
+                device=inputs.device,
             )
-            agg.index_add_(0, dst, out)
+            agg.index_add_(0, index, inputs)
             if self.aggr == "mean":
-                count = torch.zeros(num_nodes, dtype=out.dtype)
-                count.index_add_(0, dst, torch.ones_like(dst, dtype=out.dtype))
+                count = torch.zeros(dim_size, dtype=inputs.dtype)
+                count.index_add_(
+                    0, index, torch.ones_like(index, dtype=inputs.dtype)
+                )
                 agg = agg / count.clamp(min=1).unsqueeze(-1)
             return agg
+
+        def update(self, inputs, **kwargs):
+            return inputs
+
+        def propagate(self, edge_index, size=None, **kwargs):
+            coll = self._collect(self._user_args, edge_index, size, kwargs)
+            out = self.message(**self.inspector.distribute("message", coll))
+            return self.aggregate(
+                out, coll["index"], dim_size=coll["dim_size"]
+            )
+
+    class Data:
+        def __init__(self, **kwargs):
+            self.__dict__.update(kwargs)
+
+        def clone(self):
+            import copy
+
+            return copy.copy(self)
+
+    class _AnyInit:
+        def __init__(self, *a, **k):
+            pass
 
     tg = types.ModuleType("torch_geometric")
     tg_nn = types.ModuleType("torch_geometric.nn")
     tg_nn.MessagePassing = MessagePassing
+    tg_nn_norm = types.ModuleType("torch_geometric.nn.norm")
+    tg_nn_norm.LayerNorm = _AnyInit
+    tg_nn.norm = tg_nn_norm
+    tg_typing = types.ModuleType("torch_geometric.typing")
+    tg_typing.Adj = object
+    tg_typing.Size = object
+    tg_typing.OptTensor = object
+    tg_typing.Tensor = torch.Tensor
+    tg_data = types.ModuleType("torch_geometric.data")
+    tg_data.Data = Data
+    tg_data.Dataset = _AnyInit
+    tg_data.InMemoryDataset = _AnyInit
+    tg_transforms = types.ModuleType("torch_geometric.transforms")
+
+    class BaseTransform:
+        pass
+
+    tg_transforms.BaseTransform = BaseTransform
     tg.nn = tg_nn
-    sys.modules["torch_geometric"] = tg
-    sys.modules["torch_geometric.nn"] = tg_nn
+    tg.typing = tg_typing
+    tg.data = tg_data
+    tg.transforms = tg_transforms
+    for name, mod in (
+        ("torch_geometric", tg),
+        ("torch_geometric.nn", tg_nn),
+        ("torch_geometric.nn.norm", tg_nn_norm),
+        ("torch_geometric.typing", tg_typing),
+        ("torch_geometric.data", tg_data),
+        ("torch_geometric.transforms", tg_transforms),
+    ):
+        sys.modules[name] = mod
 
 
 def _stub_biotite():
@@ -387,3 +460,60 @@ def load_ref_if1():
     import esm.inverse_folding.gvp_transformer as m
 
     return m
+
+
+def _stub_bio_pdb_rdkit():
+    """Bio.PDB / rdkit are only used for PDB parsing + SASA in ProtSSN's
+    dataset; parity tests drive the graph builder with coordinates."""
+    if "Bio.PDB" not in sys.modules:
+        bio = sys.modules.get("Bio") or types.ModuleType("Bio")
+        pdb = types.ModuleType("Bio.PDB")
+
+        class _AnyInit:
+            def __init__(self, *a, **k):
+                pass
+
+        pdb.PDBParser = _AnyInit
+        pdb.ShrakeRupley = _AnyInit
+        exc = types.ModuleType("Bio.PDB.PDBExceptions")
+
+        class PDBConstructionWarning(Warning):
+            pass
+
+        exc.PDBConstructionWarning = PDBConstructionWarning
+        pdb.PDBExceptions = exc
+        bio.PDB = pdb
+        sys.modules["Bio"] = bio
+        sys.modules["Bio.PDB"] = pdb
+        sys.modules["Bio.PDB.PDBExceptions"] = exc
+    if "rdkit" not in sys.modules:
+        rdkit = types.ModuleType("rdkit")
+        chem = types.ModuleType("rdkit.Chem")
+        chem.GetPeriodicTable = lambda: None
+        rdkit.Chem = chem
+        sys.modules["rdkit"] = rdkit
+        sys.modules["rdkit.Chem"] = chem
+
+
+def load_ref_protssn():
+    """Import ProtSSN's vendored EGNN + dataset modules ('src' package has
+    no __init__.py; mount synthetic packages)."""
+    _stub_torch_geometric()
+    _stub_bio_pdb_rdkit()
+    base = REF / "protssn"
+    if "src" not in sys.modules:
+        for name, path in (
+            ("src", base / "src"),
+            ("src.module", base / "src" / "module"),
+            ("src.utils", base / "src" / "utils"),
+            ("src.dataset", base / "src" / "dataset"),
+        ):
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [str(path)]
+            sys.modules[name] = pkg
+    import importlib
+
+    network = importlib.import_module("src.module.egnn.network")
+    dataset = importlib.import_module("src.dataset.mutant_dataset")
+    utils = importlib.import_module("src.utils.dataset_utils")
+    return network, dataset, utils
