@@ -275,21 +275,39 @@ def score_gemme(ctx: ScoreContext) -> pd.DataFrame:
 
 @register_scorer("siterm")
 def score_siterm(ctx: ScoreContext) -> pd.DataFrame:
-    """SiteRM per-site rate-matrix model (ref SiteRM/compute_fitness.py;
-    native cherry extraction + F81 fit, no FastTree/cherryml)."""
+    """SiteRM: one reversible 21-state rate matrix per site learned from
+    cherry transitions with prior pseudocounts, scored by expm transition
+    likelihoods (ref SiteRM/compute_fitness.py; native cherries + JAX GTR
+    fit instead of cherryml/FastCherries). ``--extra prior_matrix=`` points
+    at a cherryml-format rate matrix (the reference ships lg_with_gaps.txt);
+    ``--extra method=f81`` selects the fast closed-form F81 variant."""
     from proteingym_tpu.models import siterm as siterm_mod
 
     msa = ctx.load_msa()
-    model = siterm_mod.fit_siterm(
-        msa.matrix, msa.weights,
-        max_pairs=ctx.extra.get("max_pairs"),
-    )
     muts = ctx.dms_frame["mutant"].tolist()
-    scores = _score_focus_model(
-        ctx, msa,
-        lambda wt, remapped: siterm_mod.score_mutants(model, wt, remapped),
-        muts,
-    )
+    if ctx.extra.get("method") == "f81":
+        model = siterm_mod.fit_siterm(
+            msa.matrix, msa.weights,
+            max_pairs=ctx.extra.get("max_pairs"),
+        )
+        score_fn = lambda wt, remapped: siterm_mod.score_mutants(
+            model, wt, remapped
+        )
+    else:
+        prior_path = ctx.extra.get("prior_matrix")
+        prior_Q = None
+        if prior_path:
+            prior_Q, _states = siterm_mod.read_rate_matrix(prior_path)
+        mp = ctx.extra.get("max_pairs")
+        gtr = siterm_mod.fit_site_rate_matrices(
+            msa.matrix, msa.weights, prior_Q=prior_Q,
+            epochs=int(ctx.extra.get("epochs", 100)),
+            max_pairs=int(mp) if mp else None,
+        )
+        score_fn = lambda wt, remapped: siterm_mod.score_mutants_gtr(
+            gtr, wt, remapped
+        )
+    scores = _score_focus_model(ctx, msa, score_fn, muts)
     out = ctx.dms_frame.copy()
     out["SiteRM_score"] = scores
     return out

@@ -132,3 +132,90 @@ class TestGemme:
                                     mode=mode)
             assert s[0] == 0.0
             assert np.isfinite(s).all()
+
+
+class TestSiteRmGtr:
+    """The real SiteRM model class: per-site reversible 21-state rate
+    matrices (ref SiteRM/compute_fitness.py:83-130, 328-350)."""
+
+    def _fit(self, seed=0, **kw):
+        rs = np.random.RandomState(seed)
+        mat, consensus = _msa(rs, n=40, L=10)
+        model = siterm.fit_site_rate_matrices(mat, epochs=30, **kw)
+        return model, mat, consensus
+
+    def test_valid_reversible_rate_matrices(self):
+        model, _, _ = self._fit()
+        Q = model.rate_matrices
+        assert Q.shape == (10, 21, 21)
+        np.testing.assert_allclose(Q.sum(-1), 0.0, atol=1e-4)
+        off = Q * (1 - np.eye(21))
+        assert (off >= -1e-8).all()
+        # detailed balance: pi_a Q_ab == pi_b Q_ba
+        for i in (0, 3, 7):
+            pi = siterm.stationary_distribution(Q[i])
+            flux = pi[:, None] * Q[i]
+            np.testing.assert_allclose(flux, flux.T, atol=1e-4)
+
+    def test_conserved_sites_score_lower_for_substitutions(self):
+        model, mat, consensus = self._fit()
+        wt = "".join(AA[c - 1] for c in consensus)
+        # even sites conserved, odd variable in _msa
+        cons_pos, var_pos = 2, 1
+        mt_c = AA[(consensus[cons_pos]) % 20]
+        mt_v = AA[(consensus[var_pos]) % 20]
+        scores = siterm.score_mutants_gtr(
+            model, wt,
+            [f"{wt[cons_pos]}{cons_pos + 1}{mt_c}",
+             f"{wt[var_pos]}{var_pos + 1}{mt_v}"],
+        )
+        assert scores[0] < scores[1]
+
+    def test_prior_matrix_file_roundtrip(self, tmp_path):
+        Q = siterm.uniform_prior(21)
+        states = list(siterm.ALPHABET21)
+        f = tmp_path / "prior.txt"
+        with open(f, "w") as fh:
+            fh.write("\t" + "\t".join(states) + "\n")
+            for i, s in enumerate(states):
+                fh.write(s + "\t" + "\t".join(str(v) for v in Q[i]) + "\n")
+        Q2, states2 = siterm.read_rate_matrix(f)
+        np.testing.assert_allclose(Q2, Q)
+        assert states2 == states
+        model, _, _ = self._fit(prior_Q=Q2)
+        assert np.isfinite(model.rate_matrices).all()
+
+    def test_reference_lg_with_gaps_parses(self):
+        import pathlib
+
+        lg = pathlib.Path(
+            "/root/reference/proteingym/baselines/SiteRM/lg_with_gaps.txt"
+        )
+        if not lg.exists():
+            pytest.skip("reference LG file unavailable")
+        Q, states = siterm.read_rate_matrix(lg)
+        assert len(states) == 21 and states[-1] == "-"
+        np.testing.assert_allclose(Q.sum(1), 0.0, atol=1e-5)
+        pi = siterm.stationary_distribution(Q)
+        assert (pi > 0).all()
+        model, _, _ = self._fit(prior_Q=Q)
+        assert np.isfinite(model.rate_matrices).all()
+
+    def test_regularization_pulls_toward_prior(self):
+        """Full regularization reproduces prior-like matrices regardless of
+        the data; no regularization tracks the data (conserved sites drive
+        their leaving rates toward 0)."""
+        rs = np.random.RandomState(0)
+        mat, consensus = _msa(rs, n=60, L=10)
+        m_reg = siterm.fit_site_rate_matrices(
+            mat, epochs=200, regularization_strength=1.0
+        )
+        m_free = siterm.fit_site_rate_matrices(
+            mat, epochs=200, regularization_strength=0.0
+        )
+        spread_reg = np.std(m_reg.rate_matrices, axis=0).mean()
+        spread_free = np.std(m_free.rate_matrices, axis=0).mean()
+        assert spread_reg < spread_free
+        c0 = consensus[2] - 1  # site 2 is conserved in _msa
+        assert (-m_free.rate_matrices[2, c0, c0]
+                < -m_reg.rate_matrices[2, c0, c0])
