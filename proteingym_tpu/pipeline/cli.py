@@ -371,7 +371,7 @@ def cmd_models(args) -> int:
 CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
-    "progen3", "esm_if1", "protssn",
+    "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
 }
 
 
@@ -473,6 +473,18 @@ def cmd_convert(args) -> int:
         state = sd()
         config = m.config_from_state_dict(state, base)
         params = m.convert_torch_state_dict(state, config)
+    elif fam == "esm3":
+        from proteingym_tpu.models import esm3 as m
+
+        config = (m.PRESETS | {"esm3_tiny": m.TINY}).get(preset) \
+            or m.PRESETS["esm3_open_small"]
+        params = m.convert_torch_state_dict(sd(), config)
+    elif fam == "esm3_structure_encoder":
+        from proteingym_tpu.models import esm3 as m
+
+        config = m.STRUCTURE_ENCODER_PRESETS.get(preset) \
+            or m.STRUCTURE_ENCODER_PRESETS["esm3_structure_encoder"]
+        params = m.convert_structure_encoder_state_dict(sd(), config)
     elif fam == "eve":
         # self-describing checkpoint: the reference save dict carries the
         # encoder/decoder hyperparameters (ref VAE_model.py:356-364), so the

@@ -59,9 +59,8 @@ def score_carp(ctx: ScoreContext) -> pd.DataFrame:
 
 
 @register_scorer("esmc")
-@register_scorer("esm3")
 def score_esmc(ctx: ScoreContext) -> pd.DataFrame:
-    """ESM-C / ESM3-open sequence scoring (ref evoscale/compute_fitness.py)."""
+    """ESM-C sequence scoring (ref evoscale/compute_fitness.py)."""
     from proteingym_tpu.models import esmc
     from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
@@ -76,6 +75,56 @@ def score_esmc(ctx: ScoreContext) -> pd.DataFrame:
         chunk=ctx.batch_size,
     )
     return _with_column(ctx, f"{config.name}_score", scores)
+
+
+@register_scorer("esm3")
+def score_esm3(ctx: ScoreContext) -> pd.DataFrame:
+    """ESM3 masked marginals, structure-conditioned when a PDB is available
+    (ref evoscale/compute_fitness.py:144-470). The structure track runs the
+    real VQ-VAE tokenizer; ``--extra structure_checkpoint=`` points at a
+    converted esm3 structure encoder, ``--checkpoint`` at the converted
+    trunk. Without --structure-dir the scorer degrades to sequence-only
+    (coords=None), matching the reference's use_structure=False branch."""
+    import jax
+
+    from proteingym_tpu.models import esm3
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
+
+    presets = esm3.PRESETS | {"esm3_tiny": esm3.TINY}
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, presets, "esm3_tiny", esm3.init_params,
+        esm3.Esm3Config,
+    )
+    sc_spec = ctx.extra.get("structure_checkpoint")
+    coords = None
+    struct_params = None
+    sc = esm3.STRUCTURE_ENCODER_PRESETS["esm3_structure_encoder_tiny"]
+    if ctx.structure_dir is not None:
+        try:
+            coords = _load_structure(ctx)[:, :3]
+        except FileNotFoundError:
+            coords = None
+    if coords is not None:
+        if sc_spec:
+            from proteingym_tpu.pipeline.scorers import (
+                resolve_zoo_checkpoint as _r,
+            )
+
+            sc, struct_params = _r(
+                sc_spec, esm3.STRUCTURE_ENCODER_PRESETS,
+                "esm3_structure_encoder",
+                esm3.structure_encoder_init, esm3.StructureEncoderConfig,
+            )
+        else:
+            struct_params = esm3.structure_encoder_init(
+                jax.random.PRNGKey(0), sc
+            )
+    scores = esm3.score_assay_esm3(
+        params, config, struct_params, sc, ctx.record.target_seq,
+        ctx.dms_frame["mutant"].tolist(), coords=coords,
+        batch=ctx.batch_size,
+    )
+    return _with_column(ctx, "ESM3_score", scores)
 
 
 @register_scorer("xtrimopglm")

@@ -517,3 +517,132 @@ def load_ref_protssn():
     dataset = importlib.import_module("src.dataset.mutant_dataset")
     utils = importlib.import_module("src.utils.dataset_utils")
     return network, dataset, utils
+
+
+_EVOSCALE_CACHE: dict = {}
+
+
+def load_ref_esm3():
+    """Import the vendored evoscale SDK (ESM3 + structure VQ-VAE).
+
+    The SDK claims the 'esm' package name, clashing with the fair-esm
+    vendored under baselines/esm — swap sys.modules around the import and
+    keep the evoscale modules cached off to the side."""
+    if _EVOSCALE_CACHE:
+        return _EVOSCALE_CACHE["esm3"], _EVOSCALE_CACHE["vqvae"]
+    # load the real huggingface_hub entry points BEFORE the brotli stub goes
+    # in (urllib3 sniffs for brotli and would trip over the fake module)
+    from huggingface_hub import snapshot_download  # noqa: F401
+    if "zstd" not in sys.modules:
+        zstd = types.ModuleType("zstd")
+        zstd.ZSTD_uncompress = lambda b: b
+        sys.modules["zstd"] = zstd
+    if "cloudpathlib" not in sys.modules:
+        cp = types.ModuleType("cloudpathlib")
+
+        class CloudPath:  # only used in type annotations
+            pass
+
+        cp.CloudPath = CloudPath
+        cp.AnyPath = CloudPath
+        cp.S3Path = CloudPath
+        cp.GSPath = CloudPath
+        sys.modules["cloudpathlib"] = cp
+    if "msgpack" not in sys.modules:
+        mp = types.ModuleType("msgpack")
+        mp.unpackb = lambda *a, **k: None
+        mp.packb = lambda *a, **k: b""
+        sys.modules["msgpack"] = mp
+    if "msgpack_numpy" not in sys.modules:
+        mpn = types.ModuleType("msgpack_numpy")
+        mpn.patch = lambda: None
+        sys.modules["msgpack_numpy"] = mpn
+    if "brotli" not in sys.modules:
+        br = types.ModuleType("brotli")
+        br.compress = lambda b, **k: b
+        br.decompress = lambda b: b
+        sys.modules["brotli"] = br
+    _stub_biotite()
+    bs_mod = sys.modules["biotite.structure"]
+    for name in ("annotate_sse", "filter_amino_acids", "get_chains"):
+        if not hasattr(bs_mod, name):
+            setattr(bs_mod, name, lambda *a, **k: None)
+
+    class _AnyInit2:
+        def __init__(self, *a, **k):
+            pass
+
+    if not hasattr(bs_mod, "Atom"):
+        bs_mod.Atom = _AnyInit2
+        bs_mod.AtomArray = getattr(bs_mod, "AtomArray", _AnyInit2)
+        bs_mod.AtomArrayStack = _AnyInit2
+        bs_mod.array = lambda *a, **k: None
+    if "biotite.application" not in sys.modules:
+        app = types.ModuleType("biotite.application")
+        dssp = types.ModuleType("biotite.application.dssp")
+        dssp.DsspApp = _AnyInit2
+        app.dssp = dssp
+        sys.modules["biotite.application"] = app
+        sys.modules["biotite.application.dssp"] = dssp
+    if "biotite.database" not in sys.modules:
+        db = types.ModuleType("biotite.database")
+        rcsb = types.ModuleType("biotite.database.rcsb")
+        rcsb.fetch = lambda *a, **k: None
+        db.rcsb = rcsb
+        sys.modules["biotite.database"] = db
+        sys.modules["biotite.database.rcsb"] = rcsb
+    pdbmod = sys.modules.get("biotite.structure.io.pdb")
+    if pdbmod is not None and not hasattr(pdbmod, "PDBFile"):
+        pdbmod.PDBFile = _AnyInit2
+    cifmod = sys.modules.get("biotite.structure.io.pdbx")
+    if cifmod is not None and not hasattr(cifmod, "CIFFile"):
+        cifmod.CIFFile = _AnyInit2
+        cifmod.get_structure = lambda *a, **k: None
+    bio = sys.modules.get("Bio") or types.ModuleType("Bio")
+    if "Bio.Data" not in sys.modules:
+        bdata = types.ModuleType("Bio.Data")
+        pdbdata = types.ModuleType("Bio.Data.PDBData")
+        pdbdata.protein_letters_3to1 = {}
+        pdbdata.protein_letters_1to3 = {}
+        pdbdata.protein_letters_3to1_extended = {}
+        bdata.PDBData = pdbdata
+        bio.Data = bdata
+        sys.modules["Bio"] = bio
+        sys.modules["Bio.Data"] = bdata
+        sys.modules["Bio.Data.PDBData"] = pdbdata
+    saved = {
+        k: v for k, v in sys.modules.items()
+        if k == "esm" or k.startswith("esm.")
+    }
+    for k in saved:
+        del sys.modules[k]
+    p = str(REF / "evoscale")
+    fair = str(REF / "esm")
+    had_fair = fair in sys.path
+    if had_fair:
+        sys.path.remove(fair)
+    sys.path.insert(0, p)
+    try:
+        import esm.models.esm3 as m3
+        import esm.models.vqvae as mv
+
+        evo = {
+            k: v for k, v in sys.modules.items()
+            if k == "esm" or k.startswith("esm.")
+        }
+    finally:
+        for k in list(sys.modules):
+            if k == "esm" or k.startswith("esm."):
+                del sys.modules[k]
+        sys.modules.update(saved)
+        sys.path.remove(p)
+        if had_fair:
+            sys.path.insert(0, fair)
+    _EVOSCALE_CACHE.update(esm3=m3, vqvae=mv, modules=evo)
+    return m3, mv
+
+
+def evoscale_module(name: str):
+    """Fetch a cached evoscale submodule (e.g. 'esm.tokenization')."""
+    load_ref_esm3()
+    return _EVOSCALE_CACHE["modules"][name]

@@ -116,7 +116,7 @@ def test_scorer_smoke(model, world):
     # tiny checkpoints for trunk-based scorers
     preset = {
         "esm": "esm2_t6_8M", "carp": "carp_600k", "esmc": "esmc_tiny",
-        "esm3": "esmc_tiny", "xtrimopglm": "xtrimopglm_tiny",
+        "esm3": "esm3_tiny", "xtrimopglm": "xtrimopglm_tiny",
         "poet": "poet_tiny", "msa_transformer": "msa_tiny",
     }.get(model)
     if preset:
