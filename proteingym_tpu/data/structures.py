@@ -82,3 +82,38 @@ def synthetic_helix_backbone(sequence_len: int, seed: int = 0) -> np.ndarray:
     c = ca + np.array([0.7, 0.6, 0.9]) + 0.01 * rs.randn(sequence_len, 3)
     o = c + np.array([0.6, -1.0, 0.2]) + 0.01 * rs.randn(sequence_len, 3)
     return np.stack([n, ca, c, o], axis=1)
+
+
+def parse_pdb_bfactors(path, chain=None) -> np.ndarray:
+    """Per-residue CA b-factor (AF2 PDBs store pLDDT there — the S3F task
+    uses it for its low-confidence fallback, ref S3F/s3f/task.py:88-91).
+    Residues counted exactly as parse_pdb_backbone (complete backbones)."""
+    bfac: Dict[tuple, float] = {}
+    have: Dict[tuple, set] = {}
+    picked_chain = chain
+    with open(path) as f:
+        for line in f:
+            if line.startswith("ENDMDL"):
+                break
+            if not line.startswith("ATOM"):
+                continue
+            atom = line[12:16].strip()
+            if atom not in BACKBONE_ATOMS:
+                continue
+            ch = line[21]
+            if picked_chain is None:
+                picked_chain = ch
+            if ch != picked_chain:
+                continue
+            if line[16] not in (" ", "A"):
+                continue
+            key = (ch, line[22:27])
+            have.setdefault(key, set()).add(atom)
+            if atom == "CA":
+                try:
+                    bfac[key] = float(line[60:66])
+                except ValueError:
+                    bfac[key] = 0.0
+    out = [bfac.get(k, 0.0) for k, atoms in have.items()
+           if atoms >= set(BACKBONE_ATOMS)]
+    return np.asarray(out, np.float32)

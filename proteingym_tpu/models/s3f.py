@@ -166,3 +166,482 @@ def score_mutants(
                 raise ValueError(f"WT mismatch in {tok}")
             out[i] += table[pos, aa_idx[mt]] - table[pos, aa_idx[wt]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weight-compatible S2F/S3F (published s2f.pth / s3f.pth checkpoints)
+#
+# The real architecture is a GVP-GNN over a radius-10A CA graph taking
+# frozen ESM2-650M residue features, with (for S3F) a parallel GVP stream
+# over a molecular-surface point cloud pooled back onto residues
+# (ref S3F/s3f/gvp.py:24-241 SurfGVP/GVPGNN, gvp_layer.py:90-388 drorlab
+# GVP variant, task.py:10-92 ResidueTypePrediction head + plddt fallback,
+# script/evaluate.py:98-125 scoring; config/evaluate/{s2f,s3f}.yaml dims).
+# NOTE this drorlab GVP variant differs from ESM-IF1's (gvp_transformer):
+# clamp-based norms, gate computed from PRE-activation scalars, scalar
+# activation applied after gating, sqrt-mean-square vector LayerNorm.
+# ---------------------------------------------------------------------------
+
+# torchdrug residue vocabulary order (torchdrug.data.Protein.residue2id;
+# the head's 20 outputs and evaluate.py's residue_symbol2id use it)
+TD_RESIDUES = "GASPVTCLINDQKEMHFRYW"
+
+
+@dataclasses.dataclass(frozen=True)
+class GvpGnnConfig:
+    name: str = "s2f"
+    node_in: int = 1280             # ESM2-650M features
+    node_h_s: int = 256
+    node_h_v: int = 16
+    edge_in_s: int = 16             # RBF bins
+    edge_h_s: int = 64
+    edge_h_v: int = 1
+    num_layers: int = 5
+    radius: float = 10.0
+    use_surface: bool = False       # True => SurfGVP (s3f)
+    surf_in_s: int = 42
+    surf_edge_in_s: int = 16
+    num_surf_res_neighbor: int = 3  # k: surface point <- residue pooling
+    num_surf_graph_neighbor: int = 16
+
+
+S3F_PRESETS = {
+    "s2f": GvpGnnConfig(name="s2f"),
+    "s3f": GvpGnnConfig(name="s3f", use_surface=True),
+    "s2f_tiny": GvpGnnConfig(
+        name="s2f_tiny", node_in=32, node_h_s=24, node_h_v=4, edge_h_s=8,
+        num_layers=2,
+    ),
+    "s3f_tiny": GvpGnnConfig(
+        name="s3f_tiny", node_in=32, node_h_s=24, node_h_v=4, edge_h_s=8,
+        num_layers=2, use_surface=True, surf_in_s=10,
+    ),
+}
+
+
+def _dror_norm(x, axis=-1, keepdims=False, eps=1e-8, sqrt=True):
+    out = jnp.maximum(jnp.sum(jnp.square(x), axis, keepdims=keepdims), eps)
+    return jnp.sqrt(out) if sqrt else out
+
+
+def dror_gvp_apply(p, s, v, *, vo, scalar_act, vector_act, vector_gate):
+    """drorlab GVP (gvp_layer.py:90-153). activations=(relu, None),
+    vector_gate=True in every S3F config."""
+    def lin(x, q):
+        y = x @ q["w"]
+        return y + q["b"] if "b" in q else y
+
+    if v is not None:
+        vt = jnp.swapaxes(v, -1, -2)
+        vh = lin(vt, p["wh"])
+        vn = _dror_norm(vh, axis=-2)
+        s = lin(jnp.concatenate([s, vn], -1), p["ws"])
+        out_v = None
+        if vo:
+            out_v = jnp.swapaxes(lin(vh, p["wv"]), -1, -2)
+            if vector_gate:
+                gate = lin(vector_act(s) if vector_act else s, p["wsv"])
+                out_v = out_v * jax.nn.sigmoid(gate)[..., None]
+            elif vector_act:
+                out_v = out_v * vector_act(
+                    _dror_norm(out_v, axis=-1, keepdims=True)
+                )
+    else:
+        s = lin(s, p["ws"])
+        out_v = jnp.zeros(s.shape[:-1] + (vo, 3), s.dtype) if vo else None
+    if scalar_act:
+        s = jax.nn.relu(s)
+    return s, out_v
+
+
+def _dror_layer_norm(p, s, v):
+    """GVPLayerNorm (gvp_layer.py:202-223)."""
+    mu = s.mean(-1, keepdims=True)
+    var = s.var(-1, keepdims=True)
+    s = (s - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+    if v is None:
+        return s, None
+    vn = _dror_norm(v, axis=-1, keepdims=True, sqrt=False)
+    vn = jnp.sqrt(jnp.mean(vn, axis=-2, keepdims=True))
+    return s, v / vn
+
+
+def _dror_conv_layer(layer, s, v, edge_s, edge_v, src, dst, num_nodes):
+    """GVPConvLayer, aggr=mean (gvp_layer.py:226-388), eval mode."""
+    vo = v.shape[-2]
+    ms = jnp.concatenate([s[src], edge_s, s[dst]], -1)
+    mv = jnp.concatenate([v[src], edge_v, v[dst]], -2)
+    n = len(layer["msg"])
+    # NOTE: vector_gate comes from functools.partial and stays True even in
+    # the final activations=(None,None) GVP (gvp_layer.py:254-270) — every
+    # message/ff GVP carries a wsv gate
+    for i, p in enumerate(layer["msg"]):
+        last = i == n - 1
+        ms, mv = dror_gvp_apply(
+            p, ms, mv, vo=vo, scalar_act=not last, vector_act=None,
+            vector_gate=True,
+        )
+    w = jnp.ones(ms.shape[0], ms.dtype)
+    den = jnp.maximum(
+        jax.ops.segment_sum(w, dst, num_segments=num_nodes), 1.0
+    )
+    agg_s = jax.ops.segment_sum(ms, dst, num_segments=num_nodes) \
+        / den[:, None]
+    agg_v = jax.ops.segment_sum(mv, dst, num_segments=num_nodes) \
+        / den[:, None, None]
+    s, v = _dror_layer_norm(layer["norm0"], s + agg_s, v + agg_v)
+    fs, fv = s, v
+    nf = len(layer["ff"])
+    for i, p in enumerate(layer["ff"]):
+        last = i == nf - 1
+        fs, fv = dror_gvp_apply(
+            p, fs, fv, vo=vo if last else 2 * vo,
+            scalar_act=not last, vector_act=None, vector_gate=True,
+        )
+    return _dror_layer_norm(layer["norm1"], s + fs, v + fv)
+
+
+def _dror_gvp_init(rng, si, vi, so, vo, vector_gate):
+    ks = jax.random.split(rng, 4)
+
+    def lin(k, a, b, bias=True):
+        p = {"w": jax.random.normal(k, (a, b)) * np.sqrt(1.0 / a)}
+        if bias:
+            p["b"] = jnp.zeros(b)
+        return p
+
+    p = {}
+    if vi:
+        h = max(vi, vo)
+        p["wh"] = lin(ks[0], vi, h, bias=False)
+        p["ws"] = lin(ks[1], h + si, so)
+        if vo:
+            p["wv"] = lin(ks[2], h, vo, bias=False)
+            if vector_gate:
+                p["wsv"] = lin(ks[3], so, vo)
+    else:
+        p["ws"] = lin(ks[1], si, so)
+    return p
+
+
+def _stream_init(keys, c: GvpGnnConfig, node_in_s):
+    """One GVP stream: W_v, W_e, conv layers, W_out."""
+    ns, nv = c.node_h_s, c.node_h_v
+    es, ev = c.edge_h_s, c.edge_h_v
+
+    def conv_layer():
+        return {
+            "msg": [
+                _dror_gvp_init(next(keys), 2 * ns + es, 2 * nv + ev, ns, nv,
+                               True),
+                _dror_gvp_init(next(keys), ns, nv, ns, nv, True),
+                _dror_gvp_init(next(keys), ns, nv, ns, nv, True),
+            ],
+            "norm0": {"g": jnp.ones(ns), "b": jnp.zeros(ns)},
+            "norm1": {"g": jnp.ones(ns), "b": jnp.zeros(ns)},
+            "ff": [
+                _dror_gvp_init(next(keys), ns, nv, 4 * ns, 2 * nv, True),
+                _dror_gvp_init(next(keys), 4 * ns, 2 * nv, ns, nv, True),
+            ],
+        }
+
+    return {
+        "in_norm": {"g": jnp.ones(node_in_s), "b": jnp.zeros(node_in_s)},
+        "W_v": _dror_gvp_init(next(keys), node_in_s, 0, ns, nv, True),
+        "edge_norm": {"g": jnp.ones(c.edge_in_s),
+                      "b": jnp.zeros(c.edge_in_s)},
+        "W_e": _dror_gvp_init(next(keys), c.edge_in_s, 1, es, ev, True),
+        "layers": [conv_layer() for _ in range(c.num_layers)],
+        "out_norm": {"g": jnp.ones(ns), "b": jnp.zeros(ns)},
+        "W_out": _dror_gvp_init(next(keys), ns, nv, ns, 0, True),
+    }
+
+
+def gvpgnn_init(rng: jax.Array, c: GvpGnnConfig) -> Dict[str, Any]:
+    keys = iter(jax.random.split(rng, 64 + 16 * c.num_layers))
+
+    def lin(a, b, bias=True):
+        p = {"w": jax.random.normal(next(keys), (a, b)) * np.sqrt(1.0 / a)}
+        if bias:
+            p["b"] = jnp.zeros(b)
+        return p
+
+    params = {
+        "residue_embedding": lin(c.node_in, c.node_in, bias=False),
+        "stream": _stream_init(keys, c, c.node_in),
+        "head": lin(c.node_h_s, 20),
+    }
+    if c.use_surface:
+        params["surf_in_linear"] = lin(c.node_in + 1, c.node_in, bias=False)
+        params["surf_in_mlp"] = {
+            "lin1": lin(c.node_in + c.surf_in_s, c.node_in * 2),
+            "ln": {"g": jnp.ones(c.node_in * 2),
+                   "b": jnp.zeros(c.node_in * 2)},
+            "lin2": lin(c.node_in * 2, c.node_in),
+        }
+        params["surf_stream"] = _stream_init(keys, c, c.node_in)
+    return params
+
+
+def _rbf16(d, d_max=20.0, dim=16):
+    mu = jnp.linspace(0.0, d_max, dim)
+    sigma = d_max / dim
+    return jnp.exp(-(((d[..., None] - mu) / sigma) ** 2))
+
+
+def radius_graph(pos: np.ndarray, radius: float) -> Tuple[np.ndarray,
+                                                          np.ndarray]:
+    """Ordered pairs (i != j) within `radius` (torchdrug SpatialEdge with
+    min_distance=0). src = node_in, dst = node_out."""
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    src, dst = np.nonzero((d < radius) & ~np.eye(len(pos), dtype=bool))
+    return src.astype(np.int32), dst.astype(np.int32)
+
+
+def _stream_apply(stream, c, h_in, pos, src, dst, flip_edge_vec=False):
+    """GVPGNN.forward minus the head (gvp.py:224-241). The surface stream
+    uses the OPPOSITE edge-vector sign (gvp.py:110 pos_in - pos_out vs
+    gvp.py:227 pos_out - pos_in)."""
+    num_nodes = h_in.shape[0]
+    # W_v: GVPLayerNorm (scalar only) then GVP((ns,0)->(s,v), acts None)
+    h = _scalar_ln(h_in, stream["in_norm"])
+    s, v = dror_gvp_apply(
+        stream["W_v"], h, None, vo=c.node_h_v, scalar_act=False,
+        vector_act=None, vector_gate=True,
+    )
+    delta = pos[src] - pos[dst] if flip_edge_vec else pos[dst] - pos[src]
+    vec = delta[:, None, :]
+    es_in = _rbf16(jnp.linalg.norm(pos[dst] - pos[src], axis=-1),
+                   dim=c.edge_in_s)
+    es_in = _scalar_ln(es_in, stream["edge_norm"])
+    # GVPLayerNorm on (16,1) normalizes the vector channel too
+    vn = _dror_norm(vec, axis=-1, keepdims=True, sqrt=False)
+    vn = jnp.sqrt(jnp.mean(vn, axis=-2, keepdims=True))
+    ev_in = vec / vn
+    es, ev = dror_gvp_apply(
+        stream["W_e"], es_in, ev_in, vo=c.edge_h_v, scalar_act=False,
+        vector_act=None, vector_gate=True,
+    )
+    for layer in stream["layers"]:
+        s, v = _dror_conv_layer(layer, s, v, es, ev, src, dst, num_nodes)
+    s, v = _dror_layer_norm(stream["out_norm"], s, v)
+    out, _ = dror_gvp_apply(
+        stream["W_out"], s, v, vo=0, scalar_act=True, vector_act=None,
+        vector_gate=True,
+    )
+    return out
+
+
+def _scalar_ln(x, p):
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def gvpgnn_node_feature(params, c: GvpGnnConfig, esm_feats, pos, src, dst,
+                        surface=None):
+    """FusionNetwork structure stream -> (L, ns) node features."""
+    esm_feats = jnp.asarray(esm_feats)
+    pos = jnp.asarray(pos)
+    src = jnp.asarray(src)
+    dst = jnp.asarray(dst)
+    h = esm_feats @ params["residue_embedding"]["w"]
+    node_feat = _stream_apply(params["stream"], c, h, pos, src, dst)
+    if c.use_surface and surface is not None:
+        # surface_feature_init receives the RAW input features, not the
+        # residue_embdding output (gvp.py:124-141)
+        node_feat = node_feat + _surface_stream(params, c, esm_feats,
+                                                surface)
+    return node_feat
+
+
+def gvpgnn_node_logits(params, c: GvpGnnConfig, esm_feats, pos, src, dst,
+                       surface=None):
+    """structure stream + task head -> (L, 20) logits in the torchdrug
+    residue order (task.py:74-88)."""
+    node_feat = gvpgnn_node_feature(params, c, esm_feats, pos, src, dst,
+                                    surface)
+    return node_feat @ params["head"]["w"] + params["head"]["b"]
+
+
+def build_surface_inputs(surf_pos: np.ndarray, surf_feat: np.ndarray,
+                         res_pos: np.ndarray, c: GvpGnnConfig):
+    """Precompute the surface-graph tensors (gvp.py:102-118):
+    surf2res = k+1-nearest residues per point sliced to k with sqrt'd
+    squared distances (surface.py:43-60), and a kNN point graph whose edges
+    run neighbor -> center (torch_cluster.knn_graph convention)."""
+    d2 = ((surf_pos[:, None] - res_pos[None, :]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1)
+    k = c.num_surf_res_neighbor
+    surf2res = order[:, :k]
+    dist = np.sqrt(np.take_along_axis(d2, surf2res, axis=1))
+
+    S = len(surf_pos)
+    dd = np.linalg.norm(surf_pos[:, None] - surf_pos[None, :], axis=-1)
+    np.fill_diagonal(dd, np.inf)
+    kk = min(c.num_surf_graph_neighbor, S - 1)
+    nbr = np.argsort(dd, axis=1)[:, :kk]
+    s_src = nbr.reshape(-1).astype(np.int32)
+    s_dst = np.repeat(np.arange(S, dtype=np.int32), kk)
+    return {
+        "position": surf_pos.astype(np.float32),
+        "feature": surf_feat.astype(np.float32),
+        "surf2res": surf2res.astype(np.int32),
+        "surf2res_dist": dist.astype(np.float32),
+        "src": s_src,
+        "dst": s_dst,
+    }
+
+
+def _surface_stream(params, c: GvpGnnConfig, h_res, surface):
+    """SurfGVP surface branch (gvp.py:98-158): surface nodes inherit
+    features from their k nearest residues and run their own GVP stream.
+
+    QUIRK preserved: SurfGVP.residue2surface has no return statement
+    (gvp.py:96-100), so `surf_node_feature[res2surf]` indexes with None —
+    the surface read-back is the GLOBAL MEAN surface feature added
+    uniformly to every residue, not a per-residue pooling."""
+    surf_pos = jnp.asarray(surface["position"])     # (S, 3)
+    surf_feat = jnp.asarray(surface["feature"])     # (S, surf_in_s)
+    surf2res = jnp.asarray(surface["surf2res"])     # (S, k) residue ids
+    surf_dist = jnp.asarray(surface["surf2res_dist"])  # (S, k)
+    s_src = jnp.asarray(surface["src"])
+    s_dst = jnp.asarray(surface["dst"])
+
+    inherited = jnp.concatenate(
+        [h_res[surf2res], surf_dist[..., None]], -1
+    )                                                # (S, k, D+1)
+    hs = inherited @ params["surf_in_linear"]["w"]
+    hs = hs.mean(axis=1)
+    hs = jnp.concatenate([hs, surf_feat], -1)
+    mlp = params["surf_in_mlp"]
+    hs = hs @ mlp["lin1"]["w"] + mlp["lin1"]["b"]
+    hs = _scalar_ln(hs, mlp["ln"])
+    hs = jax.nn.relu(hs)
+    hs = hs @ mlp["lin2"]["w"] + mlp["lin2"]["b"]
+    out = _stream_apply(
+        params["surf_stream"], c, hs, surf_pos, s_src, s_dst,
+        flip_edge_vec=True,
+    )
+    return out.mean(axis=0, keepdims=True)
+
+
+def score_mutants_gvpgnn(
+    logits: np.ndarray, esm_logits20: Optional[np.ndarray],
+    plddt: Optional[np.ndarray], sequence: str, mutants: Sequence[str],
+    plddt_threshold: float = 70.0, offset_idx: int = 1,
+) -> np.ndarray:
+    """evaluate.py:98-125 + task.py plddt fallback: rows with b_factor <
+    threshold use the (remapped) ESM sequence logits instead."""
+    logits = np.asarray(logits)
+    if plddt is not None and esm_logits20 is not None:
+        low = np.asarray(plddt) < plddt_threshold
+        logits = np.where(low[:, None], np.asarray(esm_logits20), logits)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    idx = {a: i for i, a in enumerate(TD_RESIDUES)}
+    out = np.zeros(len(mutants))
+    for i, m in enumerate(mutants):
+        for tok in m.split(":"):
+            wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
+            if sequence[pos] != wt:
+                raise ValueError(f"WT mismatch in {tok}")
+            out[i] += logp[pos, idx[mt]] - logp[pos, idx[wt]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# converter (FusionNetwork checkpoints: model.structure_model.* +
+# task-level linear head; MyESM weights ship separately as plain ESM2)
+
+def _cv_np(v):
+    return np.asarray(
+        v.detach().cpu().numpy() if hasattr(v, "detach") else v, np.float32
+    )
+
+
+def _cv_lin(sd, prefix):
+    p = {"w": jnp.asarray(_cv_np(sd[f"{prefix}.weight"]).T)}
+    if f"{prefix}.bias" in sd:
+        p["b"] = jnp.asarray(_cv_np(sd[f"{prefix}.bias"]))
+    return p
+
+
+def _cv_ln(sd, prefix):
+    return {
+        "g": jnp.asarray(_cv_np(sd[f"{prefix}.weight"])),
+        "b": jnp.asarray(_cv_np(sd[f"{prefix}.bias"])),
+    }
+
+
+def _cv_gvp(sd, prefix):
+    p = {}
+    for ours, theirs in (("wh", "wh"), ("ws", "ws"), ("wv", "wv"),
+                         ("wsv", "wsv")):
+        if f"{prefix}.{theirs}.weight" in sd:
+            p[ours] = _cv_lin(sd, f"{prefix}.{theirs}")
+    return p
+
+
+def _cv_stream(sd, c: GvpGnnConfig, base, surf=False):
+    pre = (base + "." if base else "") + ("surf_" if surf else "")
+    stream = {
+        "in_norm": _cv_ln(sd, f"{pre}W_v.0.scalar_norm"),
+        "W_v": _cv_gvp(sd, f"{pre}W_v.1"),
+        "edge_norm": _cv_ln(sd, f"{pre}W_e.0.scalar_norm"),
+        "W_e": _cv_gvp(sd, f"{pre}W_e.1"),
+        "layers": [],
+        "out_norm": _cv_ln(sd, f"{pre}W_out.0.scalar_norm"),
+        "W_out": _cv_gvp(sd, f"{pre}W_out.1"),
+    }
+    layers_name = ("surf_" if surf else "") + "layers"
+    for i in range(c.num_layers):
+        b = (base + "." if base else "") + f"{layers_name}.{i}"
+        stream["layers"].append(
+            {
+                "msg": [
+                    _cv_gvp(sd, f"{b}.conv.message_func.{j}")
+                    for j in range(3)
+                ],
+                "norm0": _cv_ln(sd, f"{b}.norm.0.scalar_norm"),
+                "norm1": _cv_ln(sd, f"{b}.norm.1.scalar_norm"),
+                "ff": [_cv_gvp(sd, f"{b}.ff_func.{j}") for j in range(2)],
+            }
+        )
+    return stream
+
+
+def convert_torch_state_dict_gvpgnn(sd, c: GvpGnnConfig) -> Dict[str, Any]:
+    """Map a published S2F/S3F checkpoint to our pytree. Accepts either the
+    bare structure model (residue_embdding.*, W_v...) or a full task dump
+    (model.structure_model.* + linear.*)."""
+    keys = list(sd)
+    base = ""
+    for cand in ("model.structure_model", "structure_model", ""):
+        probe = f"{cand}.W_v.1.wh.weight" if cand else "W_v.1.wh.weight"
+        if probe in keys:
+            base = cand
+            break
+    prefix = base + "." if base else ""
+    params = {
+        "residue_embedding": _cv_lin(sd, f"{prefix}residue_embdding"),
+        "stream": _cv_stream(sd, c, base),
+        "head": None,
+    }
+    # the task head (task.py:21 self.linear)
+    for head in ("linear", "model.linear", "task.linear"):
+        if f"{head}.weight" in sd:
+            params["head"] = _cv_lin(sd, head)
+            break
+    if params["head"] is None:
+        raise KeyError("no task linear head found in checkpoint")
+    if c.use_surface:
+        params["surf_in_linear"] = _cv_lin(sd, f"{prefix}surf_in_linear")
+        params["surf_in_mlp"] = {
+            "lin1": _cv_lin(sd, f"{prefix}surf_in_mlp.0"),
+            "ln": _cv_ln(sd, f"{prefix}surf_in_mlp.2"),
+            "lin2": _cv_lin(sd, f"{prefix}surf_in_mlp.4"),
+        }
+        params["surf_stream"] = _cv_stream(
+            sd, c, base if base else "", surf=True
+        )
+    return params

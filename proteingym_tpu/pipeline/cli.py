@@ -372,6 +372,7 @@ CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
+    "s3f",
 }
 
 
@@ -479,6 +480,11 @@ def cmd_convert(args) -> int:
         config = (m.PRESETS | {"esm3_tiny": m.TINY}).get(preset) \
             or m.PRESETS["esm3_open_small"]
         params = m.convert_torch_state_dict(sd(), config)
+    elif fam == "s3f":
+        from proteingym_tpu.models import s3f as m
+
+        config = m.S3F_PRESETS.get(preset) or m.S3F_PRESETS["s3f"]
+        params = m.convert_torch_state_dict_gvpgnn(sd(), config)
     elif fam == "esm3_structure_encoder":
         from proteingym_tpu.models import esm3 as m
 

@@ -475,35 +475,100 @@ def score_kermut(ctx: ScoreContext) -> pd.DataFrame:
 @register_scorer("s3f")
 @register_scorer("s3f_msa")
 def score_s3f(ctx: ScoreContext) -> pd.DataFrame:
-    """S2F/S3F/S3F-MSA multi-scale sequence-structure fusion
-    (ref S3F/compute_fitness.py:1-150)."""
+    """S2F/S3F/S3F-MSA: frozen ESM2 features through the weight-compatible
+    GVP-GNN (ref S3F/s3f/gvp.py, task.py, script/evaluate.py; convert
+    published checkpoints via ``pgym convert --family s3f``). The surface
+    stream consumes precomputed point clouds from
+    ``--extra surface_dir=`` (.npz with position/feature arrays); without
+    one the s3f variants run structure-only like s2f. S3F-MSA blends the
+    alignment count prior on top (its published recipe)."""
     import jax
+    import jax.numpy as jnp
 
-    from proteingym_tpu.models import s3f
-    from proteingym_tpu.models.protssn import esm_embeddings
+    from proteingym_tpu.models import esm2, s3f
     from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
     variant = ctx.extra.get("_scorer_name", "s3f")
+    use_surface = variant != "s2f"
+    presets = s3f.S3F_PRESETS
+    default = "s3f_tiny" if use_surface else "s2f_tiny"
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, presets, default, s3f.gvpgnn_init,
+        s3f.GvpGnnConfig, prefer_sidecar_fields=True,
+    )
     coords = _load_structure(ctx)
     esm_params, esm_config = load_esm_checkpoint(
         ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
     )
-    emb = np.asarray(esm_embeddings(esm_params, esm_config,
-                                    ctx.record.target_seq))
-    config = s3f.S3fConfig(plm_dim=esm_config.embed_dim,
-                           use_surface=variant != "s2f")
-    params = s3f.init_params(jax.random.PRNGKey(0), config)
-    msa_seqs = None
+    if esm_config.embed_dim != config.node_in:
+        if ctx.checkpoint is None or ctx.checkpoint in presets:
+            config = dataclasses.replace(config,
+                                         node_in=esm_config.embed_dim)
+            params = s3f.gvpgnn_init(jax.random.PRNGKey(0), config)
+        else:
+            raise ValueError(
+                f"PLM width {esm_config.embed_dim} != checkpoint node_in "
+                f"{config.node_in}"
+            )
+    seq = ctx.record.target_seq
+    tokens = jnp.asarray(esm2.ALPHABET.tokenize(seq)[None])
+    logits, reps = esm2.apply(esm_params, esm_config, tokens,
+                              return_representations=True)
+    emb = np.asarray(reps[max(reps)])[0, 1 : 1 + len(seq)]
+    # MyESM logit remap into the torchdrug residue order (model.py:64-65)
+    cols = [esm2.ALPHABET.get_idx(a) for a in s3f.TD_RESIDUES]
+    esm20 = np.asarray(logits)[0, 1 : 1 + len(seq)][:, cols]
+
+    pos = coords[:, 1].astype(np.float32)  # CA
+    src, dst = s3f.radius_graph(pos, config.radius)
+    surface = None
+    if use_surface:
+        sdir = ctx.extra.get("surface_dir")
+        if sdir:
+            for stem in (ctx.record.UniProt_ID, ctx.record.DMS_id):
+                f = Path(sdir) / f"{stem}.npz"
+                if f.exists():
+                    blob = np.load(f)
+                    surface = s3f.build_surface_inputs(
+                        blob["position"], blob["feature"], pos, config
+                    )
+                    break
+    node_logits = s3f.gvpgnn_node_logits(
+        params, config, emb, pos, src, dst, surface=surface
+    )
+    plddt = None
+    try:
+        from proteingym_tpu.data.structures import parse_pdb_bfactors
+
+        for stem in (ctx.record.UniProt_ID, ctx.record.DMS_id):
+            pdb = Path(ctx.structure_dir) / f"{stem}.pdb"
+            if pdb.exists():
+                plddt = parse_pdb_bfactors(pdb)
+                break
+    except Exception:
+        plddt = None
+    if plddt is not None and len(plddt) != len(seq):
+        plddt = None
+    scores = s3f.score_mutants_gvpgnn(
+        node_logits, esm20, plddt, seq, ctx.dms_frame["mutant"].tolist()
+    )
     if variant == "s3f_msa":
+        from proteingym_tpu.models.structure_plms import (
+            alignment_count_logits,
+        )
+
         msa = ctx.load_msa()
         msa_seqs = msa.sequences()
-        # the alignment prior only composes when focus cols span the target
-        if msa_seqs and len(msa_seqs[0]) != len(ctx.record.target_seq):
-            msa_seqs = None
-    scores = s3f.score_mutants(
-        params, config, emb, coords, ctx.record.target_seq,
-        ctx.dms_frame["mutant"].tolist(), msa_sequences=msa_seqs,
-    )
+        if msa_seqs and len(msa_seqs[0]) == len(seq):
+            prior = np.asarray(alignment_count_logits(msa_seqs))
+            aa_idx = {a: i for i, a in enumerate("ACDEFGHIKLMNPQRSTVWY")}
+            extra = np.zeros(len(scores))
+            for i, m in enumerate(ctx.dms_frame["mutant"].tolist()):
+                for tok in m.split(":"):
+                    wt, p, mt = tok[0], int(tok[1:-1]) - 1, tok[-1]
+                    extra[i] += prior[p, aa_idx[mt]] - prior[p, aa_idx[wt]]
+            scores = scores + extra
     column = {"s2f": "S2F_score", "s3f": "S3F_score",
               "s3f_msa": "S3F_MSA_score"}[variant]
     return _with_column(ctx, column, scores)

@@ -646,3 +646,95 @@ def evoscale_module(name: str):
     """Fetch a cached evoscale submodule (e.g. 'esm.tokenization')."""
     load_ref_esm3()
     return _EVOSCALE_CACHE["modules"][name]
+
+
+def load_ref_s3f():
+    """Import the vendored S3F GVP networks (s3f/gvp.py) with minimal
+    torchdrug / torch_cluster / torch_scatter / pykeops-surface shims."""
+    if "s3f.gvp" in sys.modules:
+        return sys.modules["s3f.gvp"], sys.modules["s3f.gvp_layer"]
+    import torch
+    import torch.nn as nn
+
+    _stub_torch_geometric()
+    if not hasattr(nn.Module, "device"):  # torchdrug patches nn.Module
+        nn.Module.device = property(
+            lambda self: next(self.parameters()).device
+        )
+    if "torch_scatter" not in sys.modules:
+        ts = types.ModuleType("torch_scatter")
+
+        def scatter_add(src, index, dim=0, dim_size=None):
+            size = dim_size or int(index.max()) + 1
+            shape = list(src.shape)
+            shape[dim] = size
+            out = torch.zeros(*shape, dtype=src.dtype, device=src.device)
+            return out.index_add_(dim, index, src)
+
+        ts.scatter_add = scatter_add
+        sys.modules["torch_scatter"] = ts
+    if "torch_cluster" not in sys.modules:
+        tc = types.ModuleType("torch_cluster")
+
+        def knn_graph(x, k, batch=None, loop=False):
+            d = torch.cdist(x, x)
+            d.fill_diagonal_(float("inf"))
+            idx = d.topk(min(k, len(x) - 1), largest=False).indices
+            centers = torch.arange(len(x)).repeat_interleave(idx.shape[1])
+            return torch.stack([idx.flatten(), centers])
+
+        tc.knn_graph = knn_graph
+        sys.modules["torch_cluster"] = tc
+    if "torchdrug" not in sys.modules:
+        td = types.ModuleType("torchdrug")
+        core = types.ModuleType("torchdrug.core")
+
+        class Configurable:
+            pass
+
+        class _Registry:
+            @staticmethod
+            def register(name):
+                return lambda cls: cls
+
+        core.Configurable = Configurable
+        core.Registry = _Registry
+        layers_mod = types.ModuleType("torchdrug.layers")
+
+        class SumReadout(nn.Module):
+            def forward(self, graph, feature):
+                return feature.sum(0, keepdim=True)
+
+        class MeanReadout(nn.Module):
+            def forward(self, graph, feature):
+                return feature.mean(0, keepdim=True)
+
+        layers_mod.SumReadout = SumReadout
+        layers_mod.MeanReadout = MeanReadout
+        td.core = core
+        td.layers = layers_mod
+        sys.modules["torchdrug"] = td
+        sys.modules["torchdrug.core"] = core
+        sys.modules["torchdrug.layers"] = layers_mod
+    # mount the s3f package and pre-register a pykeops-free surface module
+    if "s3f" not in sys.modules:
+        pkg = types.ModuleType("s3f")
+        pkg.__path__ = [str(REF / "S3F" / "s3f")]
+        sys.modules["s3f"] = pkg
+        surf = types.ModuleType("s3f.surface")
+
+        def knn_atoms(x, y, k, batch_x=None, batch_y=None):
+            # exact semantics of surface.knn_atoms (surface.py:43-60):
+            # k+1 nearest of y per x, SQUARED distances
+            k = k + 1
+            d2 = torch.cdist(x, y) ** 2
+            dists, idx = d2.topk(min(k, y.shape[0]), largest=False)
+            return idx, dists
+
+        surf.knn_atoms = knn_atoms
+        sys.modules["s3f.surface"] = surf
+    import importlib
+
+    gvp = importlib.import_module("s3f.gvp")
+    layer = importlib.import_module("s3f.gvp_layer")
+    return gvp, layer
