@@ -321,12 +321,14 @@ def read_structure_sequence_fasta(path) -> np.ndarray:
     return np.asarray(seq, np.int32)
 
 
-def convert_hf_state_dict(sd, c: ProSSTConfig):
+def convert_hf_state_dict(sd, c: ProSSTConfig, allow_missing_ss=False):
     """Best-effort mapping of an AI4Protein/ProSST HF checkpoint.
 
     Handles split query/key/value projections or DeBERTa v1's fused
     in_proj (+ q_bias/v_bias). Raises KeyError listing the unmatched
-    parameter rather than silently mis-assigning."""
+    parameter rather than silently mis-assigning. ``allow_missing_ss``
+    zero-fills the structure-stream projections (used to cross-check the
+    positional machinery against plain DeBERTa checkpoints)."""
     import numpy as _np
 
     def g(key):
@@ -361,9 +363,13 @@ def convert_hf_state_dict(sd, c: ProSSTConfig):
     params = {
         "word_embeddings": jnp.asarray(
             g(first(f"{pre}embeddings.word_embeddings.weight"))),
-        "ss_embeddings": jnp.asarray(
-            g(first(f"{pre}embeddings.ss_embeddings.weight",
-                    f"{pre}embeddings.ss_layer_norm.weight"))),
+        "ss_embeddings": (
+            jnp.asarray(g(f"{pre}embeddings.ss_embeddings.weight"))
+            if f"{pre}embeddings.ss_embeddings.weight" in sd
+            else (jnp.zeros((c.ss_vocab_size, c.hidden))
+                  if allow_missing_ss
+                  else jnp.asarray(
+                      g(first(f"{pre}embeddings.ss_embeddings.weight"))))),
         "emb_ln": lnp(f"{pre}embeddings.LayerNorm.weight"),
         "rel_embeddings": jnp.asarray(
             g(first(f"{pre}encoder.rel_embeddings.weight"))),
@@ -382,12 +388,19 @@ def convert_hf_state_dict(sd, c: ProSSTConfig):
         a = f"{b}.attention.self"
         layer = {}
         if f"{a}.in_proj.weight" in sd:
+            # DeBERTa v1 packs in_proj rows PER HEAD as (q_h, k_h, v_h)
+            # blocks of head_dim (modeling_deberta transpose_for_scores +
+            # chunk(3, dim=-1) on the head-split tensor)
             w = g(f"{a}.in_proj.weight")  # (3d, d)
-            d = c.hidden
-            layer["q"] = {"w": jnp.asarray(w[:d].T),
+            hd = c.head_dim
+            per_head = w.reshape(c.num_heads, 3, hd, c.hidden)
+            qw = per_head[:, 0].reshape(c.hidden, c.hidden)
+            kw = per_head[:, 1].reshape(c.hidden, c.hidden)
+            vw = per_head[:, 2].reshape(c.hidden, c.hidden)
+            layer["q"] = {"w": jnp.asarray(qw.T),
                           "b": jnp.asarray(g(f"{a}.q_bias"))}
-            layer["k"] = {"w": jnp.asarray(w[d : 2 * d].T)}
-            layer["v"] = {"w": jnp.asarray(w[2 * d :].T),
+            layer["k"] = {"w": jnp.asarray(kw.T)}
+            layer["v"] = {"w": jnp.asarray(vw.T),
                           "b": jnp.asarray(g(f"{a}.v_bias"))}
         else:
             layer["q"] = lin(f"{a}.query_proj.weight", f"{a}.query.weight")
@@ -397,10 +410,18 @@ def convert_hf_state_dict(sd, c: ProSSTConfig):
                                f"{a}.pos_key_proj.weight", bias=False)
         layer["pos_query"] = lin(f"{a}.pos_q_proj.weight",
                                  f"{a}.pos_query_proj.weight")
-        layer["ss_key"] = lin(f"{a}.ss_proj.weight",
-                              f"{a}.ss_key_proj.weight", bias=False)
-        layer["ss_query"] = lin(f"{a}.ss_q_proj.weight",
-                                f"{a}.ss_query_proj.weight")
+        try:
+            layer["ss_key"] = lin(f"{a}.ss_proj.weight",
+                                  f"{a}.ss_key_proj.weight", bias=False)
+            layer["ss_query"] = lin(f"{a}.ss_q_proj.weight",
+                                    f"{a}.ss_query_proj.weight")
+        except KeyError:
+            if not allow_missing_ss:
+                raise
+            d = c.hidden
+            layer["ss_key"] = {"w": jnp.zeros((d, d))}
+            layer["ss_query"] = {"w": jnp.zeros((d, d)),
+                                 "b": jnp.zeros(d)}
         layer["attn_out"] = lin(f"{b}.attention.output.dense.weight")
         layer["attn_ln"] = lnp(f"{b}.attention.output.LayerNorm.weight")
         layer["inter"] = lin(f"{b}.intermediate.dense.weight")

@@ -372,7 +372,7 @@ CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
-    "s3f",
+    "s3f", "prosst",
 }
 
 
@@ -485,6 +485,12 @@ def cmd_convert(args) -> int:
 
         config = m.S3F_PRESETS.get(preset) or m.S3F_PRESETS["s3f"]
         params = m.convert_torch_state_dict_gvpgnn(sd(), config)
+    elif fam == "prosst":
+        from proteingym_tpu.models import prosst as m
+
+        config = m.PROSST_PRESETS.get(preset) or m.PROSST_PRESETS[
+            "prosst_2048"]
+        params = m.convert_hf_state_dict(sd(), config)
     elif fam == "esm3_structure_encoder":
         from proteingym_tpu.models import esm3 as m
 

@@ -576,21 +576,60 @@ def score_s3f(ctx: ScoreContext) -> pd.DataFrame:
 
 @register_scorer("prosst")
 def score_prosst(ctx: ScoreContext) -> pd.DataFrame:
-    """ProSST: masked LM over AA + quantized structure-token streams
-    (ref prosst/compute_fitness.py:15-120)."""
+    """ProSST: DeBERTa-style sequence-structure disentangled attention
+    (ref prosst/compute_fitness.py:15-120; convert HF checkpoints via
+    ``pgym convert --family prosst``). Structure tokens come from
+    ``--extra structure_fasta_dir=`` (ProSST's comma-separated-int FASTAs)
+    or, failing that, the native 3Di-style quantizer over the PDB backbone.
+    ``--extra method=additive`` keeps the legacy additive-conditioning
+    scorer."""
     import jax
 
-    from proteingym_tpu.models import esm2
-    from proteingym_tpu.models.prosst import prosst_init, score_assay_prosst
+    from proteingym_tpu.models import prosst as prosst_mod
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    coords = _load_structure(ctx)
-    config = esm2.PRESETS.get(ctx.extra.get("esm_checkpoint", "esm2_t6_8M"),
-                              esm2.PRESETS["esm2_t6_8M"])
-    k = int(ctx.extra.get("k_structure", 2048))
-    params = prosst_init(jax.random.PRNGKey(0), config, k_structure=k)
-    scores = score_assay_prosst(
-        params, config, coords, ctx.record.target_seq,
-        ctx.dms_frame["mutant"].tolist(), k_structure=k,
-        chunk=ctx.batch_size,
+    if ctx.extra.get("method") == "additive":
+        from proteingym_tpu.models import esm2
+        from proteingym_tpu.models.prosst import (
+            prosst_init, score_assay_prosst,
+        )
+
+        coords = _load_structure(ctx)
+        config = esm2.PRESETS.get(
+            ctx.extra.get("esm_checkpoint", "esm2_t6_8M"),
+            esm2.PRESETS["esm2_t6_8M"],
+        )
+        k = int(ctx.extra.get("k_structure", 2048))
+        params = prosst_init(jax.random.PRNGKey(0), config, k_structure=k)
+        scores = score_assay_prosst(
+            params, config, coords, ctx.record.target_seq,
+            ctx.dms_frame["mutant"].tolist(), k_structure=k,
+            chunk=ctx.batch_size,
+        )
+        return _with_column(ctx, f"ProSST_{k}_score", scores)
+
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, prosst_mod.PROSST_PRESETS, "prosst_tiny",
+        prosst_mod.prosst_init_params, prosst_mod.ProSSTConfig,
+        prefer_sidecar_fields=True,
     )
-    return _with_column(ctx, f"ProSST_{k}_score", scores)
+    seq = ctx.record.target_seq
+    k_states = config.ss_vocab_size - 3
+    struct_tokens = None
+    sdir = ctx.extra.get("structure_fasta_dir")
+    if sdir:
+        for stem in (ctx.record.DMS_id, ctx.record.UniProt_ID):
+            f = Path(sdir) / f"{stem}.fasta"
+            if f.exists():
+                struct_tokens = prosst_mod.read_structure_sequence_fasta(f)
+                break
+    if struct_tokens is None:
+        from proteingym_tpu.models.prosst import structure_token_ids
+
+        coords = _load_structure(ctx)
+        struct_tokens = structure_token_ids(coords, k_states)
+    scores = prosst_mod.score_assay_prosst_real(
+        params, config, seq, struct_tokens[: len(seq)],
+        ctx.dms_frame["mutant"].tolist(),
+    )
+    return _with_column(ctx, f"{config.name}_score", scores)
