@@ -140,7 +140,7 @@ def _dilated_conv(x, p, dilation: int):
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
-    return (y + p["b"]).astype(x.dtype)
+    return (y + p.get("b", 0.0)).astype(x.dtype)
 
 
 def apply(params, c: CarpConfig, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -175,7 +175,9 @@ def score_assay(
 
     tok = CarpTokenizer()
     tokens = tok.encode(sequence)
-    apply_fn = stable_params_fn(apply, c)
+    # converted zenodo checkpoints carry an op program ("blocks")
+    base_apply = apply_converted if "blocks" in params else apply
+    apply_fn = stable_params_fn(base_apply, c)
 
     if strategy == "wt-marginals":
         logits = _cached_jit(apply_fn, "fwd_params")(
@@ -213,3 +215,159 @@ def score_assay(
             out[i] += table[pos, tok.get_idx(mt)] - table[pos, tok.get_idx(wt)]
         out[i] /= len(toks)  # ref label_row averages over positions
     return out
+
+
+# ---------------------------------------------------------------------------
+# Converter for published zenodo carp_*.pt checkpoints (sequence_models
+# ByteNetLM layout: embedder.embedder -> embedder.up_embedder ->
+# embedder.layers.N.{sequence1, conv, sequence2} -> last_norm -> decoder).
+#
+# sequence_models is not installed and not vendored, so instead of
+# hard-coding the Sequential composition the converter RECONSTRUCTS the op
+# program per block from the checkpoint's own parameter shapes: 1-D
+# weights are LayerNorms (followed by the activation), 3-D (out,in,1)
+# weights are position feed-forwards, 3-D (out,in,k>1) weights are the
+# dilated convolution. `apply_converted` then executes that program, so a
+# layout variant changes the program, not silently the math.
+# ---------------------------------------------------------------------------
+
+def _seq_ops(sd, prefix):
+    """Rebuild a nn.Sequential's op list from parameter shapes. Each op is
+    a dict whose KEYS encode the kind (pytree-static, jit-safe): an "ln"
+    entry is a LayerNorm (the Sequential's activation follows it), a 2-D
+    "w" entry is a position feed-forward."""
+    import re as _re
+
+    idxs = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := _re.match(rf"{_re.escape(prefix)}\.(\d+)\.", k))
+        }
+    )
+    ops = []
+    for j in idxs:
+        wk = None
+        for cand in (f"{prefix}.{j}.weight", f"{prefix}.{j}.conv.weight"):
+            if cand in sd:
+                wk = cand
+                break
+        if wk is None:
+            continue
+        w = np.asarray(sd[wk], np.float32)
+        bk = wk.replace("weight", "bias")
+        b = np.asarray(sd[bk], np.float32) if bk in sd else None
+        if w.ndim == 1:  # LayerNorm (+ activation after it)
+            ops.append({"ln": {"g": jnp.asarray(w), "b": jnp.asarray(b)}})
+        elif w.ndim == 3 and w.shape[-1] == 1:  # PositionFeedForward (1x1)
+            p = {"w": jnp.asarray(w[..., 0].T)}
+            if b is not None:
+                p["b"] = jnp.asarray(b)
+            ops.append(p)
+        elif w.ndim == 2:  # plain Linear PFF variant
+            p = {"w": jnp.asarray(w.T)}
+            if b is not None:
+                p["b"] = jnp.asarray(b)
+            ops.append(p)
+        else:
+            raise ValueError(
+                f"unexpected parameter shape {w.shape} at {wk}"
+            )
+    return ops
+
+
+def convert_torch_state_dict(sd, c: CarpConfig):
+    """zenodo carp_*.pt `model_state_dict` -> op-program pytree."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+
+    def arr(k):
+        v = sd[k]
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+            np.float32,
+        )
+
+    params: Dict[str, Any] = {
+        "embed": jnp.asarray(arr("embedder.embedder.weight")),
+        "blocks": [],
+    }
+    for cand in ("embedder.up_embedder.conv.weight",
+                 "embedder.up_embedder.weight"):
+        if cand in sd:
+            w = arr(cand)
+            params["up"] = {
+                "w": jnp.asarray(w[..., 0].T if w.ndim == 3 else w.T)
+            }
+            bk = cand.replace("weight", "bias")
+            if bk in sd:
+                params["up"]["b"] = jnp.asarray(arr(bk))
+            break
+    import re as _re
+
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := _re.match(r"embedder\.layers\.(\d+)\.", k))
+    )
+    for i in range(n_layers):
+        base = f"embedder.layers.{i}"
+        block = {
+            "pre": _seq_ops(sd, f"{base}.sequence1"),
+            "conv": None,
+            "post": _seq_ops(sd, f"{base}.sequence2"),
+        }
+        for cand in (f"{base}.conv.conv.weight", f"{base}.conv.weight"):
+            if cand in sd:
+                w = arr(cand)
+                block["conv"] = {
+                    "w": jnp.asarray(np.transpose(w, (2, 1, 0)))
+                }
+                bk = cand.replace("weight", "bias")
+                if bk in sd:
+                    block["conv"]["b"] = jnp.asarray(arr(bk))
+                break
+        if block["conv"] is None:
+            raise KeyError(f"no conv weight under {base}")
+        params["blocks"].append(block)
+    if "last_norm.weight" in sd:
+        params["final_ln"] = {"g": jnp.asarray(arr("last_norm.weight")),
+                              "b": jnp.asarray(arr("last_norm.bias"))}
+    for cand in ("decoder.conv.weight", "decoder.weight"):
+        if cand in sd:
+            w = arr(cand)
+            params["head"] = {
+                "w": jnp.asarray(w[..., 0].T if w.ndim == 3 else w.T)
+            }
+            bk = cand.replace("weight", "bias")
+            if bk in sd:
+                params["head"]["b"] = jnp.asarray(arr(bk))
+            break
+    return params
+
+
+def _run_ops(x, ops):
+    for op in ops:
+        if "ln" in op:  # LayerNorm followed by the block activation (gelu)
+            x = _ln(x, op["ln"])
+            x = jax.nn.gelu(x.astype(jnp.float32)).astype(x.dtype)
+        else:  # position feed-forward
+            x = x @ op["w"].astype(x.dtype) + op.get("b", 0.0)
+    return x
+
+
+def apply_converted(params, c: CarpConfig, tokens: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Run a converted ByteNetLM op program: (B, T) -> (B, T, V) logits."""
+    x = params["embed"].astype(c.dtype)[tokens]
+    if "up" in params:
+        x = x @ params["up"]["w"].astype(x.dtype) + params["up"].get(
+            "b", 0.0)
+    for block, dilation in zip(params["blocks"], _dilation_schedule(c)):
+        y = _run_ops(x, block["pre"])
+        y = _dilated_conv(y, block["conv"], dilation)
+        y = _run_ops(y, block["post"])
+        x = x + y
+    if "final_ln" in params:
+        x = _ln(x, params["final_ln"])
+    x = x.astype(jnp.float32)
+    return x @ params["head"]["w"] + params["head"].get("b", 0.0)

@@ -372,7 +372,7 @@ CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
-    "s3f", "prosst",
+    "s3f", "prosst", "carp",
 }
 
 
@@ -491,6 +491,11 @@ def cmd_convert(args) -> int:
         config = m.PROSST_PRESETS.get(preset) or m.PROSST_PRESETS[
             "prosst_2048"]
         params = m.convert_hf_state_dict(sd(), config)
+    elif fam == "carp":
+        from proteingym_tpu.models import carp as m
+
+        config = m.CARP_PRESETS.get(preset) or m.CARP_PRESETS["carp_640M"]
+        params = m.convert_torch_state_dict(sd(), config)
     elif fam == "esm3_structure_encoder":
         from proteingym_tpu.models import esm3 as m
 

@@ -170,3 +170,68 @@ class TestAido:
         )
         assert np.isfinite(plain).all() and np.isfinite(fused).all()
         assert not np.allclose(plain, fused)
+
+
+class TestCarpConverter:
+    """Converter for zenodo ByteNetLM checkpoints: the op program is
+    reconstructed from parameter shapes (models/carp.py banner)."""
+
+    def _fabricate_sd(self, d_emb=8, d=32, n_layers=2, k=5, vocab=30):
+        import torch
+
+        torch.manual_seed(0)
+        sd = {"embedder.embedder.weight": torch.randn(vocab, d_emb),
+              "embedder.up_embedder.conv.weight": torch.randn(d, d_emb, 1),
+              "last_norm.weight": torch.ones(d),
+              "last_norm.bias": torch.zeros(d),
+              "decoder.conv.weight": torch.randn(vocab, d, 1),
+              "decoder.conv.bias": torch.zeros(vocab)}
+        dh = d // 2
+        for i in range(n_layers):
+            b = f"embedder.layers.{i}"
+            sd[f"{b}.sequence1.0.weight"] = torch.ones(d)
+            sd[f"{b}.sequence1.0.bias"] = torch.zeros(d)
+            sd[f"{b}.sequence1.2.conv.weight"] = torch.randn(dh, d, 1) * 0.1
+            sd[f"{b}.sequence1.3.weight"] = torch.ones(dh)
+            sd[f"{b}.sequence1.3.bias"] = torch.zeros(dh)
+            sd[f"{b}.conv.conv.weight"] = torch.randn(dh, dh, k) * 0.1
+            sd[f"{b}.conv.conv.bias"] = torch.zeros(dh)
+            sd[f"{b}.sequence2.0.weight"] = torch.ones(dh)
+            sd[f"{b}.sequence2.0.bias"] = torch.zeros(dh)
+            sd[f"{b}.sequence2.2.conv.weight"] = torch.randn(d, dh, 1) * 0.1
+            sd[f"{b}.sequence2.2.conv.bias"] = torch.zeros(d)
+        return sd
+
+    def test_op_program_inferred(self):
+        from proteingym_tpu.models import carp
+
+        sd = self._fabricate_sd()
+        c = carp.CarpConfig("tiny", num_layers=2, embed_dim=32)
+        params = carp.convert_torch_state_dict(sd, c)
+        kinds = ["ln" if "ln" in op else "pff"
+                 for op in params["blocks"][0]["pre"]]
+        assert kinds == ["ln", "pff", "ln"]
+        kinds2 = ["ln" if "ln" in op else "pff"
+                  for op in params["blocks"][0]["post"]]
+        assert kinds2 == ["ln", "pff"]
+        assert "up" in params and "final_ln" in params
+
+    def test_converted_apply_runs_and_scores(self):
+        import jax.numpy as jnp
+
+        from proteingym_tpu.models import carp
+
+        sd = self._fabricate_sd()
+        c = carp.CarpConfig("tiny", num_layers=2, embed_dim=32,
+                            dtype=jnp.float32)
+        params = carp.convert_torch_state_dict(sd, c)
+        tok = carp.CarpTokenizer()
+        seq = "MKTAYIAKQRQISFVK"
+        logits = carp.apply_converted(
+            params, c, jnp.asarray(tok.encode(seq)[None])
+        )
+        assert logits.shape == (1, len(seq), 30)
+        assert np.isfinite(np.asarray(logits)).all()
+        scores = carp.score_assay(params, c, seq, ["M1A", "K2W"],
+                                  strategy="wt-marginals")
+        assert np.isfinite(scores).all() and scores.std() > 0
