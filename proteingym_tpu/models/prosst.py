@@ -429,3 +429,100 @@ def convert_hf_state_dict(sd, c: ProSSTConfig, allow_missing_ss=False):
         layer["out_ln"] = lnp(f"{b}.output.LayerNorm.weight")
         params["layers"].append(layer)
     return params
+
+
+# ---------------------------------------------------------------------------
+# VenusREM: ProSST-2048 logits blended with alignment count matrices
+# (ref venusrem/compute_fitness.py — model_name defaults to
+# AI4Protein/ProSST-2048; logits' = (1-alpha)*logp + alpha*
+# log_softmax(column count distribution), applied over the alignment
+# window, alpha=0.8)
+# ---------------------------------------------------------------------------
+
+def read_alignment_fasta(path):
+    """read_multi_fasta semantics (venusrem/compute_fitness.py:39-60):
+    uppercase + '-'/'.' -> pad markers. NOTE the reference leaves the LAST
+    sequence untransformed (missing-transform quirk); we normalize all rows
+    — the single-row difference only perturbs one count."""
+    headers, seqs = [], []
+    cur = ""
+    header = None
+    for line in open(path):
+        line = line.strip()
+        if line.startswith(">"):
+            if cur:
+                headers.append(header)
+                seqs.append(cur)
+                cur = ""
+            header = line
+        elif line:
+            cur += line
+    if cur:
+        headers.append(header)
+        seqs.append(cur)
+    return headers, seqs
+
+
+def alignment_count_log_softmax(seqs, vocab_size: int = 25) -> np.ndarray:
+    """Per-column token count distribution -> log_softmax (the reference
+    applies log_softmax to PROBABILITIES, not log-probs — preserved)."""
+    L = max(len(s) for s in seqs)
+    counts = np.zeros((L, vocab_size), np.float64)
+    for s in seqs:
+        s = s.upper()
+        for i, ch in enumerate(s):
+            if ch in ("-", "."):
+                counts[i, P_PAD] += 1
+            else:
+                counts[i, PROSST_IDX.get(ch, P_UNK)] += 1
+        for i in range(len(s), L):  # HF padding of ragged rows
+            counts[i, P_PAD] += 1
+    probs = counts / np.maximum(counts.sum(1, keepdims=True), 1)
+    # log_softmax of the probability vector
+    z = probs - probs.max(1, keepdims=True)
+    return z - np.log(np.exp(z).sum(1, keepdims=True))
+
+
+def parse_alignment_range(header: str, aln_len: int):
+    """'>name/start-end' -> 0-based [start-1, end) (compute_fitness:68-72)."""
+    try:
+        start, end = header.split("/")[-1].split("-")
+        return int(start) - 1, int(end)
+    except Exception:
+        return 0, aln_len
+
+
+def venusrem_score_assay_real(
+    params, c: ProSSTConfig, sequence: str, structure_tokens,
+    mutants: Sequence[str], aa_alignment=None, struct_alignment=None,
+    alpha: float = 0.8, offset_idx: int = 1,
+) -> np.ndarray:
+    """ProSST logits + alignment-retrieval blending
+    (venusrem/compute_fitness.py:127-226)."""
+    tokens = tokenize_prosst(sequence)[None]
+    ss = tokenize_structure_sequence(structure_tokens)[None]
+    logits = prosst_apply(params, c, jnp.asarray(tokens), jnp.asarray(ss))
+    logp = np.array(jax.nn.log_softmax(logits[0, 1:-1], -1))
+
+    if struct_alignment:
+        headers, seqs = struct_alignment
+        cm = alignment_count_log_softmax(seqs, c.vocab_size)
+        n = min(len(cm), len(logp))
+        logp[:n] = (1 - alpha) * logp[:n] + alpha * cm[:n]
+    if aa_alignment:
+        headers, seqs = aa_alignment
+        cm = alignment_count_log_softmax(seqs, c.vocab_size)
+        start, end = parse_alignment_range(headers[0], len(cm))
+        end = min(end, len(logp), start + len(cm))
+        logp[start:end] = (
+            (1 - alpha) * logp[start:end] + alpha * cm[: end - start]
+        )
+
+    out = np.zeros(len(mutants))
+    for i, m in enumerate(mutants):
+        for tok in m.split(":"):
+            wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
+            if sequence[pos] != wt:
+                raise ValueError(f"WT mismatch in {tok}")
+            out[i] += logp[pos, PROSST_IDX[mt]] - logp[pos, PROSST_IDX[wt]]
+    return out

@@ -305,24 +305,74 @@ def score_mulan(ctx: ScoreContext) -> pd.DataFrame:
 
 @register_scorer("venusrem")
 def score_venusrem(ctx: ScoreContext) -> pd.DataFrame:
-    """VenusREM retrieval-blended marginals (ref venusrem/compute_fitness.py)."""
-    import jax
+    """VenusREM: ProSST-2048 logits blended with alignment count matrices
+    (ref venusrem/compute_fitness.py; the published model IS
+    AI4Protein/ProSST-2048 — convert it via ``pgym convert --family
+    prosst``). Alignments: the assay MSA (a2m) for the residue blend;
+    ``--extra struc_seq_aln_dir=`` for foldseek structure-alignment
+    FASTAs; ``--extra alpha=`` (default 0.8). ``--extra method=esm``
+    keeps the legacy ESM-based blend."""
+    from proteingym_tpu.models import prosst as prosst_mod
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    from proteingym_tpu.models import esm2
-    from proteingym_tpu.models.structure_plms import venusrem_score_assay
-    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+    if ctx.extra.get("method") == "esm":
+        from proteingym_tpu.models.structure_plms import (
+            venusrem_score_assay,
+        )
+        from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
 
-    params, config = load_esm_checkpoint(
-        ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
+        params, config = load_esm_checkpoint(
+            ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
+        )
+        seq_aln = None
+        if ctx.msa_dir is not None and ctx.record.MSA_filename:
+            msa = ctx.load_msa()
+            seq_aln = msa.sequences()
+        scores = venusrem_score_assay(
+            params, config, ctx.record.target_seq,
+            ctx.dms_frame["mutant"].tolist(),
+            seq_alignment=seq_aln, chunk=ctx.batch_size,
+        )
+        return _with_column(ctx, "VenusREM_score", scores)
+
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, prosst_mod.PROSST_PRESETS, "prosst_tiny",
+        prosst_mod.prosst_init_params, prosst_mod.ProSSTConfig,
+        prefer_sidecar_fields=True,
     )
-    seq_aln = None
+    seq = ctx.record.target_seq
+    k_states = config.ss_vocab_size - 3
+    struct_tokens = None
+    sdir = ctx.extra.get("structure_fasta_dir")
+    if sdir:
+        for stem in (ctx.record.DMS_id, ctx.record.UniProt_ID):
+            f = Path(sdir) / f"{stem}.fasta"
+            if f.exists():
+                struct_tokens = prosst_mod.read_structure_sequence_fasta(f)
+                break
+    if struct_tokens is None:
+        from proteingym_tpu.models.prosst import structure_token_ids
+
+        coords = _load_structure(ctx)
+        struct_tokens = structure_token_ids(coords, k_states)
+    aa_aln = None
     if ctx.msa_dir is not None and ctx.record.MSA_filename:
-        msa = ctx.load_msa()
-        seq_aln = msa.sequences()
-    scores = venusrem_score_assay(
-        params, config, ctx.record.target_seq,
+        aln_path = Path(ctx.msa_dir) / ctx.record.MSA_filename
+        if aln_path.exists():
+            aa_aln = prosst_mod.read_alignment_fasta(aln_path)
+    struct_aln = None
+    saln_dir = ctx.extra.get("struc_seq_aln_dir")
+    if saln_dir:
+        for stem in (ctx.record.DMS_id, ctx.record.UniProt_ID):
+            f = Path(saln_dir) / f"{stem}.fasta"
+            if f.exists():
+                struct_aln = prosst_mod.read_alignment_fasta(f)
+                break
+    scores = prosst_mod.venusrem_score_assay_real(
+        params, config, seq, struct_tokens[: len(seq)],
         ctx.dms_frame["mutant"].tolist(),
-        seq_alignment=seq_aln, chunk=ctx.batch_size,
+        aa_alignment=aa_aln, struct_alignment=struct_aln,
+        alpha=float(ctx.extra.get("alpha", 0.8)),
     )
     return _with_column(ctx, "VenusREM_score", scores)
 

@@ -116,3 +116,39 @@ class TestProSSTStructureStream:
             prosst.score_assay_prosst_real(
                 params, c, SEQ, [1, 2, 3], ["M1A"]
             )
+
+
+class TestVenusRemReal:
+    def test_alignment_count_log_softmax(self):
+        seqs = ["MK-A", "MKTA", "mkta"]
+        cm = prosst.alignment_count_log_softmax(seqs)
+        assert cm.shape == (4, 25)
+        # column 0: all M -> P(M)=1 -> log_softmax of a one-hot prob vector
+        p = np.exp(cm[0])
+        assert p.argmax() == prosst.PROSST_IDX["M"]
+        np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
+        # column 2: one gap -> pad mass dilutes
+        assert np.exp(cm[2])[prosst.P_PAD] > np.exp(cm[0])[prosst.P_PAD]
+
+    def test_parse_alignment_range(self):
+        assert prosst.parse_alignment_range(">seq/5-20", 30) == (4, 20)
+        assert prosst.parse_alignment_range(">seq", 30) == (0, 30)
+
+    def test_blending_moves_scores(self):
+        import jax
+
+        c = prosst.PROSST_PRESETS["prosst_tiny"]
+        params = prosst.prosst_init_params(jax.random.PRNGKey(0), c)
+        rng = np.random.RandomState(0)
+        ss = rng.randint(0, 16, len(SEQ))
+        muts = [f"{SEQ[2]}3A", f"{SEQ[5]}6W"]
+        base = prosst.venusrem_score_assay_real(
+            params, c, SEQ, ss, muts, aa_alignment=None
+        )
+        # alignment that strongly supports A at position 3
+        aln = ([f">hom/1-{len(SEQ)}"],
+               [SEQ[:2] + "A" + SEQ[3:]] * 5 + [SEQ])
+        blended = prosst.venusrem_score_assay_real(
+            params, c, SEQ, ss, muts, aa_alignment=aln
+        )
+        assert blended[0] > base[0]  # retrieval favors the A mutation
