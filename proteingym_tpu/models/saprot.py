@@ -64,6 +64,62 @@ class SaProtVocab:
 VOCAB = SaProtVocab()
 
 
+class SaProtFileVocab:
+    """Vocabulary loaded from the published SaProt vocab.txt (shipped with
+    every SaProt checkpoint), removing any guess about token order. The
+    per-AA 21-wide 3Di blocks are contiguous in the published vocab — the
+    reference relies on it (compute_fitness.py:47-51) and we assert it."""
+
+    # foldseek 3Di letters in the reference's order (compute_fitness.py:14)
+    struc_chars = "pynwrqhgdlvtmfsaeikc#"
+
+    def __init__(self, path):
+        toks = [l.strip() for l in open(path) if l.strip()]
+        self.tok_to_idx = {t: i for i, t in enumerate(toks)}
+        self.size = len(toks)
+        self.cls_idx = self.tok_to_idx.get("<cls>", 0)
+        self.padding_idx = self.tok_to_idx.get("<pad>", 1)
+        self.eos_idx = self.tok_to_idx.get("<eos>", 2)
+        self.unk_idx = self.tok_to_idx.get("<unk>", 3)
+        self.mask_idx = self.tok_to_idx.get("<mask>", self.size - 1)
+        for aa in "ACDEFGHIKLMNPQRSTVWY#":
+            base = self.tok_to_idx.get(aa + self.struc_chars[0])
+            if base is None:
+                continue
+            for j, sc in enumerate(self.struc_chars):
+                tid = self.tok_to_idx.get(aa + sc)
+                if tid is not None and tid != base + j:
+                    raise ValueError(
+                        f"vocab file breaks the contiguous 3Di-block "
+                        f"assumption at {aa}{sc}"
+                    )
+
+    def pair_id(self, aa, tridi):
+        tok = aa + (tridi if tridi in self.struc_chars else "#")
+        if tok not in self.tok_to_idx:
+            tok = "#" + (tridi if tridi in self.struc_chars else "#")
+        return self.tok_to_idx.get(tok, self.unk_idx)
+
+    def tokenize(self, seq, struc):
+        assert len(seq) == len(struc)
+        ids = [self.cls_idx]
+        ids += [self.pair_id(a, s) for a, s in zip(seq, struc)]
+        ids.append(self.eos_idx)
+        return np.asarray(ids, dtype=np.int32)
+
+    def aa_block(self, aa):
+        base = self.tok_to_idx.get(aa + self.struc_chars[0])
+        if base is None:
+            base = self.tok_to_idx["#" + self.struc_chars[0]]
+        return slice(base, base + len(self.struc_chars))
+
+
+def convert_torch_state_dict(sd, config: esm2.EsmConfig):
+    """SaProt ships fair-esm-format .pt checkpoints; the trunk is standard
+    ESM2 with the enlarged vocabulary, so the ESM2 converter applies."""
+    return esm2.convert_torch_state_dict(sd, config)
+
+
 def saprot_config(preset: str = "saprot_650M") -> esm2.EsmConfig:
     base = {
         "saprot_35M": esm2.EsmConfig("saprot_35M", 12, 480, 20),
@@ -78,10 +134,12 @@ def score_mutants(
     target_seq: str,
     struc_seq: str,
     mutants: Sequence[str],
+    vocab=None,
     offset_idx: int = 1,
     batch_size: int = 8,
 ) -> np.ndarray:
     """Per-mutant masked forward + 3Di-block marginalization."""
+    vocab = vocab or VOCAB
     rows = []
     for m in mutants:
         seq = list(target_seq)
@@ -90,7 +148,7 @@ def score_mutants(
             if target_seq[pos] != tok[0]:
                 raise ValueError(f"WT mismatch in {tok}")
             seq[pos] = "#"  # mask the AA half, keep the 3Di half
-        rows.append(VOCAB.tokenize("".join(seq), struc_seq))
+        rows.append(vocab.tokenize("".join(seq), struc_seq))
     T = max(len(r) for r in rows)
     out = np.zeros(len(mutants))
 
@@ -100,7 +158,7 @@ def score_mutants(
 
     for s in range(0, len(rows), batch_size):
         blk = rows[s : s + batch_size]
-        tok = np.full((len(blk), T), VOCAB.padding_idx, np.int32)
+        tok = np.full((len(blk), T), vocab.padding_idx, np.int32)
         for bi, r in enumerate(blk):
             tok[bi, : len(r)] = r
         logits = fwd(params, jnp.asarray(tok))
@@ -110,8 +168,8 @@ def score_mutants(
             for tokm in m.split(":"):
                 wt, pos, mt = tokm[0], int(tokm[1:-1]) - offset_idx, tokm[-1]
                 p = probs[bi, pos + 1]  # +1 for CLS
-                p_wt = p[VOCAB.aa_block(wt)].sum()
-                p_mt = p[VOCAB.aa_block(mt)].sum()
+                p_wt = p[vocab.aa_block(wt)].sum()
+                p_mt = p[vocab.aa_block(mt)].sum()
                 score += np.log(p_mt / max(p_wt, 1e-30))
             out[s + bi] = score
     return out
@@ -126,6 +184,7 @@ def score_assay_saprot(
     struc_seq: Optional[str] = None,
     codebook: Optional[np.ndarray] = None,
     batch_size: int = 8,
+    vocab=None,
 ) -> np.ndarray:
     """End-to-end: 3Di tokens from the backbone (or a given 3Di string) +
     masked scoring (ref calc_fitness :58-75)."""
@@ -134,5 +193,6 @@ def score_assay_saprot(
 
         struc_seq = structure_letters(coords, codebook)
     return score_mutants(
-        params, config, target_seq, struc_seq, mutants, batch_size=batch_size
+        params, config, target_seq, struc_seq, mutants,
+        batch_size=batch_size, vocab=vocab,
     )

@@ -372,7 +372,7 @@ CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
-    "s3f", "prosst", "carp",
+    "s3f", "prosst", "carp", "saprot",
 }
 
 
@@ -495,6 +495,11 @@ def cmd_convert(args) -> int:
         from proteingym_tpu.models import carp as m
 
         config = m.CARP_PRESETS.get(preset) or m.CARP_PRESETS["carp_640M"]
+        params = m.convert_torch_state_dict(sd(), config)
+    elif fam == "saprot":
+        from proteingym_tpu.models import saprot as m
+
+        config = m.saprot_config(preset or "saprot_650M")
         params = m.convert_torch_state_dict(sd(), config)
     elif fam == "esm3_structure_encoder":
         from proteingym_tpu.models import esm3 as m

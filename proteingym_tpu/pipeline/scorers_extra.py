@@ -151,17 +151,46 @@ def score_xtrimo(ctx: ScoreContext) -> pd.DataFrame:
 
 @register_scorer("saprot")
 def score_saprot(ctx: ScoreContext) -> pd.DataFrame:
-    """SaProt structure-aware masked scoring (ref saprot/compute_fitness.py)."""
-    import jax
-
+    """SaProt structure-aware masked scoring (ref saprot/compute_fitness.py).
+    Published fair-esm-format checkpoints convert via ``pgym convert
+    --family saprot``; pass their vocab.txt with ``--extra vocab_file=``
+    and per-assay 3Di strings with ``--extra tridi_dir=`` (plain-letter
+    FASTAs; the native quantizer is the fallback)."""
     from proteingym_tpu.models import esm2, saprot
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    coords = _load_structure(ctx)
-    config = saprot.saprot_config(ctx.checkpoint or "saprot_35M")
-    params = esm2.init_params(jax.random.PRNGKey(0), config)
+    presets = {
+        "saprot_35M": saprot.saprot_config("saprot_35M"),
+        "saprot_650M": saprot.saprot_config("saprot_650M"),
+    }
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, presets, "saprot_35M", esm2.init_params,
+        esm2.EsmConfig, prefer_sidecar_fields=True,
+    )
+    vocab = None
+    vf = ctx.extra.get("vocab_file")
+    if vf:
+        vocab = saprot.SaProtFileVocab(vf)
+        if vocab.size != config.alphabet_size:
+            raise ValueError(
+                f"vocab file has {vocab.size} tokens but checkpoint "
+                f"alphabet_size is {config.alphabet_size}"
+            )
+    struc_seq = None
+    tdir = ctx.extra.get("tridi_dir")
+    if tdir:
+        for stem in (ctx.record.DMS_id, ctx.record.UniProt_ID):
+            f = Path(tdir) / f"{stem}.fasta"
+            if f.exists():
+                struc_seq = "".join(
+                    l.strip() for l in open(f) if not l.startswith(">")
+                ).lower()
+                break
+    coords = None if struc_seq is not None else _load_structure(ctx)
     scores = saprot.score_assay_saprot(
         params, config, ctx.record.target_seq, coords,
-        ctx.dms_frame["mutant"].tolist(), batch_size=ctx.batch_size,
+        ctx.dms_frame["mutant"].tolist(), struc_seq=struc_seq,
+        batch_size=ctx.batch_size, vocab=vocab,
     )
     return _with_column(ctx, "SaProt_score", scores)
 

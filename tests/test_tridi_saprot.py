@@ -136,3 +136,61 @@ class TestProsst:
                                        k_structure=8, struct_tokens=alt,
                                        chunk=4)
         assert not np.allclose(s, s2)
+
+
+class TestSaProtFileVocab:
+    def _write_vocab(self, path, break_contiguity=False):
+        toks = ["<cls>", "<pad>", "<eos>", "<unk>"]
+        struc = "pynwrqhgdlvtmfsaeikc#"
+        for aa in "LAGVSERTIDPKQNFYMHWCX#":
+            for sc in struc:
+                toks.append(aa + sc)
+        toks.append("<mask>")
+        if break_contiguity:
+            toks[5], toks[6] = toks[6], toks[5]
+        path.write_text("\n".join(toks) + "\n")
+        return toks
+
+    def test_blocks_and_tokenize(self, tmp_path):
+        from proteingym_tpu.models.saprot import SaProtFileVocab
+
+        f = tmp_path / "vocab.txt"
+        toks = self._write_vocab(f)
+        v = SaProtFileVocab(f)
+        assert v.size == len(toks)
+        blk = v.aa_block("A")
+        assert blk.stop - blk.start == 21
+        assert toks[blk.start] == "Ap" and toks[blk.stop - 1] == "A#"
+        ids = v.tokenize("LAG", "pyn")
+        assert toks[ids[1]] == "Lp" and toks[ids[2]] == "Ay"
+        assert ids[0] == v.cls_idx and ids[-1] == v.eos_idx
+
+    def test_contiguity_violation_raises(self, tmp_path):
+        from proteingym_tpu.models.saprot import SaProtFileVocab
+
+        f = tmp_path / "vocab.txt"
+        self._write_vocab(f, break_contiguity=True)
+        with pytest.raises(ValueError):
+            SaProtFileVocab(f)
+
+    def test_scoring_with_file_vocab(self, tmp_path):
+        import jax
+
+        from proteingym_tpu.models import esm2, saprot
+
+        f = tmp_path / "vocab.txt"
+        toks = self._write_vocab(f)
+        v = saprot.SaProtFileVocab(f)
+        import dataclasses
+
+        config = dataclasses.replace(
+            esm2.PRESETS["esm2_t6_8M"], alphabet_size=v.size,
+            name="saprot_test",
+        )
+        params = esm2.init_params(jax.random.PRNGKey(0), config)
+        seq = "MKTAYIAKQR"
+        struc = "pynwrqhgdl"
+        scores = saprot.score_mutants(
+            params, config, seq, struc, ["M1A", "K2W"], vocab=v
+        )
+        assert np.isfinite(scores).all() and scores.std() > 0
