@@ -264,7 +264,10 @@ def apply(
 
     x = params["embed_tokens"].astype(config.dtype)[tokens]
     if extra_embedding is not None:
-        x = x + extra_embedding[None, : x.shape[1]].astype(x.dtype)
+        cond = jnp.asarray(extra_embedding)
+        if cond.ndim == 2:  # shared (T, D) conditioning
+            cond = cond[None, : x.shape[1]]
+        x = x + cond.astype(x.dtype)
 
     if config.token_dropout:
         is_masked = tokens == mask_idx
@@ -399,6 +402,61 @@ def convert_torch_state_dict(state_dict, config: EsmConfig) -> Dict[str, Any]:
         params["embed_positions"] = get("embed_positions.weight")
         if config.emb_layer_norm_before:
             params["emb_ln_before"] = ln("emb_layer_norm_before")
+    return params
+
+
+def convert_hf_esm_state_dict(state_dict, config: EsmConfig,
+                              prefix: str = "esm.") -> Dict[str, Any]:
+    """Convert a HuggingFace EsmForMaskedLM state_dict (transformers
+    modeling_esm layout: {prefix}embeddings/encoder.layer.N.attention...)
+    to our pytree. The math is identical to fair-esm (HF's EsmSelfAttention
+    scales the query and fixes rotary exactly like the original); only key
+    names differ. Used for MULAN's trunk and any HF-format ESM2 release."""
+
+    def get(key):
+        v = state_dict[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return jnp.asarray(np.asarray(v, dtype=np.float32))
+
+    def dense(p):
+        return {"kernel": get(f"{p}.weight").T, "bias": get(f"{p}.bias")}
+
+    def ln(p):
+        return {"scale": get(f"{p}.weight"), "bias": get(f"{p}.bias")}
+
+    enc = f"{prefix}encoder"
+    layers = []
+    for i in range(config.num_layers):
+        p = f"{enc}.layer.{i}"
+        layers.append(
+            {
+                "attn_ln": ln(f"{p}.attention.LayerNorm"),
+                "q": dense(f"{p}.attention.self.query"),
+                "k": dense(f"{p}.attention.self.key"),
+                "v": dense(f"{p}.attention.self.value"),
+                "out": dense(f"{p}.attention.output.dense"),
+                "ffn_ln": ln(f"{p}.LayerNorm"),
+                "fc1": dense(f"{p}.intermediate.dense"),
+                "fc2": dense(f"{p}.output.dense"),
+            }
+        )
+    params = {
+        "embed_tokens": get(f"{prefix}embeddings.word_embeddings.weight"),
+        "layers": layers,
+        "final_ln": ln(f"{enc}.emb_layer_norm_after"),
+        "lm_head": {
+            "dense": dense("lm_head.dense"),
+            "ln": ln("lm_head.layer_norm"),
+            "bias": get("lm_head.bias"),
+        },
+    }
+    if not config.use_rotary:
+        params["embed_positions"] = get(
+            f"{prefix}embeddings.position_embeddings.weight"
+        )
+        if config.emb_layer_norm_before:
+            params["emb_ln_before"] = ln(f"{prefix}embeddings.layer_norm")
     return params
 
 

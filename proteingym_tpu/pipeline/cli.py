@@ -372,7 +372,7 @@ CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
-    "s3f", "prosst", "carp", "saprot",
+    "s3f", "prosst", "carp", "saprot", "mulan",
 }
 
 
@@ -500,6 +500,22 @@ def cmd_convert(args) -> int:
         from proteingym_tpu.models import saprot as m
 
         config = m.saprot_config(preset or "saprot_650M")
+        params = m.convert_torch_state_dict(sd(), config)
+    elif fam == "mulan":
+        import jax.numpy as jnp
+
+        from proteingym_tpu.models import esm2 as esm2_mod
+        from proteingym_tpu.models import mulan as m
+
+        import dataclasses as _dc
+
+        trunk = {
+            "mulan_small": "esm2_t12_35M",
+        }.get(preset, "esm2_t12_35M")
+        config = m.MulanConfig(
+            name=preset or "mulan_small",
+            esm=_dc.replace(esm2_mod.PRESETS[trunk], dtype=jnp.float32),
+        )
         params = m.convert_torch_state_dict(sd(), config)
     elif fam == "esm3_structure_encoder":
         from proteingym_tpu.models import esm3 as m

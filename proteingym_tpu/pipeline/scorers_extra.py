@@ -313,21 +313,64 @@ def score_mif(ctx: ScoreContext) -> pd.DataFrame:
 
 @register_scorer("mulan")
 def score_mulan(ctx: ScoreContext) -> pd.DataFrame:
-    """MULAN structure-adapter ESM (ref mulan/)."""
+    """MULAN: weight-compatible ESM2 trunk + structure-angle adapter
+    (ref mulan/mulan/model.py; convert published checkpoints via
+    ``pgym convert --family mulan``). phi/psi come from the backbone;
+    chi1-5 stay at the reference's NaN fill unless precomputed angle
+    tables are supplied via ``--extra angles_dir=`` (.npy (L, 7) radians).
+    ``--extra method=additive`` keeps the legacy conditioning scorer."""
     import jax
 
     from proteingym_tpu.models import esm2
-    from proteingym_tpu.models.structure_plms import (
-        mulan_init, mulan_score_assay,
-    )
+    from proteingym_tpu.models import mulan as mulan_mod
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
-    coords = _load_structure(ctx)
-    config = esm2.PRESETS.get(ctx.checkpoint or "esm2_t6_8M",
-                              esm2.PRESETS["esm2_t6_8M"])
-    params = mulan_init(jax.random.PRNGKey(0), config)
-    scores = mulan_score_assay(
-        params, config, coords, ctx.record.target_seq,
-        ctx.dms_frame["mutant"].tolist(), chunk=ctx.batch_size,
+    if ctx.extra.get("method") == "additive":
+        from proteingym_tpu.models.structure_plms import (
+            mulan_init, mulan_score_assay,
+        )
+
+        coords = _load_structure(ctx)
+        config = esm2.PRESETS.get(ctx.checkpoint or "esm2_t6_8M",
+                                  esm2.PRESETS["esm2_t6_8M"])
+        params = mulan_init(jax.random.PRNGKey(0), config)
+        scores = mulan_score_assay(
+            params, config, coords, ctx.record.target_seq,
+            ctx.dms_frame["mutant"].tolist(), chunk=ctx.batch_size,
+        )
+        return _with_column(ctx, "MULAN_score", scores)
+
+    import jax.numpy as jnp
+
+    presets = {
+        "mulan_small": mulan_mod.MulanConfig(
+            name="mulan_small",
+            esm=dataclasses.replace(esm2.PRESETS["esm2_t12_35M"],
+                                    dtype=jnp.float32),
+        ),
+        "mulan_tiny": mulan_mod.MulanConfig(
+            name="mulan_tiny",
+            esm=dataclasses.replace(esm2.PRESETS["esm2_t6_8M"],
+                                    dtype=jnp.float32),
+        ),
+    }
+    config, params = resolve_zoo_checkpoint(
+        ctx.checkpoint, presets, "mulan_tiny", mulan_mod.init_params,
+    )
+    angles = None
+    adir = ctx.extra.get("angles_dir")
+    if adir:
+        for stem in (ctx.record.DMS_id, ctx.record.UniProt_ID):
+            f = Path(adir) / f"{stem}.npy"
+            if f.exists():
+                angles = np.load(f)
+                break
+    if angles is None:
+        coords = _load_structure(ctx)[:, :3]
+        angles = mulan_mod.backbone_angle_features(coords)
+    scores = mulan_mod.score_mutants(
+        params, config, ctx.record.target_seq, angles,
+        ctx.dms_frame["mutant"].tolist(), batch_size=ctx.batch_size,
     )
     return _with_column(ctx, "MULAN_score", scores)
 

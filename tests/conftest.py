@@ -21,6 +21,10 @@ import jax
 # import; override it after import (backends aren't initialized yet)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# XLA:CPU's oneDNN/XNNPACK matmuls run a relaxed-precision fast path on
+# bf16-capable hosts (~1e-4 relative error) — enough to blur logit-level
+# torch-parity tolerances; force exact fp32 accumulation in tests
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest

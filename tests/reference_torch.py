@@ -738,3 +738,53 @@ def load_ref_s3f():
     gvp = importlib.import_module("s3f.gvp")
     layer = importlib.import_module("s3f.gvp_layer")
     return gvp, layer
+
+
+def load_ref_mulan():
+    """Import the vendored MULAN package (model.py + model_utils.py only;
+    the tokenizer/dataset pull biopython + deli which parity tests never
+    touch)."""
+    if "mulan.model" in sys.modules:
+        return sys.modules["mulan.model"]
+    # transformers>=4.45 dropped past_key_values_length from
+    # create_position_ids_from_input_ids; re-add the old signature
+    from transformers.models.esm import modeling_esm as _me
+
+    _orig = _me.create_position_ids_from_input_ids
+    try:
+        import inspect as _inspect
+
+        _nparams = len(_inspect.signature(_orig).parameters)
+    except (TypeError, ValueError):
+        _nparams = 2
+    if _nparams < 3:
+        def _compat(input_ids, padding_idx, past_key_values_length=0):
+            mask = input_ids.ne(padding_idx).int()
+            import torch as _t
+
+            incremental = (_t.cumsum(mask, dim=1).type_as(mask)
+                           + past_key_values_length) * mask
+            return incremental.long() + padding_idx
+
+        _me.create_position_ids_from_input_ids = _compat
+    # configs built directly (not from_pretrained) carry
+    # _attn_implementation=None; route that to the eager kernel
+    try:
+        _me.ALL_ATTENTION_FUNCTIONS[None]
+    except KeyError:
+        _me.ALL_ATTENTION_FUNCTIONS._local_mapping[None] = (
+            _me.eager_attention_forward
+        )
+    # newer EsmEncoder outputs drop past_key_values; the vendored
+    # StructEsmModel still reads it — default it to None
+    from transformers import modeling_outputs as _mo
+
+    if not hasattr(_mo.BaseModelOutputWithCrossAttentions,
+                   "past_key_values"):
+        _mo.BaseModelOutputWithCrossAttentions.past_key_values = None
+    pkg = types.ModuleType("mulan")
+    pkg.__path__ = [str(REF / "mulan" / "mulan")]
+    sys.modules["mulan"] = pkg
+    import importlib
+
+    return importlib.import_module("mulan.model")
