@@ -78,10 +78,11 @@ def _shim_transformers():
 
 def _stub_bio():
     """biopython isn't installed; tranception only uses it to shell out to
-    Clustal Omega for indel retrieval, which parity tests never touch."""
-    if "Bio" in sys.modules:
+    Clustal Omega for indel retrieval, which parity tests never touch.
+    COMPOSES with the other Bio stubs (merges into an existing module)."""
+    if "Bio.Align" in sys.modules:
         return
-    bio = types.ModuleType("Bio")
+    bio = sys.modules.get("Bio") or types.ModuleType("Bio")
     align = types.ModuleType("Bio.Align")
     apps = types.ModuleType("Bio.Align.Applications")
     seqio = types.ModuleType("Bio.SeqIO")
@@ -658,9 +659,17 @@ def load_ref_s3f():
 
     _stub_torch_geometric()
     if not hasattr(nn.Module, "device"):  # torchdrug patches nn.Module
-        nn.Module.device = property(
-            lambda self: next(self.parameters()).device
-        )
+        def _get_device(self):
+            if "_device_override" in self.__dict__:
+                return self.__dict__["_device_override"]
+            return next(self.parameters()).device
+
+        def _set_device(self, value):
+            # models like the reference EVE assign self.device in __init__;
+            # keep that working alongside the property
+            self.__dict__["_device_override"] = value
+
+        nn.Module.device = property(_get_device, _set_device)
     if "torch_scatter" not in sys.modules:
         ts = types.ModuleType("torch_scatter")
 
