@@ -356,6 +356,48 @@ def aido_apply(params, c: AidoConfig, tokens: jnp.ndarray) -> jnp.ndarray:
                    preferred_element_type=jnp.float32)
 
 
+def _aido_raw_logits_table(params, c: AidoConfig, tokens: np.ndarray,
+                           chunk: int, window: int) -> np.ndarray:
+    """Raw masked-position logits, scored per 768-token sliding window like
+    the reference (ref AIDO utils/misc.py get_logits_table_sliding:299-345:
+    non-overlapping steps plus a final window snapped to the sequence end;
+    positions covered by several windows average their logits)."""
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+    from proteingym_tpu.models import esm2
+    from proteingym_tpu.models.esm_scoring import _cached_jit
+
+    mask_idx = esm2.ALPHABET.mask_idx
+    fn = _cached_jit(stable_params_fn(aido_apply, c), "fwd_params")
+    T = len(tokens)
+    V = c.alphabet_size
+    table = np.zeros((T, V), np.float64)
+    counts = np.zeros(T, np.int64)
+
+    starts = []
+    s = 0
+    while True:
+        if s + window >= T:
+            starts.append(max(0, T - window))
+            break
+        starts.append(s)
+        s += window
+    for f_start in starts:
+        f_end = min(f_start + window, T)
+        base = tokens[f_start:f_end]
+        W = len(base)
+        positions = np.arange(W)
+        for blk in range(0, W, chunk):
+            idx = positions[blk : blk + chunk]
+            rows = np.tile(base[None], (chunk, 1))
+            for bi, p in enumerate(idx):
+                rows[bi, p] = mask_idx
+            logits = np.asarray(fn(params, jnp.asarray(rows)))
+            for bi, p in enumerate(idx):
+                table[f_start + p] += logits[bi, p]
+                counts[f_start + p] += 1
+    return table / np.maximum(counts, 1)[:, None]
+
+
 def aido_score_assay(
     params,
     c: AidoConfig,
@@ -365,25 +407,20 @@ def aido_score_assay(
     msa_weights: Optional[np.ndarray] = None,
     retrieval_alpha: float = 0.3,
     chunk: int = 8,
-    window: int = 1024,
+    window: int = 768,
+    temp_mt: float = 1.0,
+    temp_wt: float = 1.5,
 ) -> np.ndarray:
-    """Masked marginals with optional MSA-retrieval fusion on the table
-    (ref AIDO utils/misc.py logits_table_sliding + retrieval fusion)."""
+    """Masked marginals with the reference's asymmetric-temperature scoring
+    — score = log_softmax(logits/temp_mt)[mt] -
+    log_softmax(logits/temp_wt)[wt] (ref AIDO utils/misc.py
+    get_scores_from_table:347-382, temp_wt=1.5 at compute_fitness.py:96) —
+    plus the MSA count-prior fusion standing in for the 16B model's
+    in-context MSA retrieval."""
     from proteingym_tpu.models import esm2
-    from proteingym_tpu.models.esm_scoring import (
-        masked_marginal_table, score_mutants_from_table,
-    )
-
-    from proteingym_tpu.models.ar_scoring import stable_params_fn
 
     tokens = esm2.ALPHABET.tokenize(sequence)
-    table = np.array(
-        masked_marginal_table(
-            stable_params_fn(aido_apply, c), tokens,
-            mask_idx=esm2.ALPHABET.mask_idx, chunk=chunk, window=window,
-            params=params,
-        )
-    )
+    table = _aido_raw_logits_table(params, c, tokens, chunk, window)
     if msa_sequences:
         L = len(sequence)
         aa_cols = np.asarray([esm2.ALPHABET.get_idx(a) for a in AA20])
@@ -393,4 +430,22 @@ def aido_score_assay(
             (1 - retrieval_alpha) * table[np.ix_(rows, aa_cols)]
             + retrieval_alpha * prior
         )
-    return score_mutants_from_table(jnp.asarray(table), mutants, sequence)
+
+    def log_softmax(z, temp):
+        z = z / temp
+        z = z - z.max(-1, keepdims=True)
+        return z - np.log(np.exp(z).sum(-1, keepdims=True))
+
+    table_mt = log_softmax(table, temp_mt)
+    table_wt = log_softmax(table, temp_wt)
+    out = np.zeros(len(mutants))
+    for i, m in enumerate(mutants):
+        for tok in m.split(":"):
+            wt, pos, mt = tok[0], int(tok[1:-1]) - 1, tok[-1]
+            if sequence[pos] != wt:
+                raise ValueError(f"WT mismatch in {tok}")
+            out[i] += (
+                table_mt[pos + 1, esm2.ALPHABET.get_idx(mt)]
+                - table_wt[pos + 1, esm2.ALPHABET.get_idx(wt)]
+            )
+    return out
