@@ -154,7 +154,12 @@ def run_supervised_baseline(
     mutants = dms_frame["mutant"].tolist()
     seqs = dms_frame.get("mutated_sequence", dms_frame["mutant"]).tolist()
     y = dms_frame["DMS_score"].to_numpy(np.float64)
-    if feature_fn is not None:
+    npt = model.lower() in ("proteinnpt", "protein_npt")
+    if npt:
+        from proteingym_tpu.models.protein_npt import residue_features
+
+        features = residue_features(seqs, len(target_seq))
+    elif feature_fn is not None:
         features = feature_fn(seqs)
     elif model == "OHE_ridge":
         features = onehot_features(seqs, len(target_seq))
@@ -167,7 +172,18 @@ def run_supervised_baseline(
             folds = dms_frame[scheme].to_numpy()
         else:
             folds = assign_folds(mutants, scheme, seed=seed)
-        preds = ridge_cv_predict(features, y, folds, lam=lam)
+        if npt:
+            from proteingym_tpu.models.protein_npt import npt_cv_predict
+
+            aux = None
+            for col in ("zero_shot_score", "Tranception_score"):
+                if col in dms_frame.columns:
+                    aux = dms_frame[col].to_numpy(np.float64)
+                    aux = (aux - aux.mean()) / (aux.std() + 1e-8)
+                    break
+            preds = npt_cv_predict(features, y, folds, aux=aux, seed=seed)
+        else:
+            preds = ridge_cv_predict(features, y, folds, lam=lam)
         out[scheme] = pd.DataFrame(
             {"mutant": mutants, "y_pred": preds, "DMS_score": y}
         )
