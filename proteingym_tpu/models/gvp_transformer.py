@@ -841,3 +841,43 @@ def convert_torch_state_dict(sd, c: GVPTransformerConfig) -> Dict[str, Any]:
             }
         )
     return params
+
+
+# ---------------------------------------------------------------------------
+# multichain complexes (ref esm/esm/inverse_folding/multichain_util.py)
+
+def concatenate_complex_coords(
+    coords: Dict[str, np.ndarray], target_chain_id: str,
+    padding_length: int = 10,
+) -> np.ndarray:
+    """Target chain first, then every other chain separated by
+    ``padding_length`` all-nan residues (multichain_util.py:54-78); the nan
+    spacers become padding in the encoder's batch preparation."""
+    pad = np.full((padding_length, 3, 3), np.nan, np.float32)
+    parts = [np.asarray(coords[target_chain_id], np.float32)[:, :3]]
+    for chain_id in coords:
+        if chain_id == target_chain_id:
+            continue
+        parts.append(pad)
+        parts.append(np.asarray(coords[chain_id], np.float32)[:, :3])
+    return np.concatenate(parts, axis=0)
+
+
+def score_sequences_in_complex(
+    params,
+    c: GVPTransformerConfig,
+    coords: Dict[str, np.ndarray],
+    target_chain_id: str,
+    sequences: Sequence[str],
+    batch_size: int = 32,
+    padding_length: int = 10,
+) -> np.ndarray:
+    """ll_fullseq of target-chain sequences conditioned on the WHOLE
+    complex backbone (multichain_util.py:105-135): the decoder teacher-
+    forces only the target chain while the encoder sees every chain."""
+    all_coords = concatenate_complex_coords(
+        coords, target_chain_id, padding_length
+    )
+    return score_sequences(
+        params, c, all_coords, sequences, batch_size=batch_size
+    )

@@ -207,11 +207,36 @@ def score_esm_if1(ctx: ScoreContext) -> pd.DataFrame:
         ctx.checkpoint, gvp_transformer.PRESETS, "esm_if1_tiny",
         gvp_transformer.init_params, gvp_transformer.GVPTransformerConfig,
     )
-    coords = _load_structure(ctx)[:, :3]  # N, CA, C
-    scores = gvp_transformer.score_sequences(
-        params, config, coords, ctx.dms_frame["mutated_sequence"].tolist(),
-        batch_size=ctx.batch_size,
-    )
+    chains_spec = ctx.extra.get("complex_chains")
+    seqs = ctx.dms_frame["mutated_sequence"].tolist()
+    if chains_spec:
+        # --multichain-backbone: condition on every chain, decode the
+        # target (ref esm/compute_fitness_esm_if1.py --multichain-backbone
+        # + multichain_util.py)
+        from proteingym_tpu.data.structures import parse_pdb_backbone
+
+        target_chain = ctx.extra.get("target_chain", "A")
+        pdb = None
+        for stem in (ctx.record.UniProt_ID, ctx.record.DMS_id):
+            cand = Path(ctx.structure_dir) / f"{stem}.pdb"
+            if cand.exists():
+                pdb = cand
+                break
+        if pdb is None:
+            raise FileNotFoundError(f"No PDB for {ctx.record.DMS_id}")
+        coords = {
+            ch: parse_pdb_backbone(pdb, chain=ch)[0][:, :3]
+            for ch in chains_spec.split(",")
+        }
+        scores = gvp_transformer.score_sequences_in_complex(
+            params, config, coords, target_chain, seqs,
+            batch_size=ctx.batch_size,
+        )
+    else:
+        coords = _load_structure(ctx)[:, :3]  # N, CA, C
+        scores = gvp_transformer.score_sequences(
+            params, config, coords, seqs, batch_size=ctx.batch_size,
+        )
     return _with_column(ctx, "esm_if1_score", scores)
 
 

@@ -170,3 +170,44 @@ class TestGvpTransformerParity:
             )
         )[0]
         np.testing.assert_allclose(got, ref_logits, atol=2e-4, rtol=1e-3)
+
+
+@requires_reference
+class TestMultichainParity:
+    def test_complex_scoring_matches(self):
+        """score_sequence_in_complex: target chain decoded against the
+        whole complex backbone with nan spacers
+        (ref esm/esm/inverse_folding/multichain_util.py:54-135)."""
+        m = load_ref_if1()
+        import esm as ref_esm
+        from esm.inverse_folding import multichain_util
+
+        alphabet = ref_esm.data.Alphabet.from_architecture("invariant_gvp")
+        args = argparse.Namespace(**TINY)
+        torch.manual_seed(1)
+        ref = m.GVPTransformerModel(args, alphabet).eval()
+
+        from proteingym_tpu.models import gvp_transformer as ours
+
+        config = ours.GVPTransformerConfig(
+            name="tiny",
+            **{k: v for k, v in TINY.items()
+               if k not in ("dropout", "attention_dropout", "gvp_dropout")},
+        )
+        params = ours.convert_torch_state_dict(ref.state_dict(), config)
+
+        coords = {
+            "A": make_coords(len(SEQ), seed=3),
+            "B": make_coords(8, seed=9),
+        }
+        mutants = [SEQ, "A" + SEQ[1:]]
+        got = ours.score_sequences_in_complex(
+            params, config, coords, "A", mutants, batch_size=2
+        )
+        exp = []
+        for seq in mutants:
+            ll_fullseq, _ = multichain_util.score_sequence_in_complex(
+                ref, alphabet, coords, "A", seq
+            )
+            exp.append(ll_fullseq)
+        np.testing.assert_allclose(got, exp, atol=1e-5, rtol=1e-5)
