@@ -1,0 +1,245 @@
+"""PROVEAN: delta alignment scores against a clustered supporting set.
+
+The reference benchmark's PROVEAN column (DMS/indels + clinical lists)
+comes from the external PROVEAN tool (Choi et al. 2012): BLAST homologs
+are clustered at 75% identity (CD-HIT), and the variant score is the
+average over the top clusters of the mean BLOSUM62 affine-gap alignment
+delta
+
+    delta(v, s) = align(variant, s) - align(wild_type, s)
+
+with gap open 10 / extend 1. Negative scores are deleterious. Handles
+substitutions AND indels (the alignment absorbs length changes).
+
+Native rebuild (no BLAST/CD-HIT binaries): the supporting set comes from
+the assay MSA (ungapped rows), greedily clustered at 75% identity with
+cluster representatives ordered by identity to the query.
+
+TPU design: the Gotoh recurrence is reformulated so each DP row is pure
+vector math — the within-row affine-gap dependency collapses to a prefix
+max (Iy[j] = -open - (j-1)*ext + cummax_k(M[k] + k*ext)) — giving a
+score-only kernel that lax.scans over query rows and vmaps over the whole
+(variant x supporting-sequence) batch. One dispatch scores every mutant
+against every supporting sequence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOSUM_ALPHABET = "ARNDCQEGHILKMFPSTWYVBZX*"
+
+# canonical BLOSUM62 (NCBI), rows/cols in BLOSUM_ALPHABET order
+_B62 = """
+ 4 -1 -2 -2  0 -1 -1  0 -2 -1 -1 -1 -1 -2 -1  1  0 -3 -2  0 -2 -1  0 -4
+-1  5  0 -2 -3  1  0 -2  0 -3 -2  2 -1 -3 -2 -1 -1 -3 -2 -3 -1  0 -1 -4
+-2  0  6  1 -3  0  0  0  1 -3 -3  0 -2 -3 -2  1  0 -4 -2 -3  3  0 -1 -4
+-2 -2  1  6 -3  0  2 -1 -1 -3 -4 -1 -3 -3 -1  0 -1 -4 -3 -3  4  1 -1 -4
+ 0 -3 -3 -3  9 -3 -4 -3 -3 -1 -1 -3 -1 -2 -3 -1 -1 -2 -2 -1 -3 -3 -2 -4
+-1  1  0  0 -3  5  2 -2  0 -3 -2  1  0 -3 -1  0 -1 -2 -1 -2  0  3 -1 -4
+-1  0  0  2 -4  2  5 -2  0 -3 -3  1 -2 -3 -1  0 -1 -3 -2 -2  1  4 -1 -4
+ 0 -2  0 -1 -3 -2 -2  6 -2 -4 -4 -2 -3 -3 -2  0 -2 -2 -3 -3 -1 -2 -1 -4
+-2  0  1 -1 -3  0  0 -2  8 -3 -3 -1 -2 -1 -2 -1 -2 -2  2 -3  0  0 -1 -4
+-1 -3 -3 -3 -1 -3 -3 -4 -3  4  2 -3  1  0 -3 -2 -1 -3 -1  3 -3 -3 -1 -4
+-1 -2 -3 -4 -1 -2 -3 -4 -3  2  4 -2  2  0 -3 -2 -1 -2 -1  1 -4 -3 -1 -4
+-1  2  0 -1 -3  1  1 -2 -1 -3 -2  5 -1 -3 -1  0 -1 -3 -2 -2  0  1 -1 -4
+-1 -1 -2 -3 -1  0 -2 -3 -2  1  2 -1  5  0 -2 -1 -1 -1 -1  1 -3 -1 -1 -4
+-2 -3 -3 -3 -2 -3 -3 -3 -1  0  0 -3  0  6 -4 -2 -2  1  3 -1 -3 -3 -1 -4
+-1 -2 -2 -1 -3 -1 -1 -2 -2 -3 -3 -1 -2 -4  7 -1 -1 -4 -3 -2 -2 -1 -2 -4
+ 1 -1  1  0 -1  0  0  0 -1 -2 -2  0 -1 -2 -1  4  1 -3 -2 -2  0  0  0 -4
+ 0 -1  0 -1 -1 -1 -1 -2 -2 -1 -1 -1 -1 -2 -1  1  5 -2 -2  0 -1 -1  0 -4
+-3 -3 -4 -4 -2 -2 -3 -2 -2 -3 -2 -3 -1  1 -4 -3 -2 11  2 -3 -4 -3 -2 -4
+-2 -2 -2 -3 -2 -1 -2 -3  2 -1 -1 -2 -1  3 -3 -2 -2  2  7 -1 -3 -2 -1 -4
+ 0 -3 -3 -3 -1 -2 -2 -3 -3  3  1 -2  1 -1 -2 -2  0 -3 -1  4 -3 -2 -1 -4
+-2 -1  3  4 -3  0  1 -1  0 -3 -4  0 -3 -3 -2  0 -1 -4 -3 -3  4  1 -1 -4
+-1  0  0  1 -3  3  4 -2  0 -3 -3  1 -1 -3 -1  0 -1 -3 -2 -2  1  4 -1 -4
+ 0 -1 -1 -1 -2 -1 -1 -1 -1 -1 -1 -1 -1 -1 -2  0  0 -2 -1 -1 -1 -1 -1 -4
+-4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4 -4  1
+"""
+
+BLOSUM62 = np.array(
+    [[int(v) for v in row.split()] for row in _B62.strip().splitlines()],
+    np.float32,
+)
+_IDX = {a: i for i, a in enumerate(BLOSUM_ALPHABET)}
+
+
+def encode(seq: str) -> np.ndarray:
+    return np.asarray([_IDX.get(c, _IDX["X"]) for c in seq], np.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_batch_scores(l1: int, l2: int):
+    """(B,) Gotoh global-alignment scores for (B, l1) queries vs (B, l2)
+    padded subjects with true lengths (B,)."""
+    NEG = -1e9
+
+    @jax.jit
+    def run(queries, subjects, subj_lens, gap_open, gap_extend):
+        sub = jnp.asarray(BLOSUM62, jnp.float32)
+        gap_open = jnp.float32(gap_open)
+        gap_extend = jnp.float32(gap_extend)
+
+        def one(q, s, true_len):
+            j_idx = jnp.arange(l2 + 1, dtype=jnp.float32)
+            # DP row 0: M[0][j] only valid at j=0; leading gaps go via Iy
+            m_prev = jnp.where(j_idx == 0, 0.0, NEG).astype(jnp.float32)
+            ix_prev = jnp.full(l2 + 1, NEG, jnp.float32)
+            iy0 = jnp.where(
+                j_idx > 0, -gap_open - (j_idx - 1) * gap_extend, NEG
+            ).astype(jnp.float32)
+            iy_prev = iy0
+
+            def row(carry, qa):
+                m_p, ix_p, iy_p = carry
+                best_p = jnp.maximum(jnp.maximum(m_p, ix_p), iy_p)
+                subs = sub[qa, s]                       # (l2,)
+                m = jnp.concatenate(
+                    [jnp.array([NEG], jnp.float32), best_p[:-1] + subs]
+                )
+                ix = jnp.maximum(m_p - gap_open, ix_p - gap_extend)
+                # iy[j] = -open - (j-1)*ext + max_{k<=j-1}(mix[k] + k*ext)
+                mix = jnp.maximum(m, ix)
+                pref = jax.lax.cummax(
+                    mix + j_idx * gap_extend
+                )
+                iy = jnp.concatenate(
+                    [
+                        jnp.array([NEG], jnp.float32),
+                        -gap_open - (j_idx[1:] - 1) * gap_extend
+                        + pref[:-1],
+                    ]
+                )
+                return (m, ix, iy), None
+
+            (m, ix, iy), _ = jax.lax.scan(row, (m_prev, ix_prev, iy_prev), q)
+            final = jnp.maximum(jnp.maximum(m, ix), iy)
+            return final[true_len]
+
+        return jax.vmap(one)(queries, subjects, subj_lens)
+
+    return run
+
+
+def align_scores(
+    queries: Sequence[str],
+    subjects: Sequence[str],
+    gap_open: float = 10.0,
+    gap_extend: float = 1.0,
+    pad_to: int = 32,
+) -> np.ndarray:
+    """(len(queries),) global BLOSUM62 scores; queries[i] vs subjects[i].
+    All queries must share one length (bucket substitutions/indels by
+    length before calling)."""
+    l1 = len(queries[0])
+    assert all(len(q) == l1 for q in queries)
+    l2 = ((max(len(s) for s in subjects) + pad_to - 1) // pad_to) * pad_to
+    Q = np.stack([encode(q) for q in queries])
+    S = np.zeros((len(subjects), l2), np.int32)
+    lens = np.zeros(len(subjects), np.int32)
+    for i, s in enumerate(subjects):
+        S[i, : len(s)] = encode(s)
+        lens[i] = len(s)
+    run = _jit_batch_scores(l1, l2)
+    return np.asarray(
+        run(jnp.asarray(Q), jnp.asarray(S), jnp.asarray(lens),
+            float(gap_open), float(gap_extend))
+    )
+
+
+def cluster_supporting_set(
+    query: str,
+    homologs: Sequence[str],
+    identity: float = 0.75,
+    max_clusters: int = 30,
+    max_candidates: int = 200,
+    seed: int = 0,
+) -> List[List[str]]:
+    """Greedy 75%-identity clustering of ungapped homologs, cluster
+    representatives ordered by identity to the query (the BLAST-E-value
+    ordering stand-in). Returns up to max_clusters member lists."""
+    uniq = []
+    seen = set()
+    for h in homologs:
+        h = h.upper().replace("-", "").replace(".", "")
+        if h and h not in seen:
+            seen.add(h)
+            uniq.append(h)
+    if len(uniq) > max_candidates:
+        rs = np.random.RandomState(seed)
+        uniq = [uniq[i] for i in rs.choice(len(uniq), max_candidates,
+                                           replace=False)]
+
+    def ident(a, b):
+        n = min(len(a), len(b))
+        if n == 0:
+            return 0.0
+        same = sum(1 for x, y in zip(a[:n], b[:n]) if x == y)
+        return same / max(len(a), len(b))
+
+    uniq.sort(key=lambda h: -ident(query, h))
+    clusters: List[List[str]] = []
+    for h in uniq:
+        placed = False
+        for cl in clusters:
+            if ident(cl[0], h) >= identity:
+                cl.append(h)
+                placed = True
+                break
+        if not placed and len(clusters) < max_clusters:
+            clusters.append([h])
+    return clusters
+
+
+def provean_scores(
+    wild_type: str,
+    mutated_sequences: Sequence[str],
+    clusters: Sequence[Sequence[str]],
+    gap_open: float = 10.0,
+    gap_extend: float = 1.0,
+    max_per_cluster: int = 5,
+) -> np.ndarray:
+    """PROVEAN score per variant: average over clusters of the mean
+    delta = align(variant, s) - align(wt, s)."""
+    supporting: List[str] = []
+    cluster_of_list: List[int] = []
+    for ci, cl in enumerate(clusters):
+        for s in list(cl)[:max_per_cluster]:
+            supporting.append(s)
+            cluster_of_list.append(ci)
+    if not supporting:
+        return np.zeros(len(mutated_sequences))
+    cluster_of = np.asarray(cluster_of_list)
+    n_cl = int(cluster_of.max()) + 1
+    n_sup = len(supporting)
+
+    # wild-type baseline per supporting sequence
+    wt_scores = align_scores(
+        [wild_type] * n_sup, supporting, gap_open, gap_extend
+    )
+
+    # bucket variants by length (substitutions share the wt length;
+    # indels form their own buckets) and score every (variant, support)
+    # pair of a bucket in ONE device dispatch
+    out = np.zeros(len(mutated_sequences))
+    by_len: Dict[int, List[int]] = {}
+    for i, s in enumerate(mutated_sequences):
+        by_len.setdefault(len(s), []).append(i)
+    for L, idxs in by_len.items():
+        queries = [mutated_sequences[i] for i in idxs for _ in range(n_sup)]
+        subjects = supporting * len(idxs)
+        v_scores = align_scores(
+            queries, subjects, gap_open, gap_extend
+        ).reshape(len(idxs), n_sup)
+        delta = v_scores - wt_scores[None, :]
+        per_cluster = np.zeros((len(idxs), n_cl))
+        for ci in range(n_cl):
+            sel = cluster_of == ci
+            per_cluster[:, ci] = delta[:, sel].mean(1)
+        out[np.asarray(idxs)] = per_cluster.mean(1)
+    return out

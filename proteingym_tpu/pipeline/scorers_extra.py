@@ -780,3 +780,54 @@ def score_prosst(ctx: ScoreContext) -> pd.DataFrame:
         ctx.dms_frame["mutant"].tolist(),
     )
     return _with_column(ctx, f"{config.name}_score", scores)
+
+
+@register_scorer("provean")
+def score_provean(ctx: ScoreContext) -> pd.DataFrame:
+    """PROVEAN delta alignment scores (the external tool's column in the
+    DMS/indels + clinical lists; models/provean.py banner documents the
+    BLAST/CD-HIT -> MSA-clustering adaptation). Indel-capable."""
+    from proteingym_tpu.models import provean
+
+    msa = ctx.load_msa()
+    wt = ctx.record.target_seq
+    clusters = provean.cluster_supporting_set(
+        wt, msa.sequences(),
+        max_clusters=int(ctx.extra.get("max_clusters", 30)),
+        max_candidates=int(ctx.extra.get("max_candidates", 200)),
+    )
+    seqs = ctx.dms_frame.get(
+        "mutated_sequence", ctx.dms_frame["mutant"]
+    ).tolist()
+    scores = provean.provean_scores(
+        wt, seqs, clusters,
+        max_per_cluster=int(ctx.extra.get("max_per_cluster", 5)),
+    )
+    return _with_column(ctx, "Provean_score", scores)
+
+
+@register_scorer("wavenet")
+def score_wavenet(ctx: ScoreContext) -> pd.DataFrame:
+    """Wavenet / SeqDesign causal-CNN AR model, trained on the assay MSA
+    then scoring variants by AR log-likelihood (indel-capable;
+    models/wavenet.py)."""
+    import jax
+
+    from proteingym_tpu.models import wavenet
+
+    msa = ctx.load_msa()
+    c = wavenet.WavenetConfig(
+        steps=int(ctx.extra.get("steps", 400)),
+        num_layers=int(ctx.extra.get("num_layers", 12)),
+    )
+    params = wavenet.init_params(jax.random.PRNGKey(0), c)
+    params, _ = wavenet.train(
+        params, c, msa.sequences(), weights=msa.weights,
+        seed=int(ctx.extra.get("seed", 0)),
+    )
+    seqs = ctx.dms_frame.get(
+        "mutated_sequence", ctx.dms_frame["mutant"]
+    ).tolist()
+    scores = wavenet.score_sequences(params, c, seqs,
+                                     batch=ctx.batch_size)
+    return _with_column(ctx, "Wavenet_score", scores)
