@@ -451,6 +451,16 @@ def convert_hf_esm_state_dict(state_dict, config: EsmConfig,
             "bias": get("lm_head.bias"),
         },
     }
+    if "lm_head.decoder.weight" in state_dict:
+        # our head reuses embed_tokens (the published ESM2/MULAN releases
+        # tie them); an untied fine-tune would silently mis-score otherwise
+        dec = np.asarray(get("lm_head.decoder.weight"))
+        emb = np.asarray(params["embed_tokens"])
+        if not np.allclose(dec, emb, atol=1e-6):
+            raise ValueError(
+                "HF checkpoint has an untied lm_head.decoder.weight; this "
+                "converter assumes weight tying with word_embeddings"
+            )
     if not config.use_rotary:
         params["embed_positions"] = get(
             f"{prefix}embeddings.position_embeddings.weight"

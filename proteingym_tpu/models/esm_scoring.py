@@ -78,6 +78,19 @@ def _cached_jit(fn, kind: str):
             rows = rows.at[jnp.arange(chunk_), offs].set(mask_val)
             return row_log_softmax_gather(fn(p, rows), offs)
 
+    elif kind == "step_build_logits_params":
+        # like step_build_params but returns the RAW logits row at each
+        # masked offset (consumers that need non-default softmax
+        # temperatures, e.g. the AIDO scorer, renormalize themselves)
+
+        @jax.jit
+        def wrapped(p, toks1d, offs, mask_val):
+            chunk_ = offs.shape[0]
+            rows = jnp.broadcast_to(toks1d, (chunk_, toks1d.shape[0]))
+            rows = rows.at[jnp.arange(chunk_), offs].set(mask_val)
+            logits = fn(p, rows)
+            return logits[jnp.arange(chunk_), offs]
+
     elif kind.startswith("step_window_params:"):
         # long-sequence optimal-window path: each masked position i lives in
         # its own window [start_i, start_i + window). Rows are CUT ON DEVICE

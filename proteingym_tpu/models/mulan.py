@@ -150,8 +150,6 @@ def backbone_angle_features(coords: np.ndarray) -> np.ndarray:
     """phi/psi from the backbone (chi1-5 need side-chain atoms our PDB
     parser doesn't keep; they stay at the reference's NaN fill). The
     reference computes all 7 via biopython internal coords."""
-    from proteingym_tpu.ops.gvp import backbone_node_features
-
     n, ca, cc = coords[:, 0], coords[:, 1], coords[:, 2]
 
     def dihedral(p0, p1, p2, p3):

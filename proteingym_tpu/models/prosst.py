@@ -504,12 +504,12 @@ def venusrem_score_assay_real(
     logits = prosst_apply(params, c, jnp.asarray(tokens), jnp.asarray(ss))
     logp = np.array(jax.nn.log_softmax(logits[0, 1:-1], -1))
 
-    if struct_alignment:
+    if struct_alignment and struct_alignment[1]:
         headers, seqs = struct_alignment
         cm = alignment_count_log_softmax(seqs, c.vocab_size)
         n = min(len(cm), len(logp))
         logp[:n] = (1 - alpha) * logp[:n] + alpha * cm[:n]
-    if aa_alignment:
+    if aa_alignment and aa_alignment[1]:
         headers, seqs = aa_alignment
         cm = alignment_count_log_softmax(seqs, c.vocab_size)
         start, end = parse_alignment_range(headers[0], len(cm))

@@ -176,11 +176,15 @@ def cluster_supporting_set(
                                            replace=False)]
 
     def ident(a, b):
-        n = min(len(a), len(b))
-        if n == 0:
-            return 0.0
-        same = sum(1 for x, y in zip(a[:n], b[:n]) if x == y)
-        return same / max(len(a), len(b))
+        """3-mer Jaccard similarity — indel-robust (position-wise identity
+        collapses to ~0 after a single early indel; CD-HIT's own candidate
+        filter is k-mer based)."""
+        if len(a) < 3 or len(b) < 3:
+            return float(a == b)
+        ka = {a[i : i + 3] for i in range(len(a) - 2)}
+        kb = {b[i : i + 3] for i in range(len(b) - 2)}
+        inter = len(ka & kb)
+        return inter / max(len(ka | kb), 1)
 
     uniq.sort(key=lambda h: -ident(query, h))
     clusters: List[List[str]] = []
@@ -230,16 +234,20 @@ def provean_scores(
     by_len: Dict[int, List[int]] = {}
     for i, s in enumerate(mutated_sequences):
         by_len.setdefault(len(s), []).append(i)
+    variant_chunk = max(1, 8192 // max(n_sup, 1))
     for L, idxs in by_len.items():
-        queries = [mutated_sequences[i] for i in idxs for _ in range(n_sup)]
-        subjects = supporting * len(idxs)
-        v_scores = align_scores(
-            queries, subjects, gap_open, gap_extend
-        ).reshape(len(idxs), n_sup)
-        delta = v_scores - wt_scores[None, :]
-        per_cluster = np.zeros((len(idxs), n_cl))
-        for ci in range(n_cl):
-            sel = cluster_of == ci
-            per_cluster[:, ci] = delta[:, sel].mean(1)
-        out[np.asarray(idxs)] = per_cluster.mean(1)
+        for s0 in range(0, len(idxs), variant_chunk):
+            part = idxs[s0 : s0 + variant_chunk]
+            queries = [mutated_sequences[i] for i in part
+                       for _ in range(n_sup)]
+            subjects = supporting * len(part)
+            v_scores = align_scores(
+                queries, subjects, gap_open, gap_extend
+            ).reshape(len(part), n_sup)
+            delta = v_scores - wt_scores[None, :]
+            per_cluster = np.zeros((len(part), n_cl))
+            for ci in range(n_cl):
+                sel = cluster_of == ci
+                per_cluster[:, ci] = delta[:, sel].mean(1)
+            out[np.asarray(part)] = per_cluster.mean(1)
     return out

@@ -367,7 +367,9 @@ def _aido_raw_logits_table(params, c: AidoConfig, tokens: np.ndarray,
     from proteingym_tpu.models.esm_scoring import _cached_jit
 
     mask_idx = esm2.ALPHABET.mask_idx
-    fn = _cached_jit(stable_params_fn(aido_apply, c), "fwd_params")
+    step = _cached_jit(
+        stable_params_fn(aido_apply, c), "step_build_logits_params"
+    )
     T = len(tokens)
     V = c.alphabet_size
     table = np.zeros((T, V), np.float64)
@@ -381,19 +383,20 @@ def _aido_raw_logits_table(params, c: AidoConfig, tokens: np.ndarray,
             break
         starts.append(s)
         s += window
+    mask_val = jnp.asarray(mask_idx, np.int32)
     for f_start in starts:
         f_end = min(f_start + window, T)
-        base = tokens[f_start:f_end]
-        W = len(base)
-        positions = np.arange(W)
+        base = jnp.asarray(tokens[f_start:f_end])
+        W = f_end - f_start
         for blk in range(0, W, chunk):
-            idx = positions[blk : blk + chunk]
-            rows = np.tile(base[None], (chunk, 1))
+            idx = np.arange(blk, min(blk + chunk, W))
+            offs = np.zeros(chunk, np.int32)
+            offs[: len(idx)] = idx
+            logits = np.asarray(
+                step(params, base, jnp.asarray(offs), mask_val)
+            )
             for bi, p in enumerate(idx):
-                rows[bi, p] = mask_idx
-            logits = np.asarray(fn(params, jnp.asarray(rows)))
-            for bi, p in enumerate(idx):
-                table[f_start + p] += logits[bi, p]
+                table[f_start + p] += logits[bi]
                 counts[f_start + p] += 1
     return table / np.maximum(counts, 1)[:, None]
 

@@ -136,9 +136,10 @@ def train(
     """Weighted AR training on the family sequences (one lax.scan)."""
     import optax
 
-    rows = [encode(s.upper().replace("-", "").replace(".", ""))
-            for s in sequences]
-    rows = [r for r in rows if len(r) > 2]
+    all_rows = [encode(s.upper().replace("-", "").replace(".", ""))
+                for s in sequences]
+    keep = [i for i, r in enumerate(all_rows) if len(r) > 2]
+    rows = [all_rows[i] for i in keep]
     T = max(len(r) for r in rows)
     mat = np.zeros((len(rows), T), np.int32)
     mask = np.zeros((len(rows), T), np.float32)
@@ -146,7 +147,7 @@ def train(
         mat[i, : len(r)] = r
         mask[i, 1 : len(r)] = 1.0  # predict tokens 1..L (targets)
     w = np.ones(len(rows)) if weights is None else np.asarray(
-        weights, np.float64)[: len(rows)]
+        weights, np.float64)[keep]
     p_sample = w / w.sum()
 
     mat_j = jnp.asarray(mat)

@@ -453,10 +453,23 @@ def score_venusrem(ctx: ScoreContext) -> pd.DataFrame:
         coords = _load_structure(ctx)
         struct_tokens = structure_token_ids(coords, k_states)
     aa_aln = None
-    if ctx.msa_dir is not None and ctx.record.MSA_filename:
-        aln_path = Path(ctx.msa_dir) / ctx.record.MSA_filename
-        if aln_path.exists():
-            aa_aln = prosst_mod.read_alignment_fasta(aln_path)
+    aln_dir = ctx.extra.get("aa_seq_aln_dir")
+    if aln_dir:
+        # VenusREM-release alignment FASTAs (uniform-length, '>name/a-b'
+        # headers in target coordinates)
+        for stem in (ctx.record.DMS_id, ctx.record.UniProt_ID):
+            f = Path(aln_dir) / f"{stem}.fasta"
+            if f.exists():
+                aa_aln = prosst_mod.read_alignment_fasta(f)
+                break
+    elif ctx.msa_dir is not None and ctx.record.MSA_filename:
+        # assay a2m: use the PROCESSED focus-column rows (uniform length,
+        # aligned to the target) — raw a2m rows are ragged/lowercase and
+        # would corrupt the per-column counts
+        msa = ctx.load_msa()
+        fseqs = msa.sequences()
+        if fseqs and len(fseqs[0]) == len(seq):
+            aa_aln = ([f">msa/1-{len(seq)}"], fseqs)
     struct_aln = None
     saln_dir = ctx.extra.get("struc_seq_aln_dir")
     if saln_dir:

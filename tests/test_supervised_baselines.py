@@ -162,13 +162,8 @@ class TestProteinNpt:
         from proteingym_tpu.models.supervised_baselines import (
             run_supervised_baseline,
         )
-        from proteingym_tpu.models import protein_npt as npt_mod
 
         frame, target = self._toy_assay(n=60, L=12)
-        # shrink the config through the module default for test speed
-        import dataclasses as dc
-
-        orig = npt_mod.ProteinNptConfig
         results = run_supervised_baseline(
             frame.head(60), target, model="ProteinNPT",
             cv_schemes=("fold_random_5",),
