@@ -21,7 +21,11 @@ def parse_mutant(mutant: str, delim: str = ":") -> List[Tuple[str, int, str]]:
     """Parse ``A1P:D2N`` into ``[("A", 1, "P"), ("D", 2, "N")]``.
 
     Positions are returned exactly as written (typically 1-indexed).
+    Empty strings and the literal ``WT`` label parse to no mutations
+    (the reference's label_row treats such assay rows as wild-type).
     """
+    if not mutant or mutant.upper() == "WT":
+        return []
     out = []
     for token in mutant.split(delim):
         if len(token) < 3:
@@ -129,7 +133,8 @@ def mutations_to_arrays(
     (ref: esm/compute_fitness.py:240-250 label_row).
     """
     parsed = [parse_mutant(m, delim=delim) for m in mutants]
-    depth = max(len(p) for p in parsed) if parsed else 1
+    depth = max((len(p) for p in parsed), default=1)
+    depth = max(depth, 1)  # all-WT batches still need one (masked) slot
     if max_depth is not None:
         depth = max(depth, max_depth)
     n = len(parsed)

@@ -258,7 +258,10 @@ def _seq_ops(sd, prefix):
         bk = wk.replace("weight", "bias")
         b = np.asarray(sd[bk], np.float32) if bk in sd else None
         if w.ndim == 1:  # LayerNorm (+ activation after it)
-            ops.append({"ln": {"g": jnp.asarray(w), "b": jnp.asarray(b)}})
+            ln = {"g": jnp.asarray(w),
+                  "b": jnp.asarray(b) if b is not None
+                  else jnp.zeros_like(jnp.asarray(w))}
+            ops.append({"ln": ln})
         elif w.ndim == 3 and w.shape[-1] == 1:  # PositionFeedForward (1x1)
             p = {"w": jnp.asarray(w[..., 0].T)}
             if b is not None:
@@ -362,7 +365,12 @@ def apply_converted(params, c: CarpConfig, tokens: jnp.ndarray
     if "up" in params:
         x = x @ params["up"]["w"].astype(x.dtype) + params["up"].get(
             "b", 0.0)
-    for block, dilation in zip(params["blocks"], _dilation_schedule(c)):
+    # Schedule depth follows the CHECKPOINT's block count, not the preset's
+    # num_layers — a mismatched preset would otherwise silently truncate.
+    sched = _dilation_schedule(
+        dataclasses.replace(c, num_layers=len(params["blocks"]))
+    )
+    for block, dilation in zip(params["blocks"], sched):
         y = _run_ops(x, block["pre"])
         y = _dilated_conv(y, block["conv"], dilation)
         y = _run_ops(y, block["post"])

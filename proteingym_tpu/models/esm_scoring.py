@@ -401,6 +401,8 @@ def score_mutants_from_table(
     wt_tok = np.zeros((n, d), dtype=np.int32)
     mt_tok = np.zeros((n, d), dtype=np.int32)
     for i, m in enumerate(mutants):
+        if not m or m.upper() == "WT":
+            continue  # wild-type row: valid mask is already all-False -> 0
         for j, tok in enumerate(m.split(":")):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
             if sequence[pos] != wt:

@@ -300,6 +300,8 @@ def score_assay_prosst_real(
     logp = np.asarray(jax.nn.log_softmax(logits[0, 1:-1], -1))
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):
+        if not m or m.upper() == "WT":
+            continue
         for tok in m.split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
             if sequence[pos] != wt:
@@ -520,6 +522,8 @@ def venusrem_score_assay_real(
 
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):
+        if not m or m.upper() == "WT":
+            continue
         for tok in m.split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
             if sequence[pos] != wt:

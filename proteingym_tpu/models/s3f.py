@@ -541,6 +541,8 @@ def score_mutants_gvpgnn(
     idx = {a: i for i, a in enumerate(TD_RESIDUES)}
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):
+        if not m or m.upper() == "WT":
+            continue
         for tok in m.split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
             if sequence[pos] != wt:

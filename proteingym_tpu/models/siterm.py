@@ -66,6 +66,40 @@ def cherry_pairs(matrix: np.ndarray, max_pairs: Optional[int] = None
     return pairs
 
 
+def cherry_pairs_nj(matrix: np.ndarray, max_pairs: Optional[int] = None
+                    ) -> List[Tuple[int, int]]:
+    """Cherries from a native neighbor-joining tree with iterative pruning
+    (the FastCherries recipe: take every sibling-leaf pair, prune them,
+    repeat on the reduced tree — ref SiteRM/compute_fitness.py:19 runs
+    cherryml's FastCherries on a FastTree topology). Falls back to the
+    greedy min-Hamming pairing when the C++ library is unavailable.
+
+    Processing the NJ merges in creation order implements the pruning
+    bottom-up: each subtree carries at most one not-yet-paired leaf; when
+    two such leaves meet at a merge they form a cherry of the (pruned)
+    tree."""
+    from proteingym_tpu import native as native_mod
+
+    tree = native_mod.nj_tree(matrix)
+    if tree is None:
+        return cherry_pairs(matrix, max_pairs)
+    left, right, _, _ = tree
+    n = matrix.shape[0]
+    rep = np.full(2 * n - 1, -1, np.int64)
+    rep[:n] = np.arange(n)
+    pairs: List[Tuple[int, int]] = []
+    for k in range(n - 1):
+        a, b = int(left[k]), int(right[k])
+        ra, rb = rep[a], rep[b]
+        if ra >= 0 and rb >= 0:
+            pairs.append((int(ra), int(rb)))
+            if max_pairs and len(pairs) >= max_pairs:
+                return pairs
+        else:
+            rep[n + k] = ra if ra >= 0 else rb
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # F81-style per-site model
 # ---------------------------------------------------------------------------
@@ -161,6 +195,28 @@ def fit_site_rates(
     return np.asarray(jax.nn.softplus(run(raw, opt_state)))
 
 
+def _weighted_subsample(
+    matrix: np.ndarray,
+    weights: Optional[np.ndarray],
+    max_sequences: int,
+    seed: int,
+) -> np.ndarray:
+    """Weighted without-replacement row subsample (shared by both SiteRM
+    fitters). A tiny floor keeps zero-weight rows selectable so
+    ``replace=False`` stays feasible when fewer than ``max_sequences`` rows
+    have nonzero weight."""
+    if matrix.shape[0] <= max_sequences:
+        return matrix
+    rs = np.random.RandomState(seed)
+    p = None
+    if weights is not None:
+        w = np.asarray(weights, np.float64)
+        w = w + (w.sum() + 1.0) * 1e-12
+        p = w / w.sum()
+    idx = rs.choice(matrix.shape[0], max_sequences, replace=False, p=p)
+    return matrix[idx]
+
+
 def fit_siterm(
     matrix: np.ndarray,
     weights: Optional[np.ndarray] = None,
@@ -173,16 +229,8 @@ def fit_siterm(
     pairing runs on a (weighted) subsample of ``max_sequences`` rows — a
     100k-row MSA would otherwise build a 20+ GB similarity matrix."""
     pi = estimate_site_frequencies(matrix, weights)
-    pair_matrix = matrix
-    if matrix.shape[0] > max_sequences:
-        rs = np.random.RandomState(seed)
-        p = None
-        if weights is not None:
-            w = np.asarray(weights, np.float64)
-            p = w / w.sum()
-        idx = rs.choice(matrix.shape[0], max_sequences, replace=False, p=p)
-        pair_matrix = matrix[idx]
-    pairs = cherry_pairs(pair_matrix, max_pairs=max_pairs)
+    pair_matrix = _weighted_subsample(matrix, weights, max_sequences, seed)
+    pairs = cherry_pairs_nj(pair_matrix, max_pairs=max_pairs)
     mu = fit_site_rates(pair_matrix, pi, pairs, t=t)
     return SiteRmModel(pi=pi, mu=mu, t=t)
 
@@ -246,6 +294,23 @@ def read_rate_matrix(path) -> Tuple[np.ndarray, List[str]]:
         parts = line.split()
         rows.append([float(v) for v in parts[1:]])
     return np.asarray(rows, np.float64), states
+
+
+def reorder_rate_matrix(
+    Q: np.ndarray, states: Sequence[str], alphabet: str = ALPHABET21
+) -> np.ndarray:
+    """Permute a rate matrix from its file's state order into ``alphabet``
+    order. The reference's shipped lg_with_gaps.txt is in PAML order
+    (A R N D C Q E G H I L K M F P S T W Y V -), NOT alphabetical — using
+    its rows unpermuted would silently assign LG rates to the wrong
+    amino-acid pairs."""
+    states = list(states)
+    if sorted(states) != sorted(alphabet):
+        raise ValueError(
+            f"rate-matrix states {states} don't cover alphabet {alphabet!r}"
+        )
+    perm = np.asarray([states.index(a) for a in alphabet])
+    return Q[np.ix_(perm, perm)]
 
 
 def stationary_distribution(Q: np.ndarray) -> np.ndarray:
@@ -321,6 +386,9 @@ def _expm_sym_multi_jvp(primals, tangents):
 @dataclasses.dataclass
 class SiteRmGtrModel:
     rate_matrices: np.ndarray  # (L, q, q)
+    # Diagnostic only: the learned per-site Q absorbs the rate scale, so
+    # scoring uses expm(Q t) alone; these are the grid categories the
+    # alternation assigned (useful for inspecting conservation).
     site_rates: np.ndarray     # (L,)
     t: float = 1.0
     alphabet: str = ALPHABET21
@@ -347,17 +415,9 @@ def fit_site_rate_matrices(
         prior_Q = uniform_prior(q)
     prior_pi = stationary_distribution(prior_Q)
 
-    # ---- cherries on a subsample (O(N^2 L) similarity)
-    pair_matrix = matrix
-    if matrix.shape[0] > max_sequences:
-        rs = np.random.RandomState(seed)
-        p = None
-        if weights is not None:
-            w = np.asarray(weights, np.float64)
-            p = w / w.sum()
-        idx = rs.choice(matrix.shape[0], max_sequences, replace=False, p=p)
-        pair_matrix = matrix[idx]
-    pairs = cherry_pairs(pair_matrix, max_pairs=max_pairs)
+    # ---- cherries on a subsample (O(N^2 L) distances + O(N^3) NJ)
+    pair_matrix = _weighted_subsample(matrix, weights, max_sequences, seed)
+    pairs = cherry_pairs_nj(pair_matrix, max_pairs=max_pairs)
     if not pairs:
         raise ValueError("need >= 2 sequences to extract cherries")
     L = matrix.shape[1]
@@ -373,21 +433,35 @@ def fit_site_rate_matrices(
     rates = np.geomspace(1.0 / 8, 8.0, num_rate_categories)
 
     prior_P = _prior_transition_table(prior_Q, rates, taus)  # (R, T, q, q)
-    logP = np.log(prior_P)
+    logP = np.log(prior_P).astype(np.float32)
+    T_n, R_n = len(taus), len(rates)
 
     # ---- alternate: cherry times (rate=1 slice) -> site rates -> times
+    # Chunked over sites/pairs: materializing the full (P, L, T) gather at
+    # typical assay sizes (P~1024, L~1000, T=129) would be >0.5 GB.
     mid_rate = np.argmin(np.abs(np.log(rates)))  # category closest to 1
     site_rate_idx = np.full(L, mid_rate)
+    site_chunk = max(1, (1 << 24) // max(P_n * T_n, 1))
+    pair_chunk = max(1, (1 << 24) // max(R_n * L, 1))
     for _ in range(2):
         # cherry times: argmax_tau sum_i log P[r_i, tau, X[p,i], Y[p,i]]
-        lp = logP[site_rate_idx]                          # (L, T, q, q)
-        per_site = lp[np.arange(L)[None, :], :, X, Y]     # (P, L, T)
-        cherry_ll = per_site.sum(1)                       # (P, T)
+        cherry_ll = np.zeros((P_n, T_n), np.float32)
+        for s0 in range(0, L, site_chunk):
+            sl = slice(s0, min(s0 + site_chunk, L))
+            lp = logP[site_rate_idx[sl]]                  # (Ls, T, q, q)
+            n_s = lp.shape[0]
+            per = lp[np.arange(n_s)[None, :], :, X[:, sl], Y[:, sl]]
+            cherry_ll += per.sum(1)                       # (P, T)
         time_idx = cherry_ll.argmax(1)                    # (P,)
         # site rates: argmax_r sum_p log P[r, tau_p, X, Y]
-        lp_t = logP[:, time_idx]                          # (R, P, q, q)
-        per_rate = lp_t[:, np.arange(P_n)[:, None], X, Y]  # (R, P, L)
-        site_rate_idx = per_rate.sum(1).argmax(0)         # (L,)
+        rate_ll = np.zeros((R_n, L), np.float32)
+        for p0 in range(0, P_n, pair_chunk):
+            pl = slice(p0, min(p0 + pair_chunk, P_n))
+            lp_t = logP[:, time_idx[pl]]                  # (R, Pc, q, q)
+            n_p = lp_t.shape[1]
+            per = lp_t[:, np.arange(n_p)[:, None], X[pl], Y[pl]]
+            rate_ll += per.sum(1)                         # (R, L)
+        site_rate_idx = rate_ll.argmax(0)                 # (L,)
 
     used = np.unique(time_idx)
     G = len(used)
@@ -406,8 +480,8 @@ def fit_site_rate_matrices(
     n_per_bucket = counts.sum((2, 3))                      # (L, G)
     prior_joint = (
         prior_pi[None, None, :, None]
-        * prior_P[site_rate_idx][:, used]                  # (L, G, q, q)
-    )
+        * prior_P[site_rate_idx[:, None], used[None, :]]   # (L, G, q, q)
+    ).astype(np.float32)
     lam = regularization_strength
     counts = (1 - lam) * counts + lam * (
         n_per_bucket[..., None, None] * prior_joint
@@ -505,8 +579,6 @@ def score_from_rate_matrices(
     from jax.scipy.linalg import expm
 
     p = np.asarray(jax.vmap(expm)(jnp.asarray(rate_matrices * t)))
-    model = SiteRmModel(pi=np.zeros(p.shape[:2]), mu=np.zeros(p.shape[0]),
-                        t=t, alphabet=alphabet)
     logp = np.log(np.maximum(p, 1e-30))
     aa_idx = {a: i for i, a in enumerate(alphabet)}
     out = np.zeros(len(mutants))

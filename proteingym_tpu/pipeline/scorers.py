@@ -297,7 +297,11 @@ def score_siterm(ctx: ScoreContext) -> pd.DataFrame:
         prior_path = ctx.extra.get("prior_matrix")
         prior_Q = None
         if prior_path:
-            prior_Q, _states = siterm_mod.read_rate_matrix(prior_path)
+            prior_Q, states = siterm_mod.read_rate_matrix(prior_path)
+            # Shipped matrices (e.g. lg_with_gaps.txt) are in PAML state
+            # order, not ALPHABET21 order — permute or the LG rates land
+            # on the wrong amino-acid pairs.
+            prior_Q = siterm_mod.reorder_rate_matrix(prior_Q, states)
         mp = ctx.extra.get("max_pairs")
         gtr = siterm_mod.fit_site_rate_matrices(
             msa.matrix, msa.weights, prior_Q=prior_Q,
@@ -328,6 +332,12 @@ def _score_focus_model(ctx: ScoreContext, msa, score_fn, mutants,
     remapped, valid = [], []
     for m in mutants:
         try:
+            if not m or str(m).upper() == "WT":
+                # Literal wild-type rows score 0 (the reference's label_row
+                # handling), not NaN-unmappable.
+                remapped.append("")
+                valid.append(True)
+                continue
             toks = []
             for f, pos, t in parse_mutant(m):
                 fi = col_to_focus[pos - msa_start]

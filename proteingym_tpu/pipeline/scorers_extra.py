@@ -10,6 +10,7 @@ contract (see pipeline/scorers.py).
 from __future__ import annotations
 
 import dataclasses
+import os
 from pathlib import Path
 
 import numpy as np
@@ -106,16 +107,26 @@ def score_esm3(ctx: ScoreContext) -> pd.DataFrame:
             coords = None
     if coords is not None:
         if sc_spec:
-            from proteingym_tpu.pipeline.scorers import (
-                resolve_zoo_checkpoint as _r,
-            )
-
-            sc, struct_params = _r(
+            sc, struct_params = resolve_zoo_checkpoint(
                 sc_spec, esm3.STRUCTURE_ENCODER_PRESETS,
                 "esm3_structure_encoder",
                 esm3.structure_encoder_init, esm3.StructureEncoderConfig,
             )
+        elif ctx.checkpoint and os.path.exists(str(ctx.checkpoint)):
+            # A real converted trunk with a RANDOM structure tokenizer would
+            # feed noise codes into the structure track — worse than the
+            # sequence-only path. Degrade to coords=None instead.
+            import warnings
+
+            warnings.warn(
+                "esm3: --structure-dir given without --extra "
+                "structure_checkpoint=; scoring sequence-only (random "
+                "structure-VQ codes would degrade a converted trunk)"
+            )
+            coords = None
         else:
+            # Smoke mode (random trunk): a random structure encoder is the
+            # matching companion and keeps the structure path exercised.
             struct_params = esm3.structure_encoder_init(
                 jax.random.PRNGKey(0), sc
             )
@@ -725,6 +736,8 @@ def score_s3f(ctx: ScoreContext) -> pd.DataFrame:
             aa_idx = {a: i for i, a in enumerate("ACDEFGHIKLMNPQRSTVWY")}
             extra = np.zeros(len(scores))
             for i, m in enumerate(ctx.dms_frame["mutant"].tolist()):
+                if not m or m.upper() == "WT":
+                    continue
                 for tok in m.split(":"):
                     wt, p, mt = tok[0], int(tok[1:-1]) - 1, tok[-1]
                     extra[i] += prior[p, aa_idx[mt]] - prior[p, aa_idx[wt]]

@@ -117,6 +117,19 @@ class TestProSSTStructureStream:
                 params, c, SEQ, [1, 2, 3], ["M1A"]
             )
 
+    def test_wt_rows_score_zero(self):
+        """Assays with a literal 'WT' row score it 0 instead of crashing
+        (the reference label handling treats such rows as wild-type)."""
+        import jax
+
+        c = prosst.PROSST_PRESETS["prosst_tiny"]
+        params = prosst.prosst_init_params(jax.random.PRNGKey(0), c)
+        ss = np.zeros(len(SEQ), np.int64)
+        s = prosst.score_assay_prosst_real(
+            params, c, SEQ, ss, ["WT", "", f"{SEQ[2]}3A"]
+        )
+        assert s[0] == 0.0 and s[1] == 0.0 and s[2] != 0.0
+
 
 class TestVenusRemReal:
     def test_alignment_count_log_softmax(self):

@@ -113,6 +113,13 @@ class TestS2fParity:
             exp.append(logp[p, idx[mt]] - logp[p, idx[wt]])
         np.testing.assert_allclose(got, exp, atol=1e-5, rtol=1e-5)
 
+        # WT/empty rows score 0 (ref label_row handles row.lower()=='wt')
+        wt_scores = ours.score_mutants_gvpgnn(
+            logits, esm20, plddt, seq, ["WT", ""] + muts
+        )
+        assert wt_scores[0] == 0.0 and wt_scores[1] == 0.0
+        np.testing.assert_allclose(wt_scores[2:], got)
+
 
 @requires_reference
 class TestS3fSurfaceParity:

@@ -195,11 +195,28 @@ class TestSiteRmGtr:
             pytest.skip("reference LG file unavailable")
         Q, states = siterm.read_rate_matrix(lg)
         assert len(states) == 21 and states[-1] == "-"
-        np.testing.assert_allclose(Q.sum(1), 0.0, atol=1e-5)
-        pi = siterm.stationary_distribution(Q)
+        # The shipped file is in PAML order (A R N D C ...), NOT ALPHABET21
+        # order — the scorer must permute before use.
+        assert states[:5] == list("ARNDC")
+        Qr = siterm.reorder_rate_matrix(Q, states)
+        np.testing.assert_allclose(Qr.sum(1), 0.0, atol=1e-5)
+        # spot-check the permutation: Q_reordered[a, b] == Q[file_a, file_b]
+        for a, b in [("A", "R"), ("W", "-"), ("C", "C")]:
+            ia, ib = siterm.ALPHABET21.index(a), siterm.ALPHABET21.index(b)
+            assert Qr[ia, ib] == Q[states.index(a), states.index(b)]
+        pi = siterm.stationary_distribution(Qr)
         assert (pi > 0).all()
-        model, _, _ = self._fit(prior_Q=Q)
+        model, _, _ = self._fit(prior_Q=Qr)
         assert np.isfinite(model.rate_matrices).all()
+
+    def test_reorder_rate_matrix_rejects_bad_states(self):
+        Q = siterm.uniform_prior(21)
+        with pytest.raises(ValueError):
+            siterm.reorder_rate_matrix(Q, list(siterm.ALPHABET21[:-1]) + ["B"])
+        # identity when already in ALPHABET21 order
+        np.testing.assert_array_equal(
+            siterm.reorder_rate_matrix(Q, list(siterm.ALPHABET21)), Q
+        )
 
     def test_regularization_pulls_toward_prior(self):
         """Full regularization reproduces prior-like matrices regardless of
