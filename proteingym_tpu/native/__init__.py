@@ -209,3 +209,38 @@ def hmm_forward(
         *args, L, insert_open, insert_extend, out,
     )
     return out
+
+
+def nj_tree(
+    matrix: np.ndarray,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Neighbor-joining merge tree over MSA rows (C++; FastTree stand-in,
+    SURVEY.md §2.3). Returns ``(left, right, left_len, right_len)`` arrays
+    of length n-1 — internal node ``n + k`` has children ``left[k]`` /
+    ``right[k]`` — or None when the native library is unavailable."""
+    matrix = np.ascontiguousarray(matrix, dtype=np.int8)
+    n = matrix.shape[0]
+    if n < 2:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_nj_declared"):
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.pgym_nj_tree.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p, f64p,
+        ]
+        lib.pgym_nj_tree.restype = ctypes.c_int64
+        lib._nj_declared = True
+    left = np.zeros(n - 1, np.int32)
+    right = np.zeros(n - 1, np.int32)
+    left_len = np.zeros(n - 1, np.float64)
+    right_len = np.zeros(n - 1, np.float64)
+    k = lib.pgym_nj_tree(
+        matrix, n, matrix.shape[1], left, right, left_len, right_len
+    )
+    if k != n - 1:
+        return None
+    return left, right, left_len, right_len

@@ -201,6 +201,142 @@ int64_t pgym_affine_align(const int8_t* a, int64_t la, const int8_t* b,
     return alen;
 }
 
+// ---------------------------------------------------------------------------
+// neighbor-joining tree (FastTree/FastCherries replacement, SURVEY.md §2.3)
+// ---------------------------------------------------------------------------
+
+// Classic Saitou-Nei neighbor joining over the MSA rows, with distance
+// d(i,j) = 1 - matches/min(nongap_i, nongap_j) (the same normalized
+// identity every other kernel here uses). The reference's SiteRM runs
+// cherryml's FastCherries on a FastTree topology (ref
+// SiteRM/compute_fitness.py:19); this native builder supplies the tree so
+// cherry extraction can follow topology instead of greedy pairing.
+//
+// Output is the rooted merge sequence: internal node (n + k) has children
+// left[k], right[k] (node ids < n are leaves) with NJ branch lengths
+// (clamped >= 0). The final merge joins the last two active nodes, so the
+// arrays hold exactly n - 1 merges. Returns n - 1, or -1 on bad input.
+// O(N^3) argmin scans, OpenMP-parallel over rows.
+int64_t pgym_nj_tree(const int8_t* matrix, int64_t n, int64_t L,
+                     int32_t* left, int32_t* right,
+                     double* left_len, double* right_len) {
+    if (n < 2) return -1;
+    const int64_t tot = 2 * n - 1;
+    std::vector<double> d(tot * tot, 0.0);
+    std::vector<int64_t> nongap(n);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t c = 0;
+        const int8_t* row = matrix + i * L;
+        for (int64_t k = 0; k < L; ++k) c += (row[k] != 0);
+        nongap[i] = c;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        const int8_t* ri = matrix + i * L;
+        for (int64_t j = i + 1; j < n; ++j) {
+            const int8_t* rj = matrix + j * L;
+            int64_t m = 0;
+            for (int64_t k = 0; k < L; ++k)
+                m += (ri[k] != 0) & (ri[k] == rj[k]);
+            const int64_t den = std::min(nongap[i], nongap[j]);
+            const double dist =
+                den > 0 ? 1.0 - static_cast<double>(m) / den : 1.0;
+            d[i * tot + j] = dist;
+            d[j * tot + i] = dist;
+        }
+    }
+
+    std::vector<int32_t> active(n);
+    for (int64_t i = 0; i < n; ++i) active[i] = static_cast<int32_t>(i);
+    std::vector<double> r(tot, 0.0);
+    for (int64_t i = 0; i < n; ++i) {
+        double s = 0.0;
+        for (int64_t j = 0; j < n; ++j) s += d[i * tot + j];
+        r[i] = s;
+    }
+
+    int64_t next_id = n, merge = 0;
+    while (static_cast<int64_t>(active.size()) > 2) {
+        const int64_t m = static_cast<int64_t>(active.size());
+        // argmin of Q(a,b) = (m-2) d(a,b) - r_a - r_b over active pairs
+        double best_q = 1e300;
+        int64_t best_ai = -1, best_bi = -1;
+#ifdef _OPENMP
+#pragma omp parallel
+        {
+            double tq = 1e300;
+            int64_t tai = -1, tbi = -1;
+#pragma omp for schedule(dynamic, 8) nowait
+            for (int64_t ai = 0; ai < m; ++ai) {
+                const int64_t a = active[ai];
+                const double ra = r[a];
+                for (int64_t bi = ai + 1; bi < m; ++bi) {
+                    const int64_t b = active[bi];
+                    const double q = (m - 2) * d[a * tot + b] - ra - r[b];
+                    if (q < tq) { tq = q; tai = ai; tbi = bi; }
+                }
+            }
+#pragma omp critical
+            {
+                if (tq < best_q ||
+                    (tq == best_q &&
+                     (tai < best_ai ||
+                      (tai == best_ai && tbi < best_bi)))) {
+                    best_q = tq; best_ai = tai; best_bi = tbi;
+                }
+            }
+        }
+#else
+        for (int64_t ai = 0; ai < m; ++ai) {
+            const int64_t a = active[ai];
+            for (int64_t bi = ai + 1; bi < m; ++bi) {
+                const int64_t b = active[bi];
+                const double q = (m - 2) * d[a * tot + b] - r[a] - r[b];
+                if (q < best_q) { best_q = q; best_ai = ai; best_bi = bi; }
+            }
+        }
+#endif
+        const int64_t a = active[best_ai], b = active[best_bi];
+        const double dab = d[a * tot + b];
+        double la = 0.5 * dab + (r[a] - r[b]) / (2.0 * (m - 2));
+        double lb = dab - la;
+        if (la < 0.0) la = 0.0;
+        if (lb < 0.0) lb = 0.0;
+        const int64_t u = next_id++;
+        left[merge] = static_cast<int32_t>(a);
+        right[merge] = static_cast<int32_t>(b);
+        left_len[merge] = la;
+        right_len[merge] = lb;
+        ++merge;
+        // distances to the new node + incremental row sums
+        double ru = 0.0;
+        for (int64_t ki = 0; ki < m; ++ki) {
+            const int64_t k = active[ki];
+            if (k == a || k == b) continue;
+            const double duk =
+                0.5 * (d[a * tot + k] + d[b * tot + k] - dab);
+            d[u * tot + k] = duk;
+            d[k * tot + u] = duk;
+            r[k] += duk - d[a * tot + k] - d[b * tot + k];
+            ru += duk;
+        }
+        r[u] = ru;
+        // replace a with u, drop b (erase larger index first)
+        active[best_ai] = static_cast<int32_t>(u);
+        active.erase(active.begin() + best_bi);
+    }
+    // root: join the final two
+    const int64_t a = active[0], b = active[1];
+    left[merge] = static_cast<int32_t>(a);
+    right[merge] = static_cast<int32_t>(b);
+    left_len[merge] = 0.5 * d[a * tot + b];
+    right_len[merge] = 0.5 * d[a * tot + b];
+    ++merge;
+    return merge;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -127,3 +127,75 @@ class TestHmmForward:
             toks[i, : len(s)] = [idx[c] for c in s]
         cpp = native.hmm_forward(toks, hmm.log_e_match, hmm.log_bg, hmm.log_a)
         np.testing.assert_allclose(cpp, jax_scores, rtol=1e-5)
+
+
+class TestNjTree:
+    def test_two_families_pair_within(self):
+        """NJ cherries join sequences from the same family, never across."""
+        rs = np.random.RandomState(0)
+        L = 40
+        fam_a = rs.randint(1, 21, L).astype(np.int8)
+        fam_b = rs.randint(1, 21, L).astype(np.int8)
+        rows = []
+        for base in (fam_a, fam_b):
+            for _ in range(6):
+                r = base.copy()
+                idx = rs.choice(L, 4, replace=False)
+                r[idx] = rs.randint(1, 21, 4)
+                rows.append(r)
+        mat = np.stack(rows)  # rows 0-5 family A, 6-11 family B
+        tree = native.nj_tree(mat)
+        assert tree is not None
+        left, right, ll, rl = tree
+        assert len(left) == mat.shape[0] - 1
+        assert (ll >= 0).all() and (rl >= 0).all()
+
+        from proteingym_tpu.models import siterm
+
+        pairs = siterm.cherry_pairs_nj(mat)
+        assert pairs
+        seen = set()
+        for i, j in pairs:
+            assert i not in seen and j not in seen  # disjoint pairing
+            seen.update((i, j))
+            assert (i < 6) == (j < 6), (i, j)  # same family
+
+    def test_merge_tree_is_well_formed(self):
+        rs = np.random.RandomState(1)
+        mat = _random_msa(rs, n=15, L=25)
+        left, right, _, _ = native.nj_tree(mat)
+        n = mat.shape[0]
+        used = np.zeros(2 * n - 1, bool)
+        for k in range(n - 1):
+            a, b = int(left[k]), int(right[k])
+            # children exist before this merge and are consumed exactly once
+            assert a < n + k and b < n + k and a != b
+            assert not used[a] and not used[b]
+            used[a] = used[b] = True
+        # every node except the root is consumed
+        assert used[: 2 * n - 2].all() and not used[2 * n - 2]
+
+    def test_recovers_additive_quartet(self):
+        """Classic quartet: ((A,B),(C,D)) — NJ must join the two close
+        pairs as cherries before the root."""
+        # sequences: A,B differ in 2 positions; C,D differ in 2; the
+        # groups differ everywhere else
+        L = 30
+        base = np.ones(L, np.int8)
+        A = base.copy()
+        B = base.copy(); B[:2] = 2
+        other = np.full(L, 3, np.int8)
+        C = other.copy()
+        D = other.copy(); D[:2] = 4
+        mat = np.stack([A, C, B, D])  # interleave to avoid order luck
+        from proteingym_tpu.models import siterm
+
+        pairs = {frozenset(p) for p in siterm.cherry_pairs_nj(mat)}
+        assert frozenset((0, 2)) in pairs  # A with B
+        assert frozenset((1, 3)) in pairs  # C with D
+
+    def test_tiny_inputs(self):
+        assert native.nj_tree(np.ones((1, 5), np.int8)) is None
+        two = np.asarray([[1, 2, 3], [1, 2, 4]], np.int8)
+        left, right, ll, rl = native.nj_tree(two)
+        assert len(left) == 1 and {int(left[0]), int(right[0])} == {0, 1}
