@@ -145,8 +145,16 @@ def run_supervised_baseline(
     lam: float = 1.0,
     seed: int = 42,
     feature_fn: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
+    aux: Optional[np.ndarray] = None,
+    npt_config=None,
 ) -> Dict[str, pd.DataFrame]:
     """Train + out-of-fold predict one assay for every CV scheme.
+
+    ``aux`` is a per-variant zero-shot score vector: the 'Augmented'
+    supervised recipes (ProteinNPT-repo baselines, SURVEY.md §2.2
+    supervised note) append the standardized zero-shot prediction as one
+    extra ridge feature (label-free, so no CV leakage); ProteinNPT
+    consumes it as its auxiliary input token.
 
     Returns {cv_scheme: frame with mutant, y_pred, DMS_score} matching the
     supervised score-file contract.
@@ -155,6 +163,14 @@ def run_supervised_baseline(
     seqs = dms_frame.get("mutated_sequence", dms_frame["mutant"]).tolist()
     y = dms_frame["DMS_score"].to_numpy(np.float64)
     npt = model.lower() in ("proteinnpt", "protein_npt")
+    if aux is None and npt:
+        for col in ("zero_shot_score", "Tranception_score"):
+            if col in dms_frame.columns:
+                aux = dms_frame[col].to_numpy(np.float64)
+                break
+    if aux is not None:
+        aux = np.asarray(aux, np.float64)
+        aux = (aux - aux.mean()) / (aux.std() + 1e-8)
     if npt:
         from proteingym_tpu.models.protein_npt import residue_features
 
@@ -165,6 +181,11 @@ def run_supervised_baseline(
         features = onehot_features(seqs, len(target_seq))
     else:
         raise ValueError(f"Unknown baseline {model} without feature_fn")
+    if aux is not None and not npt:
+        features = np.concatenate(
+            [np.asarray(features, np.float32),
+             aux[:, None].astype(np.float32)], axis=1
+        )
 
     out = {}
     for scheme in cv_schemes:
@@ -175,13 +196,9 @@ def run_supervised_baseline(
         if npt:
             from proteingym_tpu.models.protein_npt import npt_cv_predict
 
-            aux = None
-            for col in ("zero_shot_score", "Tranception_score"):
-                if col in dms_frame.columns:
-                    aux = dms_frame[col].to_numpy(np.float64)
-                    aux = (aux - aux.mean()) / (aux.std() + 1e-8)
-                    break
-            preds = npt_cv_predict(features, y, folds, aux=aux, seed=seed)
+            preds = npt_cv_predict(
+                features, y, folds, c=npt_config, aux=aux, seed=seed
+            )
         else:
             preds = ridge_cv_predict(features, y, folds, lam=lam)
         out[scheme] = pd.DataFrame(

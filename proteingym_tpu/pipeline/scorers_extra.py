@@ -578,21 +578,87 @@ def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
 
 
 @register_scorer("ohe_ridge")
-def score_ohe_ridge(ctx: ScoreContext) -> pd.DataFrame:
-    """Supervised OHE ridge: writes per-CV-scheme out-of-fold predictions
-    (the ProteinNPT-repo baseline, SURVEY.md §2.2 supervised note)."""
+@register_scorer("embeddings_ridge")
+@register_scorer("proteinnpt")
+def score_supervised(ctx: ScoreContext) -> pd.DataFrame:
+    """Supervised baselines: per-CV-scheme out-of-fold predictions for the
+    full ProteinNPT-repo model list (SURVEY.md §2.2 supervised note):
+
+      - ``ohe_ridge``        OHE - Not augmented / OHE - Augmented - <X>
+      - ``embeddings_ridge`` Embeddings - Augmented - <X> (subs AND the
+                             three Embeddings_*_indels models — mean-pooled
+                             trunk embeddings are length-free)
+      - ``proteinnpt``       the axial-attention non-parametric transformer
+
+    The 'Augmented' variants take the zero-shot column via ``--extra
+    aug_col=<column in the assay frame>`` or ``--extra aug_file=<scores
+    csv>`` (+ optional ``aug_file_col=``; default: last non-key column),
+    joined on mutant. ``embeddings_ridge`` embeds mutated sequences with
+    the ESM2 trunk from ``--checkpoint`` (any converted ESM works)."""
+    import jax
+
+    from proteingym_tpu.models import esm2
     from proteingym_tpu.models.supervised_baselines import (
-        run_supervised_baseline,
+        esm_embedding_features, run_supervised_baseline,
     )
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
+
+    name = ctx.extra.get("_scorer_name", "ohe_ridge")
+    aux = None
+    aug_col = ctx.extra.get("aug_col")
+    aug_file = ctx.extra.get("aug_file")
+    if aug_col:
+        aux = ctx.dms_frame[aug_col].to_numpy(np.float64)
+    elif aug_file:
+        scores = pd.read_csv(aug_file)
+        col = ctx.extra.get("aug_file_col")
+        if not col:
+            keys = {"mutant", "mutated_sequence", "DMS_score"}
+            col = [c for c in scores.columns if c not in keys][-1]
+        joined = ctx.dms_frame[["mutant"]].merge(
+            scores[["mutant", col]].groupby("mutant", as_index=False).mean(),
+            on="mutant", how="left",
+        )
+        aux = joined[col].to_numpy(np.float64)
+        if np.isnan(aux).any():  # unscored variants: neutral after z-score
+            aux = np.where(np.isnan(aux), np.nanmean(aux), aux)
+
+    feature_fn = None
+    model = "OHE_ridge"
+    if name == "embeddings_ridge":
+        config, params = resolve_zoo_checkpoint(
+            ctx.checkpoint, esm2.PRESETS, "esm2_t6_8M", esm2.init_params,
+            esm2.EsmConfig,
+        )
+        model = "embeddings_ridge"
+        feature_fn = lambda seqs: esm_embedding_features(
+            params, config, seqs, batch_size=ctx.batch_size
+        )
+    npt_config = None
+    if name == "proteinnpt":
+        model = "ProteinNPT"
+        if "npt_steps" in ctx.extra:
+            from proteingym_tpu.models.protein_npt import ProteinNptConfig
+
+            npt_config = ProteinNptConfig(
+                steps=int(ctx.extra["npt_steps"]),
+                num_layers=int(ctx.extra.get("npt_layers", 2)),
+                embed_dim=int(ctx.extra.get("npt_dim", 48)),
+            )
 
     results = run_supervised_baseline(
-        ctx.dms_frame, ctx.record.target_seq,
+        ctx.dms_frame, ctx.record.target_seq, model=model,
         lam=float(ctx.extra.get("lam", 1.0)),
+        feature_fn=feature_fn, aux=aux, npt_config=npt_config,
     )
+    prefix = {"ohe_ridge": "OHE_ridge", "embeddings_ridge": "Emb_ridge",
+              "proteinnpt": "ProteinNPT"}[name]
+    if aux is not None and name != "proteinnpt":
+        prefix += "_aug"
     # flatten: one column per scheme appended to the assay frame
     out = ctx.dms_frame.copy()
     for scheme, frame in results.items():
-        out[f"OHE_ridge_{scheme}"] = frame["y_pred"].to_numpy()
+        out[f"{prefix}_{scheme}"] = frame["y_pred"].to_numpy()
     return out
 
 

@@ -88,6 +88,7 @@ FAST_EXTRA = {
     "unirep": ["hidden_dim=32", "embed_dim=8"],
     "protgpt2": ["num_layers=2", "embed_dim=64", "num_heads=4"],
     "progen3": ["tiny=1"],
+    "proteinnpt": ["npt_steps=30", "npt_dim=16", "npt_layers=1"],
 }
 NEEDS_STRUCTURE = {
     "protein_mpnn", "esm_if1", "saprot", "protssn", "mif", "mulan", "kermut",

@@ -171,3 +171,73 @@ class TestProteinNpt:
         out = results["fold_random_5"]
         assert {"mutant", "y_pred", "DMS_score"} <= set(out.columns)
         assert np.isfinite(out["y_pred"]).all()
+
+
+class TestAugmentedRidge:
+    """The 'Augmented' supervised recipes append a standardized zero-shot
+    score as an extra ridge feature (ProteinNPT-repo baselines)."""
+
+    def _uncorrelated_assay(self, rs, L=20):
+        """DMS_score carried ENTIRELY by the aux column: every (pos, AA)
+        one-hot cell is unique, so plain OHE ridge cannot generalize
+        out-of-fold while the augmented variant can."""
+        target = "".join(AA[i] for i in rs.randint(0, 20, L))
+        muts, seqs = [], []
+        for p in range(L):
+            m = AA[(AA.index(target[p]) + 1 + (p % 3)) % 20]
+            muts.append(f"{target[p]}{p + 1}{m}")
+            seqs.append(target[:p] + m + target[p + 1:])
+        y = rs.randn(len(muts))
+        frame = pd.DataFrame(
+            {"mutant": muts, "mutated_sequence": seqs, "DMS_score": y}
+        )
+        return target, frame
+
+    def test_aux_feature_rescues_unlearnable_ohe(self):
+        from scipy.stats import spearmanr
+
+        rs = np.random.RandomState(0)
+        target, frame = self._uncorrelated_assay(rs)
+        aux = frame["DMS_score"].to_numpy() + rs.normal(
+            0, 0.05, len(frame)
+        )
+        plain = sb.run_supervised_baseline(
+            frame, target, cv_schemes=("fold_random_5",)
+        )["fold_random_5"]
+        augd = sb.run_supervised_baseline(
+            frame, target, cv_schemes=("fold_random_5",), aux=aux
+        )["fold_random_5"]
+        rho_plain = spearmanr(plain["y_pred"], frame["DMS_score"]).correlation
+        rho_aug = spearmanr(augd["y_pred"], frame["DMS_score"]).correlation
+        assert rho_aug > 0.8, rho_aug
+        assert rho_aug > rho_plain + 0.3, (rho_aug, rho_plain)
+
+    def test_embeddings_ridge_runs_with_feature_fn(self):
+        """The Embeddings - Augmented recipe; also the indels supervised
+        models (mean-pooled embeddings need no fixed length)."""
+        from proteingym_tpu.models import esm2
+
+        rs = np.random.RandomState(1)
+        target, frame = self._uncorrelated_assay(rs, L=12)
+        # add an INDEL row: embeddings features accept ragged sequences
+        frame = pd.concat(
+            [frame, pd.DataFrame([{
+                "mutant": "del", "mutated_sequence": target[:-2],
+                "DMS_score": 0.0,
+            }])], ignore_index=True,
+        )
+        config = esm2.PRESETS["esm2_tiny"]
+        params = esm2.init_params(jax.random.PRNGKey(0), config)
+        feats = sb.esm_embedding_features(
+            params, config, frame["mutated_sequence"].tolist()
+        )
+        assert feats.shape == (len(frame), config.embed_dim)
+        out = sb.run_supervised_baseline(
+            frame, target, model="embeddings_ridge",
+            cv_schemes=("fold_random_5",),
+            feature_fn=lambda seqs: sb.esm_embedding_features(
+                params, config, seqs
+            ),
+            aux=frame["DMS_score"].to_numpy(),
+        )["fold_random_5"]
+        assert np.isfinite(out["y_pred"]).all()
