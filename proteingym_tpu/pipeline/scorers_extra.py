@@ -270,51 +270,76 @@ def score_protssn(ctx: ScoreContext) -> pd.DataFrame:
             name="protssn_tiny", input_dim=320, m_dim=32, n_layers=2,
         )
     }
-    config, params = resolve_zoo_checkpoint(
-        ctx.checkpoint, presets, "protssn_tiny",
-        protssn.init_egnn_params, protssn.ProtssnEgnnConfig,
-        # converted sidecars carry dims inferred from the checkpoint shapes;
-        # those must win over the (k, h) preset defaults
-        prefer_sidecar_fields=True,
-    )
+    # the published ProtSSN_ensemble column averages the 9 k x h members:
+    # --checkpoint and --extra norm_stats= accept comma-separated lists
+    # (one entry each per member; a single norm_stats applies to all)
+    specs = ([s.strip() for s in str(ctx.checkpoint).split(",")]
+             if ctx.checkpoint else [None])
+    stats_spec = ctx.extra.get("norm_stats")
+    stats_paths = ([s.strip() for s in str(stats_spec).split(",")]
+                   if stats_spec else [None])
+    if len(stats_paths) == 1:
+        stats_paths = stats_paths * len(specs)
+    if len(stats_paths) != len(specs):
+        raise ValueError(
+            f"{len(specs)} checkpoints but {len(stats_paths)} norm_stats"
+        )
+
     esm_params, esm_config = load_esm_checkpoint(
         ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
     )
-    if esm_config.embed_dim != config.input_dim:
-        if ctx.checkpoint is None or ctx.checkpoint in presets:
-            # random-init preset: shrink/grow the EGNN to the PLM width
-            config = dataclasses.replace(
-                config, input_dim=esm_config.embed_dim
-            )
-            params = protssn.init_egnn_params(jax.random.PRNGKey(0), config)
-        else:
-            raise ValueError(
-                f"PLM width {esm_config.embed_dim} != EGNN input_dim "
-                f"{config.input_dim} of the converted checkpoint"
-            )
     coords = _load_structure(ctx)
     emb = np.asarray(
         protssn.esm_embeddings(esm_params, esm_config,
                                ctx.record.target_seq)
     )
-    src, dst, edge_attr, pos = protssn.build_calpha_graph(
-        coords[:, :3], config.k_neighbors, config.cutoff, config.seq_dist_cut
-    )
-    stats_path = ctx.extra.get("norm_stats")
-    if stats_path:
-        stats = protssn.load_norm_stats(stats_path)
-    else:  # identity statistics: centering only (documented fallback)
-        stats = {
-            "pos_std": np.ones(3, np.float32),
-            "edge_attr_mean": np.zeros(93, np.float32),
-            "edge_attr_std": np.ones(93, np.float32) - 1e-10,
-        }
-    npos, nea = protssn.apply_norm_stats(pos, edge_attr, stats)
-    logp = protssn.egnn_log_probs(params, config, emb, npos, src, dst, nea)
-    scores = protssn.score_mutants_egnn(
-        logp, ctx.record.target_seq, ctx.dms_frame["mutant"].tolist()
-    )
-    return _with_column(ctx, "ProtSSN_score", scores)
+    muts = ctx.dms_frame["mutant"].tolist()
+    per_member = []
+    for spec, stats_path in zip(specs, stats_paths):
+        config, params = resolve_zoo_checkpoint(
+            spec, presets, "protssn_tiny",
+            protssn.init_egnn_params, protssn.ProtssnEgnnConfig,
+            # converted sidecars carry dims inferred from the checkpoint
+            # shapes; those must win over the (k, h) preset defaults
+            prefer_sidecar_fields=True,
+        )
+        if esm_config.embed_dim != config.input_dim:
+            if spec is None or spec in presets:
+                # random-init preset: shrink/grow the EGNN to the PLM width
+                config = dataclasses.replace(
+                    config, input_dim=esm_config.embed_dim
+                )
+                params = protssn.init_egnn_params(
+                    jax.random.PRNGKey(0), config
+                )
+            else:
+                raise ValueError(
+                    f"PLM width {esm_config.embed_dim} != EGNN input_dim "
+                    f"{config.input_dim} of the converted checkpoint"
+                )
+        # graph depends on the member's k_neighbors
+        src, dst, edge_attr, pos = protssn.build_calpha_graph(
+            coords[:, :3], config.k_neighbors, config.cutoff,
+            config.seq_dist_cut,
+        )
+        if stats_path:
+            stats = protssn.load_norm_stats(stats_path)
+        else:  # identity statistics: centering only (documented fallback)
+            stats = {
+                "pos_std": np.ones(3, np.float32),
+                "edge_attr_mean": np.zeros(93, np.float32),
+                "edge_attr_std": np.ones(93, np.float32) - 1e-10,
+            }
+        npos, nea = protssn.apply_norm_stats(pos, edge_attr, stats)
+        logp = protssn.egnn_log_probs(
+            params, config, emb, npos, src, dst, nea
+        )
+        per_member.append(
+            protssn.score_mutants_egnn(logp, ctx.record.target_seq, muts)
+        )
+    scores = np.mean(per_member, axis=0)
+    col = "ProtSSN_ensemble" if len(specs) > 1 else "ProtSSN_score"
+    return _with_column(ctx, col, scores)
 
 
 @register_scorer("mif_st")

@@ -129,3 +129,29 @@ def test_scorer_smoke(model, world):
                 if c not in ("mutant", "mutated_sequence", "DMS_score")]
     assert new_cols, f"{model}: no score column written"
     assert frame[new_cols[-1]].notna().any(), f"{model}: all-NaN scores"
+
+
+def test_protssn_ensemble_column(world):
+    """Comma-separated checkpoints produce the averaged ProtSSN_ensemble
+    column (the published 9-member recipe)."""
+    args = [
+        "score", "--model", "protssn",
+        "--dms-reference", str(world / "ref.csv"),
+        "--dms-dir", str(world / "dms"),
+        "--msa-dir", str(world / "msa"),
+        "--weights-dir", str(world / "w"),
+        "--structure-dir", str(world / "pdb"),
+        "--output-dir", str(world / "scores" / "protssn_ens"),
+        "--checkpoint", "protssn_tiny,protssn_tiny",
+        "--quiet", "--fail-fast", "--overwrite",
+    ]
+    assert main(args) == 0
+    frame = pd.read_csv(world / "scores" / "protssn_ens" / "Z.csv")
+    assert "ProtSSN_ensemble" in frame.columns
+    assert frame["ProtSSN_ensemble"].notna().any()
+    # identical members -> ensemble equals the single-member column
+    single = pd.read_csv(world / "scores" / "protssn" / "Z.csv")
+    if "ProtSSN_score" in single.columns:
+        np.testing.assert_allclose(
+            frame["ProtSSN_ensemble"], single["ProtSSN_score"], rtol=1e-6
+        )
