@@ -91,6 +91,46 @@ def _cached_jit(fn, kind: str):
             logits = fn(p, rows)
             return logits[jnp.arange(chunk_), offs]
 
+    elif kind == "table_build_params":
+        # whole-table variant of step_build_params: lax.map over the
+        # (n_chunks, chunk) offset grid INSIDE one jit -> one tunneled
+        # dispatch per table instead of n_chunks (the scan serializes on
+        # device with zero host round-trips). Recompiles are keyed on
+        # (T, n_chunks, chunk), both bounded by length bucketing.
+
+        @jax.jit
+        def wrapped(p, toks1d, offs2d, mask_val):
+            chunk_ = offs2d.shape[1]
+
+            def body(offs):
+                rows = jnp.broadcast_to(toks1d, (chunk_, toks1d.shape[0]))
+                rows = rows.at[jnp.arange(chunk_), offs].set(mask_val)
+                return row_log_softmax_gather(fn(p, rows), offs)
+
+            out = jax.lax.map(body, offs2d)       # (n_chunks, chunk, V)
+            return out.reshape(-1, out.shape[-1])
+
+    elif kind.startswith("table_window_params:"):
+        # whole-table variant of step_window_params (one dispatch for all
+        # optimal windows of a long sequence — 47 round-trips -> 1 at
+        # L=1500/window=1024)
+        window = int(kind.split(":", 1)[1])
+
+        @jax.jit
+        def wrapped(p, toks1d, starts2d, offs2d, mask_val):
+            def body(args):
+                starts, offs = args
+
+                def cut(start, off):
+                    row = jax.lax.dynamic_slice(toks1d, (start,), (window,))
+                    return row.at[off].set(mask_val)
+
+                rows = jax.vmap(cut)(starts, offs)
+                return row_log_softmax_gather(fn(p, rows), offs)
+
+            out = jax.lax.map(body, (starts2d, offs2d))
+            return out.reshape(-1, out.shape[-1])
+
     elif kind.startswith("step_window_params:"):
         # long-sequence optimal-window path: each masked position i lives in
         # its own window [start_i, start_i + window). Rows are CUT ON DEVICE
@@ -271,14 +311,12 @@ def masked_marginal_table(
             [np.arange(total, dtype=np.int32),
              np.zeros(n_pad - total, np.int32)]
         ).reshape(n_pad // chunk, chunk)
-        step = _cached_jit(logits_fn, "step_build_params")
-        toks_dev = jnp.asarray(tokens)
-        mask_val = jnp.asarray(mask_idx, tokens.dtype)
-        parts = [
-            step(params, toks_dev, jnp.asarray(offsets[i]), mask_val)
-            for i in range(offsets.shape[0])
-        ]
-        return jnp.concatenate(parts, axis=0)[:total]
+        table_fn = _cached_jit(logits_fn, "table_build_params")
+        out = table_fn(
+            params, jnp.asarray(tokens), jnp.asarray(offsets),
+            jnp.asarray(mask_idx, tokens.dtype),
+        )
+        return out[:total]
 
     if total > window:
         if scoring_window != "optimal":
@@ -300,15 +338,14 @@ def masked_marginal_table(
             offs_p = np.concatenate([offsets, np.zeros(pad, np.int32)])
             starts_p = starts_p.reshape(-1, chunk)
             offs_p = offs_p.reshape(-1, chunk)
-            step = _cached_jit(logits_fn, f"step_window_params:{window}")
-            toks_dev = jnp.asarray(tokens)
-            mask_val = jnp.asarray(mask_idx, tokens.dtype)
-            parts = [
-                step(params, toks_dev, jnp.asarray(starts_p[i]),
-                     jnp.asarray(offs_p[i]), mask_val)
-                for i in range(starts_p.shape[0])
-            ]
-            return jnp.concatenate(parts, axis=0)[:total]
+            table_fn = _cached_jit(
+                logits_fn, f"table_window_params:{window}"
+            )
+            out = table_fn(
+                params, jnp.asarray(tokens), jnp.asarray(starts_p),
+                jnp.asarray(offs_p), jnp.asarray(mask_idx, tokens.dtype),
+            )
+            return out[:total]
         rows = np.zeros((total, window), dtype=tokens.dtype)
         for i in range(total):
             rows[i] = tokens[starts[i] : starts[i] + window]
