@@ -293,15 +293,23 @@ def _msa_step(logits_fn, params_mode: bool):
     if params_mode == "build":
         # grids BUILT ON DEVICE from one (R, C) upload per seed: each grid
         # is the base MSA with a single first-row token masked, so shipping
-        # `total` host-built copies (GBs for deep MSAs) is pure waste
+        # `total` host-built copies (GBs for deep MSAs) is pure waste.
+        # lax.map over the whole (n_chunks, chunk) offset grid -> ONE
+        # dispatch per table (same shape trick as esm_scoring
+        # table_build_params).
         @jax.jit
-        def step(p, base, offs, mask_val):
-            chunk_ = offs.shape[0]
-            grids = jnp.broadcast_to(
-                base, (chunk_, base.shape[0], base.shape[1])
-            )
-            grids = grids.at[jnp.arange(chunk_), 0, offs].set(mask_val)
-            return gather(logits_fn(p, grids), chunk_, offs)
+        def step(p, base, offs2d, mask_val):
+            chunk_ = offs2d.shape[1]
+
+            def body(offs):
+                grids = jnp.broadcast_to(
+                    base, (chunk_, base.shape[0], base.shape[1])
+                )
+                grids = grids.at[jnp.arange(chunk_), 0, offs].set(mask_val)
+                return gather(logits_fn(p, grids), chunk_, offs)
+
+            out = jax.lax.map(body, offs2d)
+            return out.reshape(-1, out.shape[-1])
 
     elif params_mode:
 
@@ -346,13 +354,11 @@ def masked_marginal_table_msa(
              np.zeros(n_pad - total, np.int32)]
         ).reshape(n_pad // chunk, chunk)
         step = _msa_step(logits_fn, "build")
-        base = jnp.asarray(msa_tokens)
-        mask_val = jnp.asarray(mask_idx, msa_tokens.dtype)
-        parts = [
-            step(params, base, jnp.asarray(offsets[i]), mask_val)
-            for i in range(offsets.shape[0])
-        ]
-        return jnp.concatenate(parts, axis=0)[:total]
+        out = step(
+            params, jnp.asarray(msa_tokens), jnp.asarray(offsets),
+            jnp.asarray(mask_idx, msa_tokens.dtype),
+        )
+        return out[:total]
 
     if total > window:
         grids = np.zeros((total, r, window), dtype=msa_tokens.dtype)
