@@ -17,6 +17,17 @@ import numpy as np
 from proteingym_tpu.constants import AA_TO_IDX, AA_VOCAB, IDX_TO_AA
 
 
+def is_wt_row(mutant) -> bool:
+    """True for assay rows that denote the wild type: empty/NaN cells and
+    the literal ``WT`` label (the reference's label_row scores these 0).
+    The single source of truth for WT-row semantics — scorers with manual
+    token loops call this instead of re-implementing the check."""
+    if mutant is None or (isinstance(mutant, float) and np.isnan(mutant)):
+        return True
+    s = str(mutant).strip()
+    return not s or s.upper() == "WT"
+
+
 def parse_mutant(mutant: str, delim: str = ":") -> List[Tuple[str, int, str]]:
     """Parse ``A1P:D2N`` into ``[("A", 1, "P"), ("D", 2, "N")]``.
 
@@ -24,7 +35,7 @@ def parse_mutant(mutant: str, delim: str = ":") -> List[Tuple[str, int, str]]:
     Empty strings and the literal ``WT`` label parse to no mutations
     (the reference's label_row treats such assay rows as wild-type).
     """
-    if not mutant or mutant.upper() == "WT":
+    if is_wt_row(mutant):
         return []
     out = []
     for token in mutant.split(delim):

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from proteingym_tpu.data.mutants import mutations_to_arrays
+from proteingym_tpu.data.mutants import is_wt_row, mutations_to_arrays
 from proteingym_tpu.data.windows import get_optimal_window
 from proteingym_tpu.models.esm2 import ALPHABET, EsmAlphabet
 
@@ -65,19 +65,6 @@ def _cached_jit(fn, kind: str):
         def wrapped(p, toks, offs):
             return row_log_softmax_gather(fn(p, toks), offs)
 
-    elif kind == "step_build_params":
-        # masked rows are BUILT ON DEVICE from the base token vector: one
-        # (T,) upload for the whole table instead of an (chunk, T) host ->
-        # device transfer per chunk — the transfers, not the math, dominate
-        # over a tunneled TPU. Shape-stable in (T, chunk) only.
-
-        @jax.jit
-        def wrapped(p, toks1d, offs, mask_val):
-            chunk_ = offs.shape[0]
-            rows = jnp.broadcast_to(toks1d, (chunk_, toks1d.shape[0]))
-            rows = rows.at[jnp.arange(chunk_), offs].set(mask_val)
-            return row_log_softmax_gather(fn(p, rows), offs)
-
     elif kind == "step_build_logits_params":
         # like step_build_params but returns the RAW logits row at each
         # masked offset (consumers that need non-default softmax
@@ -92,11 +79,13 @@ def _cached_jit(fn, kind: str):
             return logits[jnp.arange(chunk_), offs]
 
     elif kind == "table_build_params":
-        # whole-table variant of step_build_params: lax.map over the
-        # (n_chunks, chunk) offset grid INSIDE one jit -> one tunneled
-        # dispatch per table instead of n_chunks (the scan serializes on
-        # device with zero host round-trips). Recompiles are keyed on
-        # (T, n_chunks, chunk), both bounded by length bucketing.
+        # masked rows BUILT ON DEVICE from one (T,) token upload, and
+        # lax.map over the (n_chunks, chunk) offset grid INSIDE one jit ->
+        # one tunneled dispatch per table instead of n_chunks (the scan
+        # serializes on device with zero host round-trips; the transfers
+        # and round-trips, not the math, dominate over a tunneled TPU).
+        # Recompiles are keyed on (T, n_chunks, chunk); callers derive
+        # n_chunks from the BUCKETED length so both stay bounded.
 
         @jax.jit
         def wrapped(p, toks1d, offs2d, mask_val):
@@ -130,24 +119,6 @@ def _cached_jit(fn, kind: str):
 
             out = jax.lax.map(body, (starts2d, offs2d))
             return out.reshape(-1, out.shape[-1])
-
-    elif kind.startswith("step_window_params:"):
-        # long-sequence optimal-window path: each masked position i lives in
-        # its own window [start_i, start_i + window). Rows are CUT ON DEVICE
-        # from the one (T_total,) token upload (vmapped dynamic_slice), so a
-        # chunk dispatch ships two (chunk,) int vectors instead of a
-        # (chunk, window) row block — on a tunneled TPU the transfers, not
-        # the math, dominate.
-        window = int(kind.split(":", 1)[1])
-
-        @jax.jit
-        def wrapped(p, toks1d, starts, offs, mask_val):
-            def cut(start, off):
-                row = jax.lax.dynamic_slice(toks1d, (start,), (window,))
-                return row.at[off].set(mask_val)
-
-            rows = jax.vmap(cut)(starts, offs)
-            return row_log_softmax_gather(fn(p, rows), offs)
 
     elif kind == "step":
 
@@ -306,7 +277,10 @@ def masked_marginal_table(
         # and gather as the host-built path (pad-bucketed tables differ
         # from unpadded ones only by attention-mask float noise, ~1e-7).
         tokens = _pad_to_bucket(tokens[None], pad_to_multiple, pad_idx)[0]
-        n_pad = _round_up(total, chunk)
+        # chunk count derives from the BUCKETED length: one compile per
+        # (bucket, chunk) rather than per exact sequence length (the extra
+        # pad-position rows are discarded by the [:total] slice)
+        n_pad = _round_up(tokens.shape[0], chunk)
         offsets = np.concatenate(
             [np.arange(total, dtype=np.int32),
              np.zeros(n_pad - total, np.int32)]
@@ -438,7 +412,7 @@ def score_mutants_from_table(
     wt_tok = np.zeros((n, d), dtype=np.int32)
     mt_tok = np.zeros((n, d), dtype=np.int32)
     for i, m in enumerate(mutants):
-        if not m or m.upper() == "WT":
+        if is_wt_row(m):
             continue  # wild-type row: valid mask is already all-False -> 0
         for j, tok in enumerate(m.split(":")):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]

@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from proteingym_tpu.data.mutants import is_wt_row
+
 
 def prosst_init(rng: jax.Array, esm_config, k_structure: int = 2048
                 ) -> Dict[str, Any]:
@@ -300,7 +302,7 @@ def score_assay_prosst_real(
     logp = np.asarray(jax.nn.log_softmax(logits[0, 1:-1], -1))
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):
-        if not m or m.upper() == "WT":
+        if is_wt_row(m):
             continue
         for tok in m.split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
@@ -522,7 +524,7 @@ def venusrem_score_assay_real(
 
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):
-        if not m or m.upper() == "WT":
+        if is_wt_row(m):
             continue
         for tok in m.split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from proteingym_tpu.data.mutants import is_wt_row
+
 AA20 = "ACDEFGHIKLMNPQRSTVWY"
 
 
@@ -252,7 +254,7 @@ def score_mutants(
     aa_idx = {a: i for i, a in enumerate(model.alphabet)}
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):
-        if not m or m.upper() == "WT":
+        if is_wt_row(m):
             continue
         for tok in m.split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]
@@ -583,7 +585,7 @@ def score_from_rate_matrices(
     aa_idx = {a: i for i, a in enumerate(alphabet)}
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):
-        if not m or m.upper() == "WT":
+        if is_wt_row(m):
             continue
         for tok in m.split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from proteingym_tpu.data.mutants import is_wt_row
+
 AA20 = "ACDEFGHIKLMNPQRSTVWY"
 
 
@@ -107,7 +109,7 @@ def score_mutants(
     aa_idx = {a: i for i, a in enumerate(AA20)}
     out = np.zeros(len(mutants))
     for i, m in enumerate(mutants):
-        if not m or m.upper() == "WT":
+        if is_wt_row(m):
             continue
         for tok in m.split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - offset_idx, tok[-1]

@@ -226,13 +226,22 @@ def nj_tree(
     if lib is None:
         return None
     if not hasattr(lib, "_nj_declared"):
+        try:  # a cached pre-NJ .so lacks the symbol: fall back, don't crash
+            fn = lib.pgym_nj_tree
+        except AttributeError:
+            log.warning(
+                "cached libpgym_native.so predates pgym_nj_tree; delete "
+                "%s to rebuild — falling back to greedy cherry pairing",
+                _LIB_PATH,
+            )
+            return None
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        lib.pgym_nj_tree.argtypes = [
+        fn.argtypes = [
             i8p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p, f64p,
         ]
-        lib.pgym_nj_tree.restype = ctypes.c_int64
+        fn.restype = ctypes.c_int64
         lib._nj_declared = True
     left = np.zeros(n - 1, np.int32)
     right = np.zeros(n - 1, np.int32)

@@ -18,6 +18,8 @@ from pathlib import Path
 from typing import Callable, Dict, Optional
 
 import numpy as np
+
+from proteingym_tpu.data.mutants import is_wt_row
 import pandas as pd
 
 log = logging.getLogger(__name__)
@@ -332,7 +334,7 @@ def _score_focus_model(ctx: ScoreContext, msa, score_fn, mutants,
     remapped, valid = [], []
     for m in mutants:
         try:
-            if not m or str(m).upper() == "WT":
+            if is_wt_row(m):
                 # Literal wild-type rows score 0 (the reference's label_row
                 # handling), not NaN-unmappable.
                 remapped.append("")

@@ -14,6 +14,8 @@ import os
 from pathlib import Path
 
 import numpy as np
+
+from proteingym_tpu.data.mutants import is_wt_row
 import pandas as pd
 
 from proteingym_tpu.pipeline.scorers import (
@@ -112,7 +114,11 @@ def score_esm3(ctx: ScoreContext) -> pd.DataFrame:
                 "esm3_structure_encoder",
                 esm3.structure_encoder_init, esm3.StructureEncoderConfig,
             )
-        elif ctx.checkpoint and os.path.exists(str(ctx.checkpoint)):
+        elif (ctx.checkpoint and ctx.checkpoint not in presets
+              and os.path.exists(str(ctx.checkpoint))):
+            # preset names resolve to random init (resolver precedence:
+            # preset wins over a same-named path), so only a real converted
+            # directory triggers the degrade.
             # A real converted trunk with a RANDOM structure tokenizer would
             # feed noise codes into the structure track — worse than the
             # sequence-only path. Degrade to coords=None instead.
@@ -645,7 +651,19 @@ def score_supervised(ctx: ScoreContext) -> pd.DataFrame:
             on="mutant", how="left",
         )
         aux = joined[col].to_numpy(np.float64)
-        if np.isnan(aux).any():  # unscored variants: neutral after z-score
+        n_missing = int(np.isnan(aux).sum())
+        if n_missing == len(aux):
+            raise ValueError(
+                f"aug_file {aug_file!r}: no mutants matched the assay "
+                f"(column {col!r}) — check the file and its mutant naming"
+            )
+        if n_missing:  # unscored variants: neutral after z-score
+            import warnings
+
+            warnings.warn(
+                f"aug_file: {n_missing}/{len(aux)} variants unscored; "
+                "filling with the mean zero-shot score"
+            )
             aux = np.where(np.isnan(aux), np.nanmean(aux), aux)
 
     feature_fn = None
@@ -662,13 +680,17 @@ def score_supervised(ctx: ScoreContext) -> pd.DataFrame:
     npt_config = None
     if name == "proteinnpt":
         model = "ProteinNPT"
-        if "npt_steps" in ctx.extra:
+        if any(k in ctx.extra for k in ("npt_steps", "npt_layers",
+                                        "npt_dim")):
             from proteingym_tpu.models.protein_npt import ProteinNptConfig
 
+            defaults = ProteinNptConfig()
             npt_config = ProteinNptConfig(
-                steps=int(ctx.extra["npt_steps"]),
-                num_layers=int(ctx.extra.get("npt_layers", 2)),
-                embed_dim=int(ctx.extra.get("npt_dim", 48)),
+                steps=int(ctx.extra.get("npt_steps", defaults.steps)),
+                num_layers=int(
+                    ctx.extra.get("npt_layers", defaults.num_layers)
+                ),
+                embed_dim=int(ctx.extra.get("npt_dim", defaults.embed_dim)),
             )
 
     results = run_supervised_baseline(
@@ -827,7 +849,7 @@ def score_s3f(ctx: ScoreContext) -> pd.DataFrame:
             aa_idx = {a: i for i, a in enumerate("ACDEFGHIKLMNPQRSTVWY")}
             extra = np.zeros(len(scores))
             for i, m in enumerate(ctx.dms_frame["mutant"].tolist()):
-                if not m or m.upper() == "WT":
+                if is_wt_row(m):
                     continue
                 for tok in m.split(":"):
                     wt, p, mt = tok[0], int(tok[1:-1]) - 1, tok[-1]

@@ -150,8 +150,13 @@ def test_protssn_ensemble_column(world):
     assert "ProtSSN_ensemble" in frame.columns
     assert frame["ProtSSN_ensemble"].notna().any()
     # identical members -> ensemble equals the single-member column
-    single = pd.read_csv(world / "scores" / "protssn" / "Z.csv")
-    if "ProtSSN_score" in single.columns:
-        np.testing.assert_allclose(
-            frame["ProtSSN_ensemble"], single["ProtSSN_score"], rtol=1e-6
-        )
+    # (comparison only if the parametrized smoke test already ran in this
+    # fixture — running `-k ensemble` alone must not fail on the read)
+    single_path = world / "scores" / "protssn" / "Z.csv"
+    if single_path.exists():
+        single = pd.read_csv(single_path)
+        if "ProtSSN_score" in single.columns:
+            np.testing.assert_allclose(
+                frame["ProtSSN_ensemble"], single["ProtSSN_score"],
+                rtol=1e-6,
+            )
