@@ -305,8 +305,19 @@ def masked_marginal_table(
             starts[i] = start
             offsets[i] = i - start
         if params is not None:
-            # device-built window rows from ONE (T_total,) upload
-            n_pad = _round_up(total, chunk)
+            # device-built window rows from ONE (T_total,) upload; both the
+            # token vector and the chunk-grid row count are bucketed so
+            # recompiles are one per (length bucket, chunk), not one per
+            # exact long-sequence length (row padding repeats the start-0
+            # window and is discarded by [:total])
+            toks_b = _pad_to_bucket(
+                tokens[None], pad_to_multiple, pad_idx
+            )[0]
+            n_pad = _round_up(
+                total if pad_to_multiple is None
+                else _round_up(total, pad_to_multiple),
+                chunk,
+            )
             pad = n_pad - total
             starts_p = np.concatenate([starts, np.zeros(pad, np.int32)])
             offs_p = np.concatenate([offsets, np.zeros(pad, np.int32)])
@@ -316,7 +327,7 @@ def masked_marginal_table(
                 logits_fn, f"table_window_params:{window}"
             )
             out = table_fn(
-                params, jnp.asarray(tokens), jnp.asarray(starts_p),
+                params, jnp.asarray(toks_b), jnp.asarray(starts_p),
                 jnp.asarray(offs_p), jnp.asarray(mask_idx, tokens.dtype),
             )
             return out[:total]
