@@ -331,6 +331,25 @@ def cmd_supervised_score(args) -> int:
     records = (
         [reference[args.dms_id]] if args.dms_id else list(reference)
     )
+
+    feature_fn = None
+    model = args.model
+    if model.lower() in ("embeddings_ridge", "embeddings"):
+        from proteingym_tpu.models import esm2
+        from proteingym_tpu.models.supervised_baselines import (
+            esm_embedding_features,
+        )
+        from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
+
+        config, params = resolve_zoo_checkpoint(
+            args.checkpoint, esm2.PRESETS, "esm2_t6_8M", esm2.init_params,
+            esm2.EsmConfig,
+        )
+        model = "embeddings_ridge"
+        feature_fn = lambda seqs: esm_embedding_features(
+            params, config, seqs
+        )
+
     out_root = Path(args.output_dir)
     for rec in records:
         dms_path = Path(args.dms_dir) / (rec.DMS_filename or f"{rec.DMS_id}.csv")
@@ -338,8 +357,36 @@ def cmd_supervised_score(args) -> int:
             print(f"missing {dms_path}; skipping")
             continue
         frame = pd.read_csv(dms_path)
+        aux = None
+        if args.aug_col:
+            aux = frame[args.aug_col].to_numpy(float)
+        elif args.aug_scores_dir:
+            spath = Path(args.aug_scores_dir) / f"{rec.DMS_id}.csv"
+            if spath.exists():
+                scores = pd.read_csv(spath)
+                col = args.aug_score_col
+                if not col:
+                    keys = {"mutant", "mutated_sequence", "DMS_score"}
+                    col = [c for c in scores.columns if c not in keys][-1]
+                joined = frame[["mutant"]].merge(
+                    scores[["mutant", col]].groupby(
+                        "mutant", as_index=False
+                    ).mean(),
+                    on="mutant", how="left",
+                )
+                aux = joined[col].to_numpy(float)
+                if np.isnan(aux).all():
+                    raise ValueError(
+                        f"{spath}: no mutants matched {rec.DMS_id}"
+                    )
+                if np.isnan(aux).any():
+                    aux = np.where(np.isnan(aux), np.nanmean(aux), aux)
+            else:
+                print(f"no zero-shot scores for {rec.DMS_id}; "
+                      "running unaugmented")
         results = run_supervised_baseline(
-            frame, rec.target_seq, model=args.model, lam=args.lam,
+            frame, rec.target_seq, model=model, lam=args.lam,
+            feature_fn=feature_fn, aux=aux,
         )
         for scheme, preds in results.items():
             d = out_root / scheme / args.model.lower()
@@ -670,12 +717,22 @@ def build_parser() -> argparse.ArgumentParser:
 
     ss = sub.add_parser("supervised-score",
                         help="native supervised baselines (per CV scheme)")
-    ss.add_argument("--model", default="OHE_ridge")
+    ss.add_argument("--model", default="OHE_ridge",
+                    help="OHE_ridge | embeddings_ridge | ProteinNPT")
     ss.add_argument("--dms-reference", required=True)
     ss.add_argument("--dms-dir", required=True)
     ss.add_argument("--dms-id", default=None)
     ss.add_argument("--output-dir", required=True)
     ss.add_argument("--lam", type=float, default=1.0)
+    ss.add_argument("--checkpoint", default=None,
+                    help="trunk for embeddings_ridge (preset or converted)")
+    ss.add_argument("--aug-col", default=None,
+                    help="zero-shot column in the assay CSV appended as an "
+                         "'Augmented' ridge feature")
+    ss.add_argument("--aug-scores-dir", default=None,
+                    help="directory of per-assay zero-shot score CSVs "
+                         "(<DMS_id>.csv, joined on mutant) for augmentation")
+    ss.add_argument("--aug-score-col", default=None)
     ss.set_defaults(fn=cmd_supervised_score)
 
     dl = sub.add_parser(

@@ -86,3 +86,33 @@ def test_supervised_score_layout(world, tmp_path):
         assert f.exists(), scheme
         frame = pd.read_csv(f)
         assert {"mutant", "y_pred", "DMS_score"} <= set(frame.columns)
+
+
+def test_supervised_score_embeddings_and_aug(world, tmp_path):
+    """embeddings_ridge trunk features + --aug-scores-dir augmentation
+    through the batch command (the remaining published supervised
+    recipes)."""
+    # fabricate a zero-shot score dir: scores == labels (fully predictive)
+    zs_dir = tmp_path / "zs"
+    zs_dir.mkdir()
+    dms = pd.read_csv(world / "dms" / "T.csv")
+    pd.DataFrame(
+        {"mutant": dms["mutant"], "ESM_score": dms["DMS_score"]}
+    ).to_csv(zs_dir / "T.csv", index=False)
+
+    rc = main(
+        ["supervised-score", "--model", "embeddings_ridge",
+         "--dms-reference", str(world / "ref.csv"),
+         "--dms-dir", str(world / "dms"),
+         "--output-dir", str(tmp_path / "out"),
+         "--checkpoint", "esm2_tiny",
+         "--aug-scores-dir", str(zs_dir)]
+    )
+    assert rc == 0
+    f = tmp_path / "out" / "fold_random_5" / "embeddings_ridge" / "T.csv"
+    assert f.exists()
+    frame = pd.read_csv(f)
+    from scipy.stats import spearmanr
+
+    rho = spearmanr(frame["y_pred"], frame["DMS_score"]).correlation
+    assert rho > 0.8, rho  # the aux feature carries the signal
