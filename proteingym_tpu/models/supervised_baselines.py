@@ -137,6 +137,48 @@ def esm_embedding_features(
     return np.concatenate(feats, 0)
 
 
+def load_aug_scores(
+    frame: pd.DataFrame, scores_csv, col: Optional[str] = None
+) -> np.ndarray:
+    """Join a zero-shot score file onto the assay frame by mutant.
+
+    ``col`` defaults to the last non-key column. Raises when nothing
+    matches (wrong file / mutant naming); partial misses are left as NaN —
+    run_supervised_baseline mean-fills them with a warning. The single
+    implementation behind both the scorer's ``aug_file=`` extra and the
+    CLI's ``--aug-scores-dir``."""
+    scores = pd.read_csv(scores_csv)
+    if col is None:
+        keys = {"mutant", "mutated_sequence", "DMS_score"}
+        col = [c for c in scores.columns if c not in keys][-1]
+    joined = frame[["mutant"]].merge(
+        scores[["mutant", col]].groupby("mutant", as_index=False).mean(),
+        on="mutant", how="left",
+    )
+    aux = joined[col].to_numpy(np.float64)
+    if np.isnan(aux).all():
+        raise ValueError(
+            f"aug scores {scores_csv!r}: no mutants matched the assay "
+            f"(column {col!r}) — check the file and its mutant naming"
+        )
+    return aux
+
+
+def make_embedding_feature_fn(checkpoint, batch_size: int = 16):
+    """Resolve an ESM trunk (preset or converted dir) and return the
+    mean-pooled embedding feature function for embeddings_ridge."""
+    from proteingym_tpu.models import esm2
+    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
+
+    config, params = resolve_zoo_checkpoint(
+        checkpoint, esm2.PRESETS, "esm2_t6_8M", esm2.init_params,
+        esm2.EsmConfig,
+    )
+    return lambda seqs: esm_embedding_features(
+        params, config, seqs, batch_size=batch_size
+    )
+
+
 def run_supervised_baseline(
     dms_frame: pd.DataFrame,
     target_seq: str,
@@ -170,6 +212,21 @@ def run_supervised_baseline(
                 break
     if aux is not None:
         aux = np.asarray(aux, np.float64)
+        n_missing = int(np.isnan(aux).sum())
+        if n_missing == len(aux):
+            raise ValueError(
+                "aux zero-shot scores are all-NaN — nothing to augment with"
+            )
+        if n_missing:
+            # our own zero-shot scorers emit NaN for unmappable mutants;
+            # fill with the mean so one NaN can't poison the whole column
+            import warnings
+
+            warnings.warn(
+                f"aux scores: {n_missing}/{len(aux)} NaN; filling with the "
+                "mean zero-shot score"
+            )
+            aux = np.where(np.isnan(aux), np.nanmean(aux), aux)
         aux = (aux - aux.mean()) / (aux.std() + 1e-8)
     if npt:
         from proteingym_tpu.models.protein_npt import residue_features

@@ -223,12 +223,13 @@ def nj_tree(
     if n < 2:
         return None
     lib = get_lib()
-    if lib is None:
+    if lib is None or getattr(lib, "_nj_missing", False):
         return None
     if not hasattr(lib, "_nj_declared"):
         try:  # a cached pre-NJ .so lacks the symbol: fall back, don't crash
             fn = lib.pgym_nj_tree
         except AttributeError:
+            lib._nj_missing = True  # warn once, not per call
             log.warning(
                 "cached libpgym_native.so predates pgym_nj_tree; delete "
                 "%s to rebuild — falling back to greedy cherry pairing",

@@ -332,23 +332,15 @@ def cmd_supervised_score(args) -> int:
         [reference[args.dms_id]] if args.dms_id else list(reference)
     )
 
+    from proteingym_tpu.models.supervised_baselines import (
+        load_aug_scores, make_embedding_feature_fn,
+    )
+
     feature_fn = None
     model = args.model
     if model.lower() in ("embeddings_ridge", "embeddings"):
-        from proteingym_tpu.models import esm2
-        from proteingym_tpu.models.supervised_baselines import (
-            esm_embedding_features,
-        )
-        from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
-
-        config, params = resolve_zoo_checkpoint(
-            args.checkpoint, esm2.PRESETS, "esm2_t6_8M", esm2.init_params,
-            esm2.EsmConfig,
-        )
         model = "embeddings_ridge"
-        feature_fn = lambda seqs: esm_embedding_features(
-            params, config, seqs
-        )
+        feature_fn = make_embedding_feature_fn(args.checkpoint)
 
     out_root = Path(args.output_dir)
     for rec in records:
@@ -363,24 +355,7 @@ def cmd_supervised_score(args) -> int:
         elif args.aug_scores_dir:
             spath = Path(args.aug_scores_dir) / f"{rec.DMS_id}.csv"
             if spath.exists():
-                scores = pd.read_csv(spath)
-                col = args.aug_score_col
-                if not col:
-                    keys = {"mutant", "mutated_sequence", "DMS_score"}
-                    col = [c for c in scores.columns if c not in keys][-1]
-                joined = frame[["mutant"]].merge(
-                    scores[["mutant", col]].groupby(
-                        "mutant", as_index=False
-                    ).mean(),
-                    on="mutant", how="left",
-                )
-                aux = joined[col].to_numpy(float)
-                if np.isnan(aux).all():
-                    raise ValueError(
-                        f"{spath}: no mutants matched {rec.DMS_id}"
-                    )
-                if np.isnan(aux).any():
-                    aux = np.where(np.isnan(aux), np.nanmean(aux), aux)
+                aux = load_aug_scores(frame, spath, args.aug_score_col)
             else:
                 print(f"no zero-shot scores for {rec.DMS_id}; "
                       "running unaugmented")

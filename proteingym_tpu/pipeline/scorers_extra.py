@@ -281,6 +281,12 @@ def score_protssn(ctx: ScoreContext) -> pd.DataFrame:
     # (one entry each per member; a single norm_stats applies to all)
     specs = ([s.strip() for s in str(ctx.checkpoint).split(",")]
              if ctx.checkpoint else [None])
+    if ctx.checkpoint and not all(specs):
+        # an empty entry would resolve to a RANDOM-init preset and silently
+        # pollute the ensemble average
+        raise ValueError(
+            f"empty entry in --checkpoint ensemble list: {ctx.checkpoint!r}"
+        )
     stats_spec = ctx.extra.get("norm_stats")
     stats_paths = ([s.strip() for s in str(stats_spec).split(",")]
                    if stats_spec else [None])
@@ -626,13 +632,9 @@ def score_supervised(ctx: ScoreContext) -> pd.DataFrame:
     csv>`` (+ optional ``aug_file_col=``; default: last non-key column),
     joined on mutant. ``embeddings_ridge`` embeds mutated sequences with
     the ESM2 trunk from ``--checkpoint`` (any converted ESM works)."""
-    import jax
-
-    from proteingym_tpu.models import esm2
     from proteingym_tpu.models.supervised_baselines import (
-        esm_embedding_features, run_supervised_baseline,
+        load_aug_scores, make_embedding_feature_fn, run_supervised_baseline,
     )
-    from proteingym_tpu.pipeline.scorers import resolve_zoo_checkpoint
 
     name = ctx.extra.get("_scorer_name", "ohe_ridge")
     aux = None
@@ -641,41 +643,16 @@ def score_supervised(ctx: ScoreContext) -> pd.DataFrame:
     if aug_col:
         aux = ctx.dms_frame[aug_col].to_numpy(np.float64)
     elif aug_file:
-        scores = pd.read_csv(aug_file)
-        col = ctx.extra.get("aug_file_col")
-        if not col:
-            keys = {"mutant", "mutated_sequence", "DMS_score"}
-            col = [c for c in scores.columns if c not in keys][-1]
-        joined = ctx.dms_frame[["mutant"]].merge(
-            scores[["mutant", col]].groupby("mutant", as_index=False).mean(),
-            on="mutant", how="left",
+        aux = load_aug_scores(
+            ctx.dms_frame, aug_file, ctx.extra.get("aug_file_col")
         )
-        aux = joined[col].to_numpy(np.float64)
-        n_missing = int(np.isnan(aux).sum())
-        if n_missing == len(aux):
-            raise ValueError(
-                f"aug_file {aug_file!r}: no mutants matched the assay "
-                f"(column {col!r}) — check the file and its mutant naming"
-            )
-        if n_missing:  # unscored variants: neutral after z-score
-            import warnings
-
-            warnings.warn(
-                f"aug_file: {n_missing}/{len(aux)} variants unscored; "
-                "filling with the mean zero-shot score"
-            )
-            aux = np.where(np.isnan(aux), np.nanmean(aux), aux)
 
     feature_fn = None
     model = "OHE_ridge"
     if name == "embeddings_ridge":
-        config, params = resolve_zoo_checkpoint(
-            ctx.checkpoint, esm2.PRESETS, "esm2_t6_8M", esm2.init_params,
-            esm2.EsmConfig,
-        )
         model = "embeddings_ridge"
-        feature_fn = lambda seqs: esm_embedding_features(
-            params, config, seqs, batch_size=ctx.batch_size
+        feature_fn = make_embedding_feature_fn(
+            ctx.checkpoint, batch_size=ctx.batch_size
         )
     npt_config = None
     if name == "proteinnpt":
