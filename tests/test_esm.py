@@ -249,3 +249,42 @@ def test_convert_torch_state_dict_roundtrip():
     l1 = apply(params, TINY, toks)
     l2 = apply(converted, TINY, toks)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_params_table_paths_match_host_path(tiny_model):
+    """The single-dispatch params-mode tables (device-built rows, lax.map
+    over the chunk grid, length bucketing) must match the host-built
+    reference path exactly — short fast path AND long-sequence window
+    path."""
+    from proteingym_tpu.models.esm2 import make_apply_fn
+
+    params, logits_fn = tiny_model
+    apply_fn = make_apply_fn(TINY)
+
+    # short path, with bucketing (pad rows discarded)
+    seq = "MKLVAGDEFWHCRNQY"  # 18 tokens -> bucket 32
+    tokens = ALPHABET.tokenize(seq)
+    host = masked_marginal_table(logits_fn, tokens, chunk=5)
+    dev = masked_marginal_table(
+        apply_fn, tokens, chunk=5, params=params,
+        pad_to_multiple=32, pad_idx=ALPHABET.padding_idx,
+    )
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(
+        np.asarray(dev), np.asarray(host), atol=2e-4
+    )
+
+    # long-sequence optimal-window path, with bucketing
+    seq_long = "MKLVAGDEFWHC" * 4  # 50 tokens, window 16
+    tokens_long = ALPHABET.tokenize(seq_long)
+    host_w = masked_marginal_table(
+        logits_fn, tokens_long, chunk=10, window=16
+    )
+    dev_w = masked_marginal_table(
+        apply_fn, tokens_long, chunk=10, window=16, params=params,
+        pad_to_multiple=32, pad_idx=ALPHABET.padding_idx,
+    )
+    assert dev_w.shape == host_w.shape
+    np.testing.assert_allclose(
+        np.asarray(dev_w), np.asarray(host_w), atol=2e-4
+    )
