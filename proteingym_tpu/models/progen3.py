@@ -289,6 +289,41 @@ def score_sequences(
 # Checkpoint conversion (reference torch state dict -> pytree)
 # ---------------------------------------------------------------------------
 
+def config_from_hf_json(path, name: str = "progen3") -> ProGen3Config:
+    """Build a ProGen3Config from an HF checkpoint's config.json (the field
+    names follow the vendored configuration class, ref
+    progen3/progen3/config.py:28-75 — hidden_size, num_hidden_layers,
+    num_attention_heads, num_key_value_heads, intermediate_size,
+    num_experts, num_experts_per_tok, gated_mlp, rope_theta,
+    max_num_sequences, rms_norm_eps). Covers the published sizes that have
+    no hand-written preset here (219m, 762m, ...)."""
+    import json
+
+    meta = json.loads(open(path).read())
+    hidden = int(meta["hidden_size"])
+    inter = meta.get("intermediate_size")
+    gated = bool(meta.get("gated_mlp", False))
+    if inter is None:
+        inter = 3 * hidden if gated else 4 * hidden
+    return ProGen3Config(
+        name=meta.get("_name_or_path", name) or name,
+        num_layers=int(meta["num_hidden_layers"]),
+        hidden_dim=hidden,
+        num_heads=int(meta["num_attention_heads"]),
+        num_kv_heads=(int(meta["num_key_value_heads"])
+                      if meta.get("num_key_value_heads") is not None
+                      else None),
+        ffn_dim=int(inter),
+        num_experts=int(meta.get("num_experts", 8)),
+        top_k=int(meta.get("num_experts_per_tok", 2)),
+        gated_mlp=gated,
+        vocab_size=int(meta.get("vocab_size") or 34),
+        max_num_seqs=int(meta.get("max_num_sequences", 512)),
+        rope_theta=float(meta.get("rope_theta", 100_000.0)),
+        rms_eps=float(meta.get("rms_norm_eps", 1e-5)),
+    )
+
+
 def convert_torch_state_dict(state_dict, c: ProGen3Config) -> Dict[str, Any]:
     """Reference module names (modeling.py/attention.py/moe.py) -> pytree.
 

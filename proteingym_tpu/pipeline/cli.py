@@ -478,7 +478,20 @@ def cmd_convert(args) -> int:
     elif fam == "progen3":
         from proteingym_tpu.models import progen3 as m
 
-        config = m.PRESETS[preset]
+        hf_cfg = Path(args.checkpoint).parent / "config.json"
+        if Path(args.checkpoint).is_dir():
+            hf_cfg = Path(args.checkpoint) / "config.json"
+        if preset in m.PRESETS:
+            config = m.PRESETS[preset]
+        elif hf_cfg.exists():
+            # published sizes without a hand-written preset (219m, 762m):
+            # derive dims from the HF config.json next to the weights
+            config = m.config_from_hf_json(hf_cfg, name=preset or "progen3")
+        else:
+            raise SystemExit(
+                f"progen3: unknown preset {preset!r} and no config.json "
+                f"found at {hf_cfg}"
+            )
         params = m.convert_torch_state_dict(sd(), config)
     elif fam == "protgpt2":
         from proteingym_tpu.pipeline.checkpoints import load_gpt2_checkpoint

@@ -87,3 +87,42 @@ class TestExpertParallel:
             progen3.expert_sharded_apply(params, TINY, mesh, toks)
         )
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestHfConfigInference:
+    def test_config_from_hf_json(self, tmp_path):
+        """Published sizes without presets (219m/762m) convert via the HF
+        config.json shipped next to the weights (field names per the
+        vendored progen3/config.py)."""
+        import json
+
+        from proteingym_tpu.models import progen3
+
+        meta = {
+            "hidden_size": 64, "num_hidden_layers": 3,
+            "num_attention_heads": 8, "num_key_value_heads": 2,
+            "intermediate_size": 160, "num_experts": 4,
+            "num_experts_per_tok": 2, "gated_mlp": True,
+            "rope_theta": 100000.0, "rms_norm_eps": 1e-5,
+            "max_num_sequences": 16, "vocab_size": 34,
+        }
+        f = tmp_path / "config.json"
+        f.write_text(json.dumps(meta))
+        c = progen3.config_from_hf_json(f, name="progen3-custom")
+        assert c.num_layers == 3 and c.hidden_dim == 64
+        assert c.num_heads == 8 and c.kv_heads == 2
+        assert c.ffn_dim == 160 and c.num_experts == 4 and c.gated_mlp
+        # intermediate_size=None follows the gated default (3 * hidden)
+        meta2 = dict(meta, intermediate_size=None)
+        f.write_text(json.dumps(meta2))
+        c2 = progen3.config_from_hf_json(f)
+        assert c2.ffn_dim == 3 * 64
+        # the inferred config actually runs
+        import jax
+
+        params = progen3.init_params(jax.random.PRNGKey(0), c)
+        toks = progen3.TOKENIZER.encode_clm("MKLV")[None]
+        import jax.numpy as jnp
+
+        logits = progen3.apply(params, c, jnp.asarray(toks))
+        assert logits.shape == (1, toks.shape[1], c.vocab_size)
