@@ -157,6 +157,19 @@ def _get_block_fn(logits_fn, params_mode: bool, fusion_fn, reverse: bool,
             return body(logits_fn(p, tokens), tokens, starts, ends, fargs,
                         pad_id, tids)
 
+        @jax.jit
+        def block_map(p, tokens3d, starts2d, ends2d, fargs, pad_id, tids2d):
+            # all same-shape blocks of a bucket in ONE dispatch: lax.map
+            # serializes the blocks on device with zero host round-trips
+            # (a substitution assay is single-bucket, so this turns ~L*19/B
+            # dispatches into one)
+            def mbody(args):
+                tokens, starts, ends, tids = args
+                return body(logits_fn(p, tokens), tokens, starts, ends,
+                            fargs, pad_id, tids)
+
+            return jax.lax.map(mbody, (tokens3d, starts2d, ends2d, tids2d))
+
     else:
 
         @jax.jit
@@ -164,10 +177,19 @@ def _get_block_fn(logits_fn, params_mode: bool, fusion_fn, reverse: bool,
             return body(logits_fn(tokens), tokens, starts, ends, fargs,
                         pad_id, tids)
 
-    _BLOCK_CACHE[key] = block
+        @jax.jit
+        def block_map(tokens3d, starts2d, ends2d, fargs, pad_id, tids2d):
+            def mbody(args):
+                tokens, starts, ends, tids = args
+                return body(logits_fn(tokens), tokens, starts, ends,
+                            fargs, pad_id, tids)
+
+            return jax.lax.map(mbody, (tokens3d, starts2d, ends2d, tids2d))
+
+    _BLOCK_CACHE[key] = (block, block_map)
     while len(_BLOCK_CACHE) > _BLOCK_CACHE_MAX:
         _BLOCK_CACHE.popitem(last=False)
-    return block
+    return block, block_map
 
 
 def batched_ar_loglik(
@@ -218,7 +240,7 @@ def batched_ar_loglik(
             fusion_fn, legacy = fusion, True
     if per_row and fusion_row_tables is None:
         raise ValueError("per-row fusion requires fusion_row_tables")
-    block_loglik = _get_block_fn(
+    block_loglik, block_map = _get_block_fn(
         logits_fn, params is not None, fusion_fn, reverse, legacy, per_row
     )
     pad = jnp.asarray(pad_id, jnp.int32)
@@ -230,36 +252,49 @@ def batched_ar_loglik(
     if fusion_row_tables is None:
         fusion_row_tables = np.zeros(n, dtype=np.int32)
 
+    # group rows into per-bucket batches (a substitution assay is a single
+    # bucket: every mutated sequence has the wild-type length)
     order = np.argsort(buckets, kind="stable")
-    i = 0
-    pending = []  # (block indices, device result) — sync once at the end
-    while i < n:
-        j = i
-        blk = []
-        bucket = buckets[order[i]]
-        while j < n and buckets[order[j]] == bucket and len(blk) < batch_size:
-            blk.append(order[j])
-            j += 1
-        rows = np.full((len(blk), bucket), pad_id, dtype=np.int32)
-        for bi, ridx in enumerate(blk):
-            rows[bi, : lengths[ridx]] = token_rows[ridx]
-        blk_idx = np.asarray(blk)
-        call_args = (
-            jnp.asarray(rows),
-            jnp.asarray(window_starts[blk_idx], dtype=jnp.int32),
-            jnp.asarray(window_ends[blk_idx], dtype=jnp.int32),
-            fargs,
-            pad,
-            jnp.asarray(fusion_row_tables[blk_idx], dtype=jnp.int32),
-        )
-        if params is not None:
-            lls = block_loglik(params, *call_args)
+    per_bucket: dict = {}
+    for ridx in order:
+        per_bucket.setdefault(int(buckets[ridx]), []).append(int(ridx))
+
+    pending = []  # (block indices, device result, rows) — sync at the end
+    for bucket, idxs in per_bucket.items():
+        n_blocks = (len(idxs) + batch_size - 1) // batch_size
+        # pad the index list so every block is full: lax.map needs uniform
+        # block shapes; duplicate row 0 in the padding slots (their lls are
+        # computed and discarded)
+        padded = idxs + [idxs[0]] * (n_blocks * batch_size - len(idxs))
+        rows = np.full((n_blocks, batch_size, bucket), pad_id, np.int32)
+        for k, ridx in enumerate(padded):
+            rows[k // batch_size, k % batch_size, : lengths[ridx]] = \
+                token_rows[ridx]
+        pidx = np.asarray(padded)
+        starts = window_starts[pidx].astype(np.int32).reshape(
+            n_blocks, batch_size)
+        ends = window_ends[pidx].astype(np.int32).reshape(
+            n_blocks, batch_size)
+        tids = fusion_row_tables[pidx].astype(np.int32).reshape(
+            n_blocks, batch_size)
+        if n_blocks == 1:
+            # single block: no padding rows (small assays stay cheap)
+            k = len(idxs)
+            call = (jnp.asarray(rows[0, :k]), jnp.asarray(starts[0, :k]),
+                    jnp.asarray(ends[0, :k]), fargs, pad,
+                    jnp.asarray(tids[0, :k]))
+            lls = (block_loglik(params, *call) if params is not None
+                   else block_loglik(*call))
+            lls_flat_shape = k
         else:
-            lls = block_loglik(*call_args)
-        pending.append((blk_idx, lls))  # async dispatch; no host sync here
-        i = j
-    for blk_idx, lls in pending:
-        out[blk_idx] = np.asarray(lls)[: len(blk_idx)]
+            call = (jnp.asarray(rows), jnp.asarray(starts),
+                    jnp.asarray(ends), fargs, pad, jnp.asarray(tids))
+            lls = (block_map(params, *call) if params is not None
+                   else block_map(*call))
+            lls_flat_shape = n_blocks * batch_size
+        pending.append((np.asarray(idxs), lls, lls_flat_shape))
+    for idxs, lls, flat in pending:
+        out[idxs] = np.asarray(lls).reshape(flat)[: len(idxs)]
     return out
 
 
