@@ -394,7 +394,7 @@ CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
-    "s3f", "prosst", "carp", "saprot", "mulan",
+    "s3f", "prosst", "carp", "saprot", "mulan", "vespag",
 }
 
 
@@ -558,6 +558,15 @@ def cmd_convert(args) -> int:
         config = m.STRUCTURE_ENCODER_PRESETS.get(preset) \
             or m.STRUCTURE_ENCODER_PRESETS["esm3_structure_encoder"]
         params = m.convert_structure_encoder_state_dict(sd(), config)
+    elif fam == "vespag":
+        # self-describing: architecture (fnn/cnn/combined) is detected from
+        # the state_dict key layout (the published state_dict_v2.pt is the
+        # default FNN, ref vespag/utils/utils.py:17-21); preset is recorded
+        # but unused
+        from proteingym_tpu.models import vespag as m
+
+        params = m.convert_torch_state_dict(sd())
+        config = m.VespagArchConfig(arch=params.pop("arch"))
     elif fam == "eve":
         # self-describing checkpoint: the reference save dict carries the
         # encoder/decoder hyperparameters (ref VAE_model.py:356-364), so the

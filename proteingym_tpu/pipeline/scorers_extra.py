@@ -591,6 +591,35 @@ def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
     from proteingym_tpu.models.protssn import esm_embeddings
     from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
 
+    # converted-checkpoint path: the real VespaG head (pgym convert
+    # --family vespag on the published state_dict_v2.pt) over PLM
+    # embeddings, scored with the reference predict semantics
+    # (masked landscape + summed y[pos][to] + sigmoid)
+    ckpt = ctx.checkpoint
+    if ckpt and (Path(ckpt) / "params").exists():
+        import json as _json
+
+        from proteingym_tpu.pipeline.checkpoints import restore_pytree
+
+        params = restore_pytree(Path(ckpt) / "params")
+        meta = {}
+        cfg_file = Path(ckpt) / "config.json"
+        if cfg_file.exists():
+            meta = _json.loads(cfg_file.read_text())
+        params["arch"] = meta.get("arch", "fnn")
+        esm_params, esm_config = load_esm_checkpoint(
+            ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
+        )
+        wt = ctx.record.target_seq
+        emb = np.asarray(esm_embeddings(esm_params, esm_config, wt))
+        table = np.asarray(vespag_mod.apply(params, emb))
+        scores = vespag_mod.score_mutants_reference(
+            table, wt, ctx.dms_frame["mutant"].tolist(),
+            normalize=str(ctx.extra.get("normalize", "1")) not in
+            ("0", "false", "False"),
+        )
+        return _with_column(ctx, "VespaG_score", scores)
+
     msa = ctx.load_msa()
     teacher = gemme_mod.fit_gemme(msa.matrix, msa.weights)
     esm_params, esm_config = load_esm_checkpoint(

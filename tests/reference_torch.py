@@ -797,3 +797,17 @@ def load_ref_mulan():
     import importlib
 
     return importlib.import_module("mulan.model")
+
+
+def load_ref_vespag():
+    """Vendored VespaG models (plain torch + jaxtyping; ref
+    baselines/vespag/vespag/models/). The parent ``vespag`` package pulls
+    in polars (absent); mount only the models subpackage."""
+    if "refvespag.models" in sys.modules:
+        return sys.modules["refvespag.models"]
+    import importlib
+
+    pkg = types.ModuleType("refvespag")
+    pkg.__path__ = [str(REF / "vespag" / "vespag")]
+    sys.modules["refvespag"] = pkg
+    return importlib.import_module("refvespag.models")
