@@ -1,0 +1,224 @@
+"""Cross-assay packed masked-marginal scoring.
+
+The reference scores one assay per process (SLURM array over --DMS_index,
+ref proteingym/baselines/esm/compute_fitness.py:128-131) and its
+masked-marginal hot loop runs L forwards per assay (:489-504). Our
+per-assay harness (models/esm_scoring.py) already batches those forwards,
+but it still dispatches each assay's table separately: partial chunks and
+per-assay row padding are wasted compute, and each (length-bucket, assay)
+pair pays its own dispatch tail.
+
+Masked-marginal rows are INDEPENDENT across assays — a row is fully
+described by (source tokens, masked offset). This module flattens the rows
+of many assays into one work queue, groups them by row length (the only
+shape that matters to the compiled program), and streams fixed-shape
+super-chunks through one jitted kernel per row-length bucket:
+
+  - short sequences (T <= window): the row is the assay's padded token
+    vector with one position masked; rows from every assay in the same
+    length bucket share forward batches, so the only padded-row waste is
+    the final partial super-chunk of the whole GROUP, not of each assay.
+  - long sequences (T > window): each masked position is scored inside its
+    optimal ``window``-token slice (same math as ref :492-495); all long
+    assays share the window-length bucket the same way.
+
+Kernel shape: rows are built ON DEVICE from a stacked (S, T_bucket) token
+matrix — each work item is (seq_id, start, offset) — so a dispatch ships
+three small int vectors, not (rows, T) token tensors. ``lax.map`` over a
+fixed (K, chunk) grid keeps one device program per super-chunk with zero
+host round-trips in between; compile keys are (T_bucket, S_pad, K, chunk),
+all bucketed, so a 217-assay production sweep compiles a handful of
+programs total.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict, defaultdict
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from proteingym_tpu.data.mutants import is_wt_row
+from proteingym_tpu.data.windows import get_optimal_window
+from proteingym_tpu.models.esm2 import ALPHABET, EsmAlphabet
+from proteingym_tpu.models.esm_scoring import score_mutants_from_table
+
+# bounded cache of jitted packed kernels, keyed on (apply_fn, row_len)
+_KERNEL_CACHE_MAX = 32
+_KERNEL_CACHE: "OrderedDict" = OrderedDict()
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _packed_kernel(apply_fn: Callable, row_len: int):
+    """Jitted (params, stacked, sids, starts, offs, mask_val) -> (K*chunk, V).
+
+    stacked: (S, T_b) int tokens; sids/starts/offs: (K, chunk) int32.
+    Each work item's row is stacked[sid][start : start + row_len] with
+    position ``off`` replaced by the mask token; the output row is the
+    f32 log-softmax of the model's logits at that masked offset.
+    """
+    key = (apply_fn, row_len)
+    if key in _KERNEL_CACHE:
+        _KERNEL_CACHE.move_to_end(key)
+        return _KERNEL_CACHE[key]
+
+    from proteingym_tpu.ops.gather_logprobs import row_log_softmax_gather
+
+    @jax.jit
+    def wrapped(params, stacked, sids, starts, offs, mask_val):
+        def body(args):
+            sid, st, off = args
+
+            def cut(s_, t_, o_):
+                row = jax.lax.dynamic_slice(stacked[s_], (t_,), (row_len,))
+                return row.at[o_].set(mask_val)
+
+            rows = jax.vmap(cut)(sid, st, off)
+            return row_log_softmax_gather(apply_fn(params, rows), off)
+
+        out = jax.lax.map(body, (sids, starts, offs))  # (K, chunk, V)
+        return out.reshape(-1, out.shape[-1])
+
+    _KERNEL_CACHE[key] = wrapped
+    while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
+        _KERNEL_CACHE.popitem(last=False)
+    return wrapped
+
+
+def packed_masked_marginal_tables(
+    apply_fn: Callable,
+    params,
+    token_list: Sequence[np.ndarray],
+    mask_idx: Optional[int] = None,
+    pad_idx: Optional[int] = None,
+    chunk: int = 32,
+    super_chunks: int = 8,
+    window: int = 1024,
+    pad_to_multiple: int = 32,
+    seqs_pad: int = 8,
+) -> List[np.ndarray]:
+    """Build every assay's (T_i, V) masked-marginal log-prob table in
+    shared cross-assay forward batches.
+
+    token_list: per-assay token vectors (cls + seq + eos, unpadded).
+    Returns one (T_i, V) float32 table per input, bit-identical (up to
+    attention-mask float noise) to models/esm_scoring.masked_marginal_table
+    run per assay.
+    """
+    mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
+    pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
+    n_assays = len(token_list)
+    lengths = [int(np.asarray(t).shape[0]) for t in token_list]
+
+    # --- group work by row-length bucket ---------------------------------
+    # short seqs: bucket = round_up(T, pad_to_multiple); long seqs: window
+    groups: Dict[int, dict] = defaultdict(
+        lambda: {"seqs": [], "items": []}  # items: (assay, sid, start, off)
+    )
+    for a, toks in enumerate(token_list):
+        toks = np.asarray(toks)
+        total = lengths[a]
+        if total <= window:
+            row_len = min(_round_up(total, pad_to_multiple), window)
+            g = groups[row_len]
+            sid = len(g["seqs"])
+            padded = np.concatenate(
+                [toks, np.full(row_len - total, pad_idx, toks.dtype)]
+            )
+            g["seqs"].append(padded)
+            for off in range(total):
+                g["items"].append((a, sid, 0, off))
+        else:
+            g = groups[window]
+            sid = len(g["seqs"])
+            t_pad = _round_up(total, pad_to_multiple)
+            padded = np.concatenate(
+                [toks, np.full(t_pad - total, pad_idx, toks.dtype)]
+            )
+            g["seqs"].append(padded)
+            for i in range(total):
+                start, _end = get_optimal_window(i, total, window)
+                g["items"].append((a, sid, start, i - start))
+
+    tables = [None] * n_assays
+    vocab = None
+    for row_len, g in sorted(groups.items()):
+        # stack sources, padding the per-seq length to the group max and
+        # the seq COUNT to a bucket so compile keys stay bounded
+        t_max = max(s.shape[0] for s in g["seqs"])
+        t_max = max(t_max, row_len)
+        s_pad = _round_up(len(g["seqs"]), seqs_pad)
+        stacked = np.full((s_pad, t_max), pad_idx, g["seqs"][0].dtype)
+        for i, s in enumerate(g["seqs"]):
+            stacked[i, : s.shape[0]] = s
+
+        items = np.asarray(g["items"], dtype=np.int32)  # (N, 4)
+        n = items.shape[0]
+        per_dispatch = super_chunks * chunk
+        n_pad = _round_up(n, per_dispatch)
+        if n_pad != n:
+            pad_rows = np.zeros((n_pad - n, 4), np.int32)
+            items = np.concatenate([items, pad_rows])
+        sids = items[:, 1].reshape(-1, super_chunks, chunk)
+        starts = items[:, 2].reshape(-1, super_chunks, chunk)
+        offs = items[:, 3].reshape(-1, super_chunks, chunk)
+
+        kernel = _packed_kernel(apply_fn, row_len)
+        stacked_j = jnp.asarray(stacked)
+        mask_j = jnp.asarray(mask_idx, stacked.dtype)
+        outs = []
+        for d in range(sids.shape[0]):
+            outs.append(kernel(
+                params, stacked_j, jnp.asarray(sids[d]),
+                jnp.asarray(starts[d]), jnp.asarray(offs[d]), mask_j,
+            ))
+        out = np.asarray(jnp.concatenate(outs, axis=0)[:n])
+        vocab = out.shape[-1]
+
+        # scatter back into per-assay tables
+        assay_ids = np.asarray([it[0] for it in g["items"]], np.int32)
+        table_pos = np.asarray(
+            [it[2] + it[3] for it in g["items"]], np.int32
+        )
+        for a in np.unique(assay_ids):
+            sel = assay_ids == a
+            tab = np.zeros((lengths[a], vocab), np.float32)
+            tab[table_pos[sel]] = out[sel]
+            tables[a] = tab
+    return tables
+
+
+def score_assays_packed(
+    apply_fn: Callable,
+    params,
+    assays: Sequence[Tuple[str, Sequence[str]]],
+    alphabet: EsmAlphabet = ALPHABET,
+    offset_idx: int = 1,
+    chunk: int = 32,
+    super_chunks: int = 8,
+    window: int = 1024,
+    pad_to_multiple: int = 32,
+) -> List[np.ndarray]:
+    """Masked-marginal scoring of many (sequence, mutants) assays with
+    cross-assay row packing. Per-assay scores match
+    models/esm_scoring.score_assay(strategy='masked-marginals').
+    """
+    token_list = [alphabet.tokenize(seq) for seq, _ in assays]
+    tables = packed_masked_marginal_tables(
+        apply_fn, params, token_list,
+        mask_idx=alphabet.mask_idx, pad_idx=alphabet.padding_idx,
+        chunk=chunk, super_chunks=super_chunks, window=window,
+        pad_to_multiple=pad_to_multiple,
+    )
+    return [
+        np.asarray(score_mutants_from_table(
+            jnp.asarray(tables[i]), mutants, seq,
+            offset_idx=offset_idx, alphabet=alphabet,
+        ))
+        for i, (seq, mutants) in enumerate(assays)
+    ]

@@ -1,0 +1,99 @@
+"""Cross-assay packed masked-marginal scoring == per-assay harness."""
+
+import numpy as np
+import jax
+import pytest
+
+from proteingym_tpu.models.esm2 import (
+    ALPHABET, EsmConfig, init_params, make_apply_fn,
+)
+from proteingym_tpu.models.esm_scoring import (
+    masked_marginal_table, score_assay,
+)
+from proteingym_tpu.models.packed_scoring import (
+    packed_masked_marginal_tables, score_assays_packed,
+)
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def _mk_model():
+    cfg = EsmConfig(name="esm2_tiny", num_layers=2, embed_dim=64,
+                    num_heads=4, dtype=np.float32, max_positions=64)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params, make_apply_fn(cfg)
+
+
+def _synth(seq_len, seed, n_mut=25):
+    rs = np.random.RandomState(seed)
+    seq = "".join(AA[i] for i in rs.randint(0, 20, seq_len))
+    mutants = []
+    for _ in range(n_mut):
+        p = rs.randint(0, seq_len)
+        m = AA[rs.randint(0, 20)]
+        if m != seq[p]:
+            mutants.append(f"{seq[p]}{p + 1}{m}")
+    return seq, mutants
+
+
+def test_packed_tables_match_per_assay_short():
+    cfg, params, apply_fn = _mk_model()
+    seqs = [_synth(n, s)[0] for n, s in [(11, 0), (19, 1), (13, 2), (30, 3)]]
+    toks = [ALPHABET.tokenize(s) for s in seqs]
+    packed = packed_masked_marginal_tables(
+        apply_fn, params, toks, chunk=4, super_chunks=2,
+        pad_to_multiple=8, window=40,
+    )
+    for t, tab in zip(toks, packed):
+        ref = np.asarray(masked_marginal_table(
+            apply_fn, t, chunk=4, params=params, pad_to_multiple=8,
+            window=40,
+        ))
+        np.testing.assert_allclose(tab, ref, atol=1e-5)
+
+
+def test_packed_tables_match_per_assay_long_window():
+    cfg, params, apply_fn = _mk_model()
+    # window=24 forces the optimal-window path for the L=40 sequence while
+    # the short ones pack into their own buckets
+    seqs = [_synth(40, 4)[0], _synth(12, 5)[0], _synth(38, 6)[0]]
+    toks = [ALPHABET.tokenize(s) for s in seqs]
+    packed = packed_masked_marginal_tables(
+        apply_fn, params, toks, chunk=4, super_chunks=2,
+        pad_to_multiple=8, window=24,
+    )
+    for t, tab in zip(toks, packed):
+        ref = np.asarray(masked_marginal_table(
+            apply_fn, t, chunk=4, params=params, pad_to_multiple=8,
+            window=24,
+        ))
+        np.testing.assert_allclose(tab, ref, atol=1e-5)
+
+
+def test_score_assays_packed_matches_score_assay():
+    cfg, params, apply_fn = _mk_model()
+    assays = [_synth(n, s) for n, s in [(14, 7), (22, 8), (14, 9)]]
+    packed_scores = score_assays_packed(
+        apply_fn, params, assays, chunk=4, super_chunks=2,
+        pad_to_multiple=8, window=40,
+    )
+    for (seq, mutants), got in zip(assays, packed_scores):
+        ref = score_assay(
+            None, seq, mutants, strategy="masked-marginals", chunk=4,
+            window=40, params=params, apply_fn=apply_fn, pad_to_multiple=8,
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_packed_single_assay_degenerate():
+    cfg, params, apply_fn = _mk_model()
+    seq, mutants = _synth(17, 10)
+    got = score_assays_packed(
+        apply_fn, params, [(seq, mutants)], chunk=4, super_chunks=2,
+        pad_to_multiple=8, window=40,
+    )[0]
+    ref = score_assay(
+        None, seq, mutants, strategy="masked-marginals", chunk=4,
+        window=40, params=params, apply_fn=apply_fn, pad_to_multiple=8,
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
