@@ -394,7 +394,8 @@ CONVERTERS = {
     "esm", "msa_transformer", "esmc", "tranception", "poet",
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
-    "s3f", "prosst", "carp", "saprot", "mulan", "vespag",
+    "s3f", "prosst", "prosst_quantizer", "carp", "saprot", "mulan",
+    "vespag",
 }
 
 
@@ -558,6 +559,16 @@ def cmd_convert(args) -> int:
         config = m.STRUCTURE_ENCODER_PRESETS.get(preset) \
             or m.STRUCTURE_ENCODER_PRESETS["esm3_structure_encoder"]
         params = m.convert_structure_encoder_state_dict(sd(), config)
+    elif fam == "prosst_quantizer":
+        # the structure-token GVP encoder (published AE.pt,
+        # ref prosst/structure/quantizer.py:523-531); k-means centroids
+        # ride separately as .npy/.joblib via the scorer's
+        # --extra quantizer_centroids=
+        from proteingym_tpu.models import prosst_quantizer as m
+
+        state = sd()
+        config = m.config_from_state_dict(state)
+        params = m.convert_torch_state_dict(state, config)
     elif fam == "vespag":
         # self-describing: architecture (fnn/cnn/combined) is detected from
         # the state_dict key layout (the published state_dict_v2.pt is the

@@ -915,6 +915,50 @@ def score_prosst(ctx: ScoreContext) -> pd.DataFrame:
             if f.exists():
                 struct_tokens = prosst_mod.read_structure_sequence_fasta(f)
                 break
+    if struct_tokens is None and ctx.extra.get("quantizer_dir"):
+        # the real ProSST pipeline: GVP AutoGraphEncoder (pgym convert
+        # --family prosst_quantizer on the published AE.pt) + k-means
+        # centroids (sklearn joblib or .npy) over the PDB backbone
+        from proteingym_tpu.models import prosst_quantizer as pq
+        from proteingym_tpu.pipeline.checkpoints import restore_pytree
+
+        qdir = Path(str(ctx.extra["quantizer_dir"]))
+        qparams = restore_pytree(qdir / "params")
+        qcfg = pq.AutoGraphEncoderConfig()
+        qcfg_file = qdir / "config.json"
+        if qcfg_file.exists():
+            import dataclasses as _dc
+            import json as _json
+
+            meta = _json.loads(qcfg_file.read_text())
+            fields = {f.name for f in _dc.fields(pq.AutoGraphEncoderConfig)}
+            kw = {k: (tuple(v) if isinstance(v, list) else v)
+                  for k, v in meta.items() if k in fields}
+            if kw:
+                qcfg = pq.AutoGraphEncoderConfig(**kw)
+        cents = ctx.extra.get("quantizer_centroids")
+        if cents is None:
+            for cand in (qdir / f"{k_states}.npy", qdir / "centroids.npy"):
+                if cand.exists():
+                    cents = cand
+                    break
+        if cents is None:
+            raise FileNotFoundError(
+                "prosst quantizer_dir given but no centroids found; pass "
+                "--extra quantizer_centroids=<K.npy|K.joblib>"
+            )
+        cents = str(cents)
+        if cents.endswith(".joblib"):
+            import joblib
+
+            km = joblib.load(cents)
+            centroids = np.asarray(km.cluster_centers_, np.float32)
+        else:
+            centroids = np.load(cents)
+        coords = _load_structure(ctx)
+        struct_tokens = pq.structure_tokens_from_coords(
+            coords, qparams, qcfg, centroids
+        )
     if struct_tokens is None:
         from proteingym_tpu.models.prosst import structure_token_ids
 

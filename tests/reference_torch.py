@@ -811,3 +811,183 @@ def load_ref_vespag():
     pkg.__path__ = [str(REF / "vespag" / "vespag")]
     sys.modules["refvespag"] = pkg
     return importlib.import_module("refvespag.models")
+
+
+def _stub_torch_scatter():
+    """torch_scatter used by the ProSST quantizer/encoder for mean/sum/max
+    pooling only."""
+    if "torch_scatter" in sys.modules:
+        return
+    import torch
+
+    def _zeros(src, index, dim_size):
+        n = int(dim_size) if dim_size is not None else int(index.max()) + 1
+        return torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
+
+    def scatter_add(src, index, dim=0, dim_size=None):
+        out = _zeros(src, index, dim_size)
+        out.index_add_(0, index, src)
+        return out
+
+    def scatter_sum(src, index, dim=0, dim_size=None):
+        return scatter_add(src, index, dim, dim_size)
+
+    def scatter_mean(src, index, dim=0, dim_size=None):
+        out = scatter_add(src, index, dim, dim_size)
+        cnt = torch.zeros(out.shape[0], dtype=src.dtype)
+        cnt.index_add_(0, index, torch.ones(len(index), dtype=src.dtype))
+        return out / cnt.clamp(min=1).view(-1, *([1] * (src.dim() - 1)))
+
+    def scatter_max(src, index, dim=0, dim_size=None):
+        n = int(dim_size) if dim_size is not None else int(index.max()) + 1
+        out = torch.full((n,) + src.shape[1:], float("-inf"),
+                         dtype=src.dtype)
+        arg = torch.zeros((n,) + src.shape[1:], dtype=torch.long)
+        for i in range(len(index)):
+            m = src[i] > out[index[i]]
+            out[index[i]][m] = src[i][m]
+            arg[index[i]][m] = i
+        return out, arg
+
+    ts = types.ModuleType("torch_scatter")
+    ts.scatter_add = scatter_add
+    ts.scatter_sum = scatter_sum
+    ts.scatter_mean = scatter_mean
+    ts.scatter_max = scatter_max
+    sys.modules["torch_scatter"] = ts
+
+
+def _stub_pathos():
+    """pathos.threading.ThreadPool -> serial map (tests are tiny)."""
+    if "pathos" in sys.modules:
+        return
+
+    class ThreadPool:
+        def __init__(self, *a, **k):
+            pass
+
+        def imap(self, fn, data):
+            return map(fn, data)
+
+        def map(self, fn, data):
+            return [fn(d) for d in data]
+
+    pathos = types.ModuleType("pathos")
+    threading = types.ModuleType("pathos.threading")
+    threading.ThreadPool = ThreadPool
+    pathos.threading = threading
+    sys.modules["pathos"] = pathos
+    sys.modules["pathos.threading"] = threading
+
+
+def _stub_bio_pdb():
+    """Minimal Bio.PDB parser for the fixed-format ATOM records our tests
+    write, plus Bio.SeqUtils.seq1 (the quantizer's only Bio surface)."""
+    if "Bio.PDB" in sys.modules:
+        return
+    import numpy as np
+
+    _3to1 = {
+        "ALA": "A", "CYS": "C", "ASP": "D", "GLU": "E", "PHE": "F",
+        "GLY": "G", "HIS": "H", "ILE": "I", "LYS": "K", "LEU": "L",
+        "MET": "M", "ASN": "N", "PRO": "P", "GLN": "Q", "ARG": "R",
+        "SER": "S", "THR": "T", "VAL": "V", "TRP": "W", "TYR": "Y",
+    }
+
+    class _Atom:
+        def __init__(self, coord):
+            self.coord = np.asarray(coord, dtype=np.float32)
+
+        def get_coord(self):
+            return self.coord
+
+    class _Residue:
+        def __init__(self, resname, num):
+            self.resname = resname
+            self.num = num
+            self.atoms = {}
+
+        def get_id(self):
+            return (" ", self.num, " ")
+
+        def get_resname(self):
+            return self.resname
+
+        def __getitem__(self, name):
+            return self.atoms[name]
+
+    class _Chain(list):
+        pass
+
+    class _Model(list):
+        pass
+
+    class _Structure:
+        def __init__(self, models):
+            self.models = models
+
+        def __getitem__(self, i):
+            return self.models[i]
+
+        def __iter__(self):
+            return iter(self.models)
+
+    class PDBParser:
+        def __init__(self, QUIET=True):
+            pass
+
+        def get_structure(self, name, path):
+            residues = {}
+            order = []
+            for line in open(path):
+                if not line.startswith("ATOM"):
+                    continue
+                atom = line[12:16].strip()
+                resname = line[17:20].strip()
+                resnum = int(line[22:26])
+                x = float(line[30:38])
+                y = float(line[38:46])
+                z = float(line[46:54])
+                if resnum not in residues:
+                    residues[resnum] = _Residue(resname, resnum)
+                    order.append(resnum)
+                residues[resnum].atoms[atom] = _Atom([x, y, z])
+            chain = _Chain(residues[i] for i in order)
+            return _Structure([_Model([chain])])
+
+    bio = sys.modules.get("Bio") or types.ModuleType("Bio")
+    pdb_mod = types.ModuleType("Bio.PDB")
+    pdb_mod.PDBParser = PDBParser
+    sequtils = types.ModuleType("Bio.SeqUtils")
+    sequtils.seq1 = lambda r: _3to1.get(r, "X")
+    bio.PDB = pdb_mod
+    bio.SeqUtils = sequtils
+    sys.modules["Bio"] = bio
+    sys.modules["Bio.PDB"] = pdb_mod
+    sys.modules["Bio.SeqUtils"] = sequtils
+
+
+def load_ref_prosst_quantizer():
+    """Vendored ProSST structure quantizer + AutoGraphEncoder
+    (ref prosst/prosst/structure/): mounted as a synthetic package with
+    torch_geometric/torch_scatter/Bio/biotite/pathos stubbed."""
+    if "refprosst.structure.quantizer" in sys.modules:
+        return sys.modules["refprosst.structure.quantizer"]
+    _stub_torch_geometric()
+    _stub_torch_scatter()
+    _stub_pathos()
+    _stub_bio_pdb()
+    _stub_biotite()
+    import importlib
+
+    import torch_geometric.data as tgd
+
+    if not hasattr(tgd, "Batch"):
+        tgd.Batch = tgd.Data
+    pkg = types.ModuleType("refprosst")
+    pkg.__path__ = [str(REF / "prosst" / "prosst")]
+    sys.modules["refprosst"] = pkg
+    sub = types.ModuleType("refprosst.structure")
+    sub.__path__ = [str(REF / "prosst" / "prosst" / "structure")]
+    sys.modules["refprosst.structure"] = sub
+    return importlib.import_module("refprosst.structure.quantizer")
