@@ -101,6 +101,7 @@ def packed_masked_marginal_tables(
     window: int = 1024,
     pad_to_multiple: int = 32,
     seqs_pad: int = 8,
+    buckets: Optional[Sequence[int]] = None,
 ) -> List[np.ndarray]:
     """Build every assay's (T_i, V) masked-marginal log-prob table in
     shared cross-assay forward batches.
@@ -109,6 +110,12 @@ def packed_masked_marginal_tables(
     Returns one (T_i, V) float32 table per input, bit-identical (up to
     attention-mask float noise) to models/esm_scoring.masked_marginal_table
     run per assay.
+
+    ``buckets``: optional explicit row-length ladder (e.g. (160, 256, 512,
+    1024)) — MXU/attention efficiency on TPU is strongly shape-dependent
+    (measured on v5e: a T=448 forward runs at ~0.33 MFU vs ~0.50 at
+    T=256), so snapping to a few known-good lengths can beat minimal
+    padding. Falls back to round_up(pad_to_multiple) above the ladder.
     """
     mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
     pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
@@ -120,11 +127,18 @@ def packed_masked_marginal_tables(
     groups: Dict[int, dict] = defaultdict(
         lambda: {"seqs": [], "items": []}  # items: (assay, sid, start, off)
     )
+    def bucket_of(total: int) -> int:
+        if buckets:
+            for b in sorted(buckets):
+                if b >= total:
+                    return min(b, window)
+        return min(_round_up(total, pad_to_multiple), window)
+
     for a, toks in enumerate(token_list):
         toks = np.asarray(toks)
         total = lengths[a]
         if total <= window:
-            row_len = min(_round_up(total, pad_to_multiple), window)
+            row_len = bucket_of(total)
             g = groups[row_len]
             sid = len(g["seqs"])
             padded = np.concatenate(
@@ -203,6 +217,7 @@ def score_assays_packed(
     super_chunks: int = 8,
     window: int = 1024,
     pad_to_multiple: int = 32,
+    buckets: Optional[Sequence[int]] = None,
 ) -> List[np.ndarray]:
     """Masked-marginal scoring of many (sequence, mutants) assays with
     cross-assay row packing. Per-assay scores match
@@ -213,7 +228,7 @@ def score_assays_packed(
         apply_fn, params, token_list,
         mask_idx=alphabet.mask_idx, pad_idx=alphabet.padding_idx,
         chunk=chunk, super_chunks=super_chunks, window=window,
-        pad_to_multiple=pad_to_multiple,
+        pad_to_multiple=pad_to_multiple, buckets=buckets,
     )
     return [
         np.asarray(score_mutants_from_table(

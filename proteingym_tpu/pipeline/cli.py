@@ -83,6 +83,12 @@ def cmd_score(args) -> int:
         else contextlib.nullcontext()
     )
 
+    if getattr(args, "packed", False):
+        return _cmd_score_packed(
+            args, records, output_dir, log, manifest, throughput,
+            profile_ctx,
+        )
+
     failures = 0
     with profile_ctx:
         for rec in records:
@@ -143,6 +149,59 @@ def cmd_score(args) -> int:
     if throughput.total_mutants:
         log.emit("throughput_summary", **throughput.summary())
     return 1 if failures else 0
+
+
+def _cmd_score_packed(args, records, output_dir, log, manifest,
+                      throughput, profile_ctx) -> int:
+    """Cross-assay packed scoring: all pending assays' masked rows share
+    forward batches (pgym score --packed, ESM masked-marginals only)."""
+    from proteingym_tpu.pipeline.scorers import score_esm_packed_batch
+
+    if args.model != "esm":
+        print("--packed currently supports --model esm")
+        return 2
+    tasks = []
+    for rec in records:
+        task = f"{args.model}/{rec.DMS_id}"
+        out_path = output_dir / f"{rec.DMS_id}.csv"
+        if manifest.is_done(task) and out_path.exists() and not args.overwrite:
+            log.emit("task_skipped", task=task)
+            continue
+        dms_path = Path(args.dms_dir) / (rec.DMS_filename or f"{rec.DMS_id}.csv")
+        if not dms_path.exists():
+            log.emit("task_missing_input", task=task, path=str(dms_path))
+            continue
+        try:
+            tasks.append((rec, pd.read_csv(dms_path)))
+        except Exception as e:  # noqa: BLE001 — per-assay input isolation
+            manifest.mark_failed(task, error=repr(e))
+            log.emit("task_failed", task=task, error=repr(e))
+    if not tasks:
+        return 0
+    n_total = sum(len(f) for _, f in tasks)
+    try:
+        with profile_ctx, \
+                log.phase("score_packed", n_assays=len(tasks),
+                          n_mutants=n_total), \
+                throughput.measure(n_total, label=f"packed/{len(tasks)}"):
+            outputs = score_esm_packed_batch(
+                tasks, args.checkpoint, batch_size=args.batch_size,
+                extra=_parse_extra(args.extra),
+            )
+    except Exception as e:  # noqa: BLE001 — batch-level failure
+        for rec, _ in tasks:
+            manifest.mark_failed(f"{args.model}/{rec.DMS_id}", error=repr(e))
+        log.emit("task_failed", task="packed_batch", error=repr(e))
+        if args.fail_fast:
+            raise
+        return 1
+    for rec, _ in tasks:
+        df = outputs[rec.DMS_id]
+        df.to_csv(output_dir / f"{rec.DMS_id}.csv", index=False)
+        manifest.mark_done(f"{args.model}/{rec.DMS_id}", rows=len(df))
+    if throughput.total_mutants:
+        log.emit("throughput_summary", **throughput.summary())
+    return 0
 
 
 def cmd_merge(args) -> int:
@@ -639,6 +698,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--profile-dir", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the "
                         "scoring run (TensorBoard-compatible)")
+    s.add_argument("--packed", action="store_true",
+                   help="cross-assay packed scoring: masked rows from all "
+                        "selected assays share forward batches (ESM "
+                        "masked-marginals; the production throughput path)")
     s.add_argument("--overwrite", action="store_true")
     s.add_argument("--fail-fast", action="store_true")
     s.add_argument("--quiet", action="store_true")

@@ -524,6 +524,46 @@ def score_esm(ctx: ScoreContext) -> pd.DataFrame:
     return out
 
 
+def score_esm_packed_batch(
+    tasks, checkpoint: Optional[str], batch_size: int = 32,
+    extra: Optional[dict] = None,
+) -> Dict[str, pd.DataFrame]:
+    """Cross-assay packed ESM masked-marginal scoring.
+
+    tasks: list of (AssayRecord, dms_frame). All assays' masked rows are
+    flattened into shared forward batches (models/packed_scoring.py) —
+    the production fast path behind ``pgym score --packed``. Scores are
+    identical to the per-assay scorer; only the batching changes.
+    """
+    from proteingym_tpu.models import esm2 as esm_mod
+    from proteingym_tpu.models.packed_scoring import score_assays_packed
+    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+
+    extra = extra or {}
+    if extra.get("ensemble") or extra.get("mesh"):
+        raise ValueError(
+            "--packed does not combine with ensemble/mesh scoring; run "
+            "those per-assay"
+        )
+    if extra.get("scoring_strategy", "masked-marginals") != "masked-marginals":
+        raise ValueError("--packed supports masked-marginals only")
+    params, config = load_esm_checkpoint(checkpoint)
+    apply_fn = esm_mod.make_apply_fn(config)
+    assays = [
+        (rec.target_seq, frame["mutant"].tolist()) for rec, frame in tasks
+    ]
+    scores = score_assays_packed(
+        apply_fn, params, assays, chunk=batch_size,
+        window=config.max_positions,
+    )
+    out = {}
+    for (rec, frame), s in zip(tasks, scores):
+        df = frame.copy()
+        df[f"{config.name}_score"] = s
+        out[rec.DMS_id] = df
+    return out
+
+
 @register_scorer("msa_transformer")
 def score_msa_transformer(ctx: ScoreContext) -> pd.DataFrame:
     """MSA Transformer ensemble masked-marginals

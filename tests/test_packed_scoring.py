@@ -97,3 +97,40 @@ def test_packed_single_assay_degenerate():
         window=40, params=params, apply_fn=apply_fn, pad_to_multiple=8,
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_cli_packed_scoring_matches_per_assay(tmp_path):
+    """pgym score --packed == per-assay scoring, through the real CLI."""
+    import pandas as pd
+
+    from proteingym_tpu.pipeline.cli import main
+
+    rs = np.random.RandomState(11)
+    world = tmp_path / "world"
+    (world / "dms").mkdir(parents=True)
+    rows = []
+    for i, L in enumerate((12, 19, 12)):
+        seq = "".join(AA[j] for j in rs.randint(0, 20, L))
+        muts = [f"{seq[p]}{p + 1}{'A' if seq[p] != 'A' else 'C'}"
+                for p in range(L)]
+        pd.DataFrame({"mutant": muts}).to_csv(
+            world / "dms" / f"P{i}.csv", index=False)
+        rows.append({"DMS_id": f"P{i}", "DMS_filename": f"P{i}.csv",
+                     "UniProt_ID": f"UP{i}", "target_seq": seq,
+                     "seq_len": L})
+    pd.DataFrame(rows).to_csv(world / "ref.csv", index=False)
+
+    common = ["--model", "esm", "--dms-reference", str(world / "ref.csv"),
+              "--dms-dir", str(world / "dms"),
+              "--checkpoint", "esm2_tiny", "--batch-size", "4", "--quiet"]
+    rc = main(["score", *common, "--output-dir", str(world / "per_assay")])
+    assert rc == 0
+    rc = main(["score", *common, "--packed",
+               "--output-dir", str(world / "packed")])
+    assert rc == 0
+    for i in range(3):
+        a = pd.read_csv(world / "per_assay" / f"P{i}.csv")
+        b = pd.read_csv(world / "packed" / f"P{i}.csv")
+        col = [c for c in a.columns if c.endswith("_score")][0]
+        np.testing.assert_allclose(b[col].to_numpy(), a[col].to_numpy(),
+                                   atol=1e-4)
