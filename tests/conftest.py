@@ -33,3 +33,76 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+# ---------------------------------------------------------------------------
+# Test tiering: `pytest -m "not slow"` is the fast development tier
+# (<10 min); the full suite (default) adds the vendored-torch parity and
+# training-loop tests. The list is curated from --durations of a full run
+# (tests >= ~12 s); spine + kernel coverage stays in the fast tier.
+# ---------------------------------------------------------------------------
+
+_SLOW_NODE_PATTERNS = [
+    "test_scorer_smoke[proteinnpt]",
+    "test_scorer_smoke[wavenet]",
+    "test_scorer_smoke[kermut]",
+    "test_scorer_smoke[s2f]",
+    "test_scorer_smoke[protssn]",
+    "test_scorer_smoke[aido]",
+    "test_scorer_smoke[saprot]",
+    "test_scorer_smoke[protgpt2]",
+    "test_scorer_smoke[siterm]",
+    "test_scorer_smoke[protein_mpnn]",
+    "test_scorer_smoke[esm_if1]",
+    "test_scorer_smoke[progen2]",
+    "test_scorer_smoke[esm3]",
+    "test_scorer_smoke[mulan]",
+    "test_scorer_smoke[embeddings_ridge]",
+    "test_scorer_smoke[trancepteve]",
+    "test_scorer_smoke[deepsequence]",
+    "test_scorer_smoke[eve]",
+    "test_scorer_smoke[mif_st]",
+    "test_scorer_smoke[mif]",
+    "test_scorer_smoke[msa_transformer]",
+    "test_scorer_smoke[rita]",
+    "test_supervised_baselines.py::TestProteinNpt",
+    "test_supervised_baselines.py::TestRidge::test_recovers_linear_signal",
+    "test_eve.py::test_training_reduces_loss",
+    "test_eve.py::test_evol_indices_prefer_consensus",
+    "test_parallel.py::test_dryrun_multichip",
+    "test_progen3.py::TestExpertParallel",
+    "test_golden_artifacts.py::test_bootstrap_standard_errors",
+    "test_provean_wavenet.py::TestWavenet::test_learns_family_statistics",
+    "test_gvp_transformer_parity.py",
+    "test_retrieval.py::TestEndToEndTranceptEve",
+    "test_retrieval.py::TestEveLogPrior",
+    "test_cli_train.py::test_train_eve_writes_orbax_checkpoint",
+    "test_torch_parity.py",
+    "test_tranception.py::test_batched_ar_loglik_matches_manual",
+    "test_structure_models.py::TestGnnOps",
+    "test_protein_mpnn.py::TestDecoder",
+    "test_s3f_parity.py",
+    "test_provean_wavenet.py::TestWavenet::test_causality",
+    "test_msa_transformer.py::TestForward",
+    "test_siterm_gemme.py::TestSiteRmGtr::test_regularization",
+    "test_kermut.py::TestMpnnConditionals",
+    "test_prosst_real.py",
+    "test_esm3_parity.py",
+    "test_esm_if1.py",
+    "test_prosst_quantizer.py",
+    "test_mulan_parity.py",
+    "test_protssn_parity.py",
+    "test_breadth_models.py",
+    "test_progen3.py::TestRouting",
+    "test_progen3.py::TestHfConfigInference",
+    "test_poet.py::TestTieredAttention",
+    "test_tridi_saprot.py::TestSaProtFileVocab",
+    "test_ring_attention.py",
+    "test_siterm_gemme.py::TestSiteRm::test_expm_path",
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(pat in item.nodeid for pat in _SLOW_NODE_PATTERNS):
+            item.add_marker(pytest.mark.slow)
