@@ -1,4 +1,4 @@
-"""Benchmark: ESM2 masked-marginal scoring throughput on one TPU chip.
+"""Benchmark: TPU scoring throughput for the major model families.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
 ... extra fields ...}.
@@ -8,32 +8,32 @@ leaderboards only), so vs_baseline is measured against the north-star
 target of 5000 mutants/sec/chip for ESM2-650M masked-marginal scoring
 (SURVEY.md §6; smaller presets scale the target by parameter ratio).
 
-v2 (VERDICT r1 item 8): besides the headline L=250 single-assay number, the
-JSON carries
-  - "mfu": measured model FLOP utilization of the headline run (analytic
-    transformer FLOPs / wall-clock / bf16 peak),
-  - "long_seq_mutants_per_sec": L=1500 assay through the optimal-window
-    path (window=1022 tokens, the scheme that defines benchmark semantics
-    for long proteins, ref esm/compute_fitness.py:492-495),
-  - "bucketed_mutants_per_sec": a 3-assay sweep (L=137/250/412) through
-    score_assay's length-bucketed padding — the production multi-assay
-    shape mix.
+v3 (VERDICT r2 items 1/2/4/7/9):
+  - headline: ESM2-650M masked-marginal table, single assay L=250
+  - "long_seq_mutants_per_sec": L=1500 optimal-window path (ref
+    esm/compute_fitness.py:492-495)
+  - "bucketed_mutants_per_sec": 3-assay mixed-length sweep
+    (L=137/250/412) through CROSS-ASSAY PACKED scoring
+    (models/packed_scoring.py) with an MXU-friendly bucket ladder
+  - per-family stages (each with mutants/sec): Tranception-L AR scoring
+    with retrieval fusion (ref tranception/utils/scoring_utils.py:77-150),
+    MSA Transformer single-dispatch masked table (ref
+    esm/compute_fitness.py:379-396), EVE 20k-sample ELBO scoring + train
+    step (ref EVE/VAE_model.py:466-481), PoET family-context scoring
+  - "assumed_peak_flops" emitted so every MFU figure is auditable
 
-Method: a real-size ESM2 (random weights — throughput is architecture
-bound), the (L, V) masked-marginal table via chunked batched forwards with
-the weights flowing as jit ARGUMENTS (no multi-GB closure constants), then
-scoring of the full single-substitution DMS (L*19 mutants). Mutants/sec =
-mutants scored / wall time; the table build dominates, exactly as in
-production scoring.
+Method: real-size models with random weights (throughput is architecture
+bound); inputs vary between timing iterations because the tunneled
+backend memoizes identical dispatches; device work is forced to complete
+with a scalar fetch (block_until_ready does not synchronize through the
+tunnel).
 
-Robustness: the tunneled TPU in this environment occasionally stalls on
-very large compiles, so the measurement runs in a watchdogged subprocess
-and falls back 650M -> 150M -> 8M until one completes; the preset that ran
-is encoded in the metric name. The inner process prints a JSON line after
-EVERY completed stage, and the parent takes the last parseable one, so a
-mid-extras timeout still reports the headline number. Inputs are varied
-between timing iterations because the tunneled backend memoizes identical
-dispatches.
+Robustness: the tunneled TPU occasionally stalls on very large compiles,
+so the core measurement runs in a watchdogged subprocess and falls back
+650M -> 150M -> 8M until one completes; family stages run in a second
+watchdogged subprocess so a family timeout cannot kill the headline. The
+inner processes print a JSON line after EVERY completed stage and the
+parent merges the last parseable lines.
 """
 
 import json
@@ -45,23 +45,39 @@ import time
 import numpy as np
 
 # per-preset north-star targets: 5000 mutants/s at 650M, scaled by rough
-# FLOP ratio for the fallbacks
+# FLOP ratio for the fallbacks. esm2_smoke is the CPU last resort: it has
+# no meaningful target, so vs_baseline is reported as null.
 TARGETS = {
     "esm2_t33_650M": 5000.0,
     "esm2_t30_150M": 5000.0 * (650 / 150),
     "esm2_t6_8M": 5000.0 * (650 / 8),
-    "esm2_smoke": 5000.0,
+    "esm2_smoke": None,
 }
 FALLBACKS = ["esm2_t33_650M", "esm2_t30_150M", "esm2_t6_8M"]
 # tunnel-side compiles for the 650M graph have been observed anywhere from
 # 16s to 375s; give it headroom before falling back (steady-state is fast)
-PRESET_TIMEOUTS = {"esm2_t33_650M": 1500.0}
+PRESET_TIMEOUTS = {"esm2_t33_650M": 1800.0}
 DEFAULT_TIMEOUT = float(os.environ.get("PGYM_BENCH_TIMEOUT", 700))
+FAMILY_TIMEOUT = float(os.environ.get("PGYM_BENCH_FAMILY_TIMEOUT", 2400))
 CACHE_DIR = os.environ.get("PGYM_XLA_CACHE", "/tmp/pgym_xla_cache")
 
-# bf16 MXU peak per chip for MFU accounting (TPU v5e; the axon tunnel
-# fronts one v5e chip — measured ~113 TFLOP/s on ESM2-650M forwards)
+# assumed bf16 MXU peak per chip for MFU accounting. The axon tunnel
+# fronts one TPU v5e chip (197 TFLOP/s bf16 peak); the assumed value is
+# emitted in the JSON ("assumed_peak_flops") so MFU numbers are auditable.
 PEAK_FLOPS = {"tpu": 197e12, "axon": 197e12}
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def _setup_jax():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    return jax
 
 
 def _param_count(params):
@@ -79,29 +95,30 @@ def _table_flops(n_params: int, n_layers: int, d: int, rows: int, t: int):
 
 
 def _synth_assay(seq_len: int, seed: int):
-    aa = "ACDEFGHIKLMNPQRSTVWY"
     rs = np.random.RandomState(seed)
-    seq = "".join(aa[i] for i in rs.randint(0, 20, seq_len))
+    seq = "".join(AA[i] for i in rs.randint(0, 20, seq_len))
     mutants = [
-        f"{seq[p]}{p + 1}{m}" for p in range(seq_len) for m in aa
+        f"{seq[p]}{p + 1}{m}" for p in range(seq_len) for m in AA
         if m != seq[p]
     ]
     return seq, mutants
 
 
-def measure(preset: str) -> None:
-    """Run one preset in-process; called in the watchdogged subprocess.
-    Prints a JSON line after every completed stage (last line wins)."""
-    import jax
-    import jax.numpy as jnp  # noqa: F401
+def _log_factory(t_start):
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - t_start:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
-    # persistent compile cache: repeat bench runs skip the (minutes-long,
-    # tunnel-variable) 650M compile entirely
-    try:
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    return log
+
+
+# ---------------------------------------------------------------------------
+# Core: ESM2 masked-marginal throughput (headline / long-seq / packed sweep)
+# ---------------------------------------------------------------------------
+
+def measure_core(preset: str) -> None:
+    jax = _setup_jax()
+    import jax.numpy as jnp  # noqa: F401
 
     from proteingym_tpu.models.esm2 import (
         ALPHABET, PRESETS, EsmConfig, init_params, make_apply_fn,
@@ -109,6 +126,7 @@ def measure(preset: str) -> None:
     from proteingym_tpu.models.esm_scoring import (
         masked_marginal_table, score_assay, score_mutants_from_table,
     )
+    from proteingym_tpu.models.packed_scoring import score_assays_packed
 
     backend = jax.default_backend()
     if backend == "cpu":
@@ -118,12 +136,7 @@ def measure(preset: str) -> None:
     else:
         config = PRESETS[preset]
 
-    t_start = time.perf_counter()
-
-    def log(msg):
-        print(f"[bench +{time.perf_counter() - t_start:.1f}s] {msg}",
-              file=sys.stderr, flush=True)
-
+    log = _log_factory(time.perf_counter())
     log(f"backend={backend} model={config.name}")
     rng = jax.random.PRNGKey(0)
     # jitted init: ONE device program instead of thousands of eager dispatches
@@ -148,12 +161,12 @@ def measure(preset: str) -> None:
         )
         return score_mutants_from_table(table, mutants, seq)
 
-    run(*assays[0])
+    np.asarray(run(*assays[0]))
     log("warmup/compile done")
     t0 = time.perf_counter()
     n_iters = 2
     for i in range(n_iters):
-        scores = run(*assays[i % len(assays)])  # noqa: F841
+        scores = np.asarray(run(*assays[i % len(assays)]))  # noqa: F841
     dt = (time.perf_counter() - t0) / n_iters
     n_mutants = len(assays[0][1])
     log(f"steady run: {dt:.2f}s for {n_mutants} mutants")
@@ -172,9 +185,10 @@ def measure(preset: str) -> None:
         "metric": f"{config.name}_masked_marginal_throughput",
         "value": round(mutants_per_sec, 2),
         "unit": "mutants/sec/chip",
-        "vs_baseline": round(mutants_per_sec / target, 4),
+        "vs_baseline": round(mutants_per_sec / target, 4) if target else None,
         "mfu": mfu,
         "model_flops_per_table": flops,
+        "assumed_peak_flops": peak,
         "backend": backend,
     }
     print(json.dumps(result), flush=True)
@@ -183,15 +197,17 @@ def measure(preset: str) -> None:
     try:
         long_len = 1500
         # full single-substitution DMS: all 19*L mutants amortize the one
-        # windowed table, exactly as in production scoring
+        # windowed table, exactly as in production scoring. chunk=16 at
+        # T=1024 measured faster than 32 (smaller attention working set).
+        long_chunk = 16 if backend != "cpu" else 8
         long_assays = [_synth_assay(long_len, s) for s in (2, 3)]
 
         def run_long(seq, mutants):
-            return score_assay(
-                lambda toks: None,  # unused: params path below
-                seq, mutants, strategy="masked-marginals", chunk=chunk,
-                window=1022 + 2, params=params, apply_fn=apply_fn,
-            )
+            return np.asarray(score_assay(
+                None, seq, mutants, strategy="masked-marginals",
+                chunk=long_chunk, window=1022 + 2, params=params,
+                apply_fn=apply_fn,
+            ))
 
         run_long(*long_assays[0])
         log("long-seq warmup done")
@@ -208,76 +224,324 @@ def measure(preset: str) -> None:
     except Exception as e:  # noqa: BLE001 — extras must not kill the headline
         log(f"long-seq stage failed: {e!r}")
 
-    # ---- bucketed multi-assay sweep --------------------------------------
+    # ---- bucketed multi-assay sweep (cross-assay packed) -----------------
     try:
         lengths = [137, 250, 412]
-        # two full assay SETS with distinct sequences: iteration-to-iteration
-        # input variation without changing the scored-mutant count
         sweeps = [
             [_synth_assay(n, 10 * rep + i) for i, n in enumerate(lengths)]
             for rep in (1, 2)
         ]
 
         def run_sweep(sweep):
-            total = 0
-            for seq, mutants in sweep:
-                score_assay(
-                    lambda toks: None, seq, mutants,
-                    strategy="masked-marginals", chunk=chunk,
-                    window=1024, params=params, apply_fn=apply_fn,
-                )
-                total += len(mutants)
-            return total
+            scores = score_assays_packed(
+                apply_fn, params, sweep, chunk=chunk,
+                super_chunks=8, pad_to_multiple=32,
+            )
+            return sum(len(s) for s in scores)
 
         run_sweep(sweeps[0])
-        log("bucketed sweep warmup done")
+        log("packed sweep warmup done")
         t0 = time.perf_counter()
         n = run_sweep(sweeps[0]) + run_sweep(sweeps[1])
         dt_sweep = time.perf_counter() - t0
         result["bucketed_lengths"] = lengths
         result["bucketed_mutants_per_sec"] = round(n / dt_sweep, 2)
-        log(f"bucketed sweep: {dt_sweep:.2f}s for {n} mutants")
+        result["bucketed_packing"] = "cross-assay"
+        log(f"packed sweep: {dt_sweep:.2f}s for {n} mutants")
         print(json.dumps(result), flush=True)
     except Exception as e:  # noqa: BLE001
-        log(f"bucketed stage failed: {e!r}")
+        log(f"packed sweep stage failed: {e!r}")
+
+
+# ---------------------------------------------------------------------------
+# Families: Tranception / MSA Transformer / EVE / PoET
+# ---------------------------------------------------------------------------
+
+def measure_families() -> None:
+    jax = _setup_jax()
+    import jax.numpy as jnp  # noqa: F401
+
+    backend = jax.default_backend()
+    peak = PEAK_FLOPS.get(backend)
+    log = _log_factory(time.perf_counter())
+    log(f"families backend={backend}")
+    result = {"families_backend": backend}
+    rs = np.random.RandomState(0)
+    tiny = backend == "cpu"  # smoke-size models off-TPU
+
+    # ---- Tranception-L AR scoring with retrieval fusion ------------------
+    try:
+        from proteingym_tpu.models import tranception as tr
+        from proteingym_tpu.models.trancepteve import (
+            RetrievalConfig, score_trancepteve,
+        )
+
+        config = (tr.TranceptionConfig("tr_smoke", 2, 128, 4) if tiny
+                  else tr.PRESETS["tranception_large"])
+        params = jax.jit(lambda k: tr.init_params(k, config))(
+            jax.random.PRNGKey(1))
+        jax.block_until_ready(params)
+        n_params = _param_count(params)
+        log(f"tranception params ready ({n_params / 1e6:.0f}M)")
+
+        L = 250
+        n_mut = 600 if not tiny else 40
+        seq, all_muts = _synth_assay(L, 20)
+        # random normalized retrieval prior over the full protein span —
+        # the fusion math (ref tranception model_pytorch.py:792-846) is
+        # exercised at production shape
+        prior = rs.randn(L, 25).astype(np.float32)
+        prior = prior - np.log(np.exp(prior).sum(-1, keepdims=True))
+        rcfg = RetrievalConfig(retrieval_type="Tranception",
+                               msa_start=0, msa_end=L)
+
+        def mutseqs(muts):
+            out = []
+            for m in muts:
+                p, a = int(m[1:-1]) - 1, m[-1]
+                out.append(seq[:p] + a + seq[p + 1:])
+            return out
+
+        def run_tr(muts):
+            return score_trancepteve(
+                params, config, muts, mutseqs(muts), seq,
+                rcfg=rcfg, msa_log_prior=prior, alpha=0.6,
+                batch_size=64,
+            )
+
+        sets = [all_muts[:n_mut], all_muts[n_mut:2 * n_mut]]
+        run_tr(sets[0])
+        log("tranception warmup done")
+        t0 = time.perf_counter()
+        for muts in sets:
+            run_tr(muts)
+        dt = (time.perf_counter() - t0) / 2
+        result["tranception_model"] = config.name
+        result["tranception_mutants_per_sec"] = round(n_mut / dt, 2)
+        # both directions, mutants + WT rows, L+1 scored tokens per row
+        flops = 2.0 * n_params * 2 * (n_mut + 1) * (L + 2)
+        if peak and not tiny:
+            result["tranception_mfu"] = round(flops / dt / peak, 4)
+        log(f"tranception steady: {dt:.2f}s for {n_mut} mutants")
+        print(json.dumps(result), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"tranception stage failed: {e!r}")
+
+    # ---- MSA Transformer masked table ------------------------------------
+    try:
+        from proteingym_tpu.models import msa_transformer as mt
+
+        config = (mt.PRESETS["msa_tiny"] if tiny
+                  else mt.PRESETS["esm_msa1b_t12_100M"])
+        params = jax.jit(lambda k: mt.init_params(k, config))(
+            jax.random.PRNGKey(2))
+        jax.block_until_ready(params)
+        n_params = _param_count(params)
+        log(f"msa transformer params ready ({n_params / 1e6:.0f}M)")
+
+        L = 250 if not tiny else 40
+        nseq = 384 if not tiny else 16
+        seq, muts = _synth_assay(L, 30)
+        fam = []
+        for i in range(nseq + 64):
+            s = list(seq)
+            for p in rs.choice(L, max(2, L // 10), replace=False):
+                s[p] = AA[rs.randint(20)]
+            fam.append("".join(s))
+        weights = np.ones(len(fam))
+
+        def run_msa(seed):
+            return mt.score_assay_msa_transformer(
+                params, config, seq, muts[:64], fam, weights,
+                nseq=nseq, seeds=(seed,), chunk=2 if not tiny else 1,
+            )
+
+        run_msa(1)
+        log("msa transformer warmup done")
+        t0 = time.perf_counter()
+        run_msa(2)
+        dt = time.perf_counter() - t0
+        # the (L+2)-forward table amortizes over the full single-sub DMS
+        result["msa_transformer_model"] = config.name
+        result["msa_transformer_table_seconds"] = round(dt, 2)
+        result["msa_transformer_mutants_per_sec"] = round(19 * L / dt, 2)
+        log(f"msa transformer table: {dt:.2f}s")
+        print(json.dumps(result), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"msa transformer stage failed: {e!r}")
+
+    # ---- EVE: 20k-sample ELBO scoring + train step -----------------------
+    try:
+        from proteingym_tpu.models import eve
+
+        L = 250 if not tiny else 30
+        config = eve.EveConfig(seq_len=L) if not tiny else eve.EveConfig(
+            seq_len=L, encoder_hidden=(64, 32), decoder_hidden=(32, 64),
+            z_dim=8, convolution_depth=8,
+        )
+        params = jax.jit(lambda k: eve.init_params(k, config))(
+            jax.random.PRNGKey(3))
+        jax.block_until_ready(params)
+        n_params = _param_count(params)
+        log(f"eve params ready ({n_params / 1e6:.0f}M)")
+
+        # scoring throughput: measure (sequences x samples)/sec on a
+        # steady batch, report mutants/sec at the reference's 20k samples
+        # (ref VAE_model.py:466-481)
+        n_seqs = 16 if not tiny else 4
+        n_samples = 512 if not tiny else 32
+        batches = [
+            np.eye(20, dtype=np.float32)[rs.randint(0, 20, (n_seqs, L))]
+            for _ in range(3)
+        ]
+        eve.mean_elbos(params, config, batches[0], num_samples=n_samples,
+                       chunk=4)
+        log("eve scoring warmup done")
+        t0 = time.perf_counter()
+        for b in batches[1:]:
+            eve.mean_elbos(params, config, b, num_samples=n_samples,
+                           chunk=4)
+        dt = (time.perf_counter() - t0) / 2
+        seq_samples_per_sec = n_seqs * n_samples / dt
+        result["eve_seq_samples_per_sec"] = round(seq_samples_per_sec, 1)
+        result["eve_mutants_per_sec_at_20k_samples"] = round(
+            seq_samples_per_sec / 20_000, 3
+        )
+
+        # train step (weighted batch, ref VAE_model.py:262-289)
+        init_opt, train_step = eve.make_train_step(config)
+        opt_state = init_opt(params)
+        bsz = 256 if not tiny else 16
+        xb = [np.eye(20, dtype=np.float32)[rs.randint(0, 20, (bsz, L))]
+              for _ in range(4)]
+        step = jax.jit(train_step)
+        p, o = params, opt_state
+        out = step(p, o, jax.random.PRNGKey(4), jnp.asarray(xb[0]),
+                   None, 100.0, 1)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in (1, 2, 3):
+            out = step(p, o, jax.random.PRNGKey(4 + i),
+                       jnp.asarray(xb[i]), None, 100.0, 1)
+        jax.block_until_ready(out)
+        dt_step = (time.perf_counter() - t0) / 3
+        result["eve_train_ms_per_step"] = round(dt_step * 1e3, 2)
+        result["eve_train_batch"] = bsz
+        log(f"eve: {seq_samples_per_sec:.0f} seq-samples/s, "
+            f"train {dt_step * 1e3:.1f} ms/step")
+        print(json.dumps(result), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"eve stage failed: {e!r}")
+
+    # ---- PoET family-context scoring --------------------------------------
+    try:
+        from proteingym_tpu.models import poet
+
+        config = poet.POET_PRESETS["poet_tiny" if tiny else "poet_200m"]
+        params = jax.jit(lambda k: poet.init_params(k, config))(
+            jax.random.PRNGKey(5))
+        jax.block_until_ready(params)
+        n_params = _param_count(params)
+        log(f"poet params ready ({n_params / 1e6:.0f}M)")
+
+        L = 200 if not tiny else 20
+        n_mut = 128 if not tiny else 8
+        seq, muts = _synth_assay(L, 40)
+        fam = []
+        for i in range(64):
+            s = list(seq)
+            for p in rs.choice(L, max(2, L // 8), replace=False):
+                s[p] = AA[rs.randint(20)]
+            fam.append("".join(s))
+
+        def mutseqs(ms):
+            out = []
+            for m in ms:
+                p, a = int(m[1:-1]) - 1, m[-1]
+                out.append(seq[:p] + a + seq[p + 1:])
+            return out
+
+        ctx_tokens = 2048 if not tiny else 256
+
+        def run_poet(ms, seed):
+            return poet.score_assay_poet(
+                params, config, mutseqs(ms), fam,
+                max_context_tokens=ctx_tokens, n_context_samples=1,
+                seed=seed, batch_size=8,
+            )
+
+        run_poet(muts[:n_mut], 0)
+        log("poet warmup done")
+        t0 = time.perf_counter()
+        run_poet(muts[n_mut:2 * n_mut], 0)
+        dt = time.perf_counter() - t0
+        result["poet_model"] = config.name
+        result["poet_context_tokens"] = ctx_tokens
+        result["poet_mutants_per_sec"] = round(n_mut / dt, 2)
+        log(f"poet steady: {dt:.2f}s for {n_mut} mutants")
+        print(json.dumps(result), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"poet stage failed: {e!r}")
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestration
+# ---------------------------------------------------------------------------
+
+def _last_json_line(text):
+    for line in reversed((text or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def _run_inner(args, timeout):
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)] + args,
+            capture_output=True, text=True, timeout=timeout,
+        )
+        stdout, stderr, rc = out.stdout, out.stderr, out.returncode
+    except subprocess.TimeoutExpired as e:
+        stdout = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        stderr = e.stderr.decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        rc = -1
+        print(f"[bench] {args} timed out", file=sys.stderr)
+    return _last_json_line(stdout), stderr, rc
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--inner":
-        measure(sys.argv[2])
+        measure_core(sys.argv[2])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--families":
+        measure_families()
         return
 
-    def last_json_line(text):
-        for line in reversed((text or "").strip().splitlines()):
-            try:
-                json.loads(line)
-                return line
-            except json.JSONDecodeError:
-                continue
-        return None
-
+    core = None
     for preset in FALLBACKS:
-        try:
-            out = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__), "--inner",
-                 preset],
-                capture_output=True, text=True,
-                timeout=PRESET_TIMEOUTS.get(preset, DEFAULT_TIMEOUT),
-            )
-            stdout, stderr, rc = out.stdout, out.stderr, out.returncode
-        except subprocess.TimeoutExpired as e:
-            # salvage whatever stages completed before the watchdog fired
-            stdout = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-            stderr = e.stderr.decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
-            rc = -1
-            print(f"[bench] {preset} timed out", file=sys.stderr)
-        line = last_json_line(stdout)
-        if line and (rc == 0 or rc == -1):
-            print(line)
-            return
+        parsed, stderr, rc = _run_inner(
+            ["--inner", preset], PRESET_TIMEOUTS.get(preset, DEFAULT_TIMEOUT)
+        )
+        if parsed and (rc == 0 or rc == -1):
+            core = parsed
+            break
         print((stderr or "")[-2000:], file=sys.stderr)
-    # last resort: in-process smoke (always works on CPU)
-    measure("esm2_t6_8M")
+    if core is None:
+        # last resort: in-process smoke (always works on CPU)
+        measure_core("esm2_t6_8M")
+        return
+
+    if os.environ.get("PGYM_BENCH_SKIP_FAMILIES") != "1":
+        fam, stderr, rc = _run_inner(["--families"], FAMILY_TIMEOUT)
+        if fam:
+            core.update(fam)
+        else:
+            print("[bench] family stages produced no JSON", file=sys.stderr)
+            print((stderr or "")[-2000:], file=sys.stderr)
+    print(json.dumps(core), flush=True)
 
 
 if __name__ == "__main__":
