@@ -134,3 +134,34 @@ def test_cli_packed_scoring_matches_per_assay(tmp_path):
         col = [c for c in a.columns if c.endswith("_score")][0]
         np.testing.assert_allclose(b[col].to_numpy(), a[col].to_numpy(),
                                    atol=1e-4)
+
+
+def test_packed_scoring_under_tp_mesh():
+    """Packed cross-assay scoring composes with tensor-parallel sharded
+    params (the big-model production combination): equality with the
+    unsharded packed run on an 8-device CPU mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 virtual devices")
+    from proteingym_tpu.parallel.mesh import (
+        esm_param_sharding, make_mesh, shard_params,
+    )
+
+    cfg, params, apply_fn = _mk_model()
+    assays = [_synth(n, s) for n, s in [(13, 20), (21, 21)]]
+    expected = score_assays_packed(
+        apply_fn, params, assays, chunk=4, super_chunks=2,
+        pad_to_multiple=8, window=40,
+    )
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params(params, esm_param_sharding(params, mesh))
+    with mesh:
+        got = score_assays_packed(
+            apply_fn, sharded, assays, chunk=4, super_chunks=2,
+            pad_to_multiple=8, window=40,
+        )
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(g, e, atol=1e-4)
