@@ -173,24 +173,37 @@ def packed_masked_marginal_tables(
 
         items = np.asarray(g["items"], dtype=np.int32)  # (N, 4)
         n = items.shape[0]
-        per_dispatch = super_chunks * chunk
-        n_pad = _round_up(n, per_dispatch)
+        # pad the work queue only to a CHUNK multiple; full K-chunk
+        # super-dispatches amortize dispatch overhead, and the tail runs
+        # as single-chunk dispatches (K=1 grid) so a group never pays for
+        # more than chunk-1 padded rows — padding to K*chunk cost 27%
+        # wasted compute on single-assay buckets
+        n_pad = _round_up(n, chunk)
         if n_pad != n:
             pad_rows = np.zeros((n_pad - n, 4), np.int32)
             items = np.concatenate([items, pad_rows])
-        sids = items[:, 1].reshape(-1, super_chunks, chunk)
-        starts = items[:, 2].reshape(-1, super_chunks, chunk)
-        offs = items[:, 3].reshape(-1, super_chunks, chunk)
+        n_chunks = n_pad // chunk
+        sids = items[:, 1].reshape(n_chunks, chunk)
+        starts = items[:, 2].reshape(n_chunks, chunk)
+        offs = items[:, 3].reshape(n_chunks, chunk)
 
         kernel = _packed_kernel(apply_fn, row_len)
         stacked_j = jnp.asarray(stacked)
         mask_j = jnp.asarray(mask_idx, stacked.dtype)
         outs = []
-        for d in range(sids.shape[0]):
+        c = 0
+        while c < n_chunks:
+            # full K-grid super-dispatches, then ONE exact-size dispatch
+            # for the tail (a K=n_tail lax.map grid) — tail chunks as
+            # K=1 singles each paid a full tunnel round trip
+            k = (super_chunks if c + super_chunks <= n_chunks
+                 else n_chunks - c)
             outs.append(kernel(
-                params, stacked_j, jnp.asarray(sids[d]),
-                jnp.asarray(starts[d]), jnp.asarray(offs[d]), mask_j,
+                params, stacked_j, jnp.asarray(sids[c:c + k]),
+                jnp.asarray(starts[c:c + k]), jnp.asarray(offs[c:c + k]),
+                mask_j,
             ))
+            c += k
         out = np.asarray(jnp.concatenate(outs, axis=0)[:n])
         vocab = out.shape[-1]
 

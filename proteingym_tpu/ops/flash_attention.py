@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_BLOCK_Q = 128
+# measured on v5e at T=1024 (ESM2-650M window scoring): block_q 256 and
+# 512 run ~14% faster than 128 (fewer programs, more MXU work per
+# program); 256 keeps the f32 score block at 1 MB VMEM
+DEFAULT_BLOCK_Q = 256
 NEG_INF = -1e30
 
 try:  # Pallas is TPU/interpret-only; import guarded for exotic builds
@@ -188,7 +191,7 @@ def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None):
     ):
         return flash_mha(
             q, k, v, key_mask=key_mask, bias=bias, causal=causal,
-            sm_scale=sm_scale,
+            sm_scale=sm_scale, block_q=DEFAULT_BLOCK_Q,
         )
     return reference_mha(
         q, k, v, key_mask=key_mask, bias=bias, causal=causal, sm_scale=sm_scale
