@@ -40,7 +40,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from proteingym_tpu.data.mutants import is_wt_row
 from proteingym_tpu.data.windows import get_optimal_window
 from proteingym_tpu.models.esm2 import ALPHABET, EsmAlphabet
 from proteingym_tpu.models.esm_scoring import score_mutants_from_table
@@ -193,11 +192,14 @@ def packed_masked_marginal_tables(
         outs = []
         c = 0
         while c < n_chunks:
-            # full K-grid super-dispatches, then ONE exact-size dispatch
-            # for the tail (a K=n_tail lax.map grid) — tail chunks as
-            # K=1 singles each paid a full tunnel round trip
-            k = (super_chunks if c + super_chunks <= n_chunks
-                 else n_chunks - c)
+            # full K-grid super-dispatches, then the tail decomposed into
+            # descending powers of two (K in {8, 4, 2, 1}): K=1 singles
+            # each pay a full tunnel round trip, while arbitrary exact-K
+            # grids would compile one program per tail size (and exotic
+            # map lengths have shown pathological compile times)
+            k = super_chunks
+            while k > n_chunks - c:
+                k //= 2
             outs.append(kernel(
                 params, stacked_j, jnp.asarray(sids[c:c + k]),
                 jnp.asarray(starts[c:c + k]), jnp.asarray(offs[c:c + k]),
