@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from proteingym_tpu.ops.rotary import apply_rotary
+
 
 # ---------------------------------------------------------------------------
 # Alphabet (ESM-1b/ESM2 convention)
@@ -219,9 +219,9 @@ def _attention(x, layer, config: EsmConfig, padding_mask):
     q = _dense(x, layer["q"]).reshape(b, t, h, hd)
     k = _dense(x, layer["k"]).reshape(b, t, h, hd)
     v = _dense(x, layer["v"]).reshape(b, t, h, hd)
-    if config.use_rotary:
-        q, k = apply_rotary(q, k)
-    # fused Pallas attention on TPU, XLA einsum elsewhere
+    # fused Pallas attention on TPU, XLA einsum elsewhere. RoPE rides into
+    # mha unapplied: the grouped kernel rotates q/k in VMEM (the in-graph
+    # rotary's elementwise HBM passes measured ~23% of a forward at T=256)
     from proteingym_tpu.ops.flash_attention import mha
 
     key_mask = None if padding_mask is None else ~padding_mask
@@ -231,6 +231,7 @@ def _attention(x, layer, config: EsmConfig, padding_mask):
         v.transpose(0, 2, 1, 3),
         key_mask=key_mask,
         sm_scale=hd ** -0.5,
+        rope_base=10000.0 if config.use_rotary else None,
     )
     ctx = ctx.transpose(0, 2, 1, 3).astype(x.dtype).reshape(b, t, d)
     return _dense(ctx, layer["out"])
@@ -484,7 +485,12 @@ def make_sharded_apply_fn(config: EsmConfig, mesh):
     data_sharding = NamedSharding(mesh, P("data", None))
 
     def apply_fn(params, tokens):
+        from proteingym_tpu.ops.flash_attention import force_xla_attention
+
         tokens = jax.lax.with_sharding_constraint(tokens, data_sharding)
-        return apply(params, config, tokens)
+        # heads are model-axis sharded; Pallas custom calls cannot be
+        # partitioned, so trace the partitionable XLA attention instead
+        with force_xla_attention():
+            return apply(params, config, tokens)
 
     return apply_fn

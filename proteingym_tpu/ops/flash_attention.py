@@ -18,6 +18,7 @@ exercised in interpret mode in tests).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Optional
@@ -147,6 +148,165 @@ def flash_mha(
     return out.reshape(b, h, t_pad, d)[:, :, :t]
 
 
+def _rope_in_kernel(x, cos, sin, perm):
+    """rotate_half RoPE on a (G, T, D) VMEM block.
+
+    rotate_half is a signed half-swap along the LANE (minor) dim; slicing
+    and concatenating there generates per-element lane shuffles, so it is
+    computed instead as a (D, D) signed-permutation matmul on the MXU
+    (``perm``), leaving only fusable elementwise multiplies."""
+    xf = x.astype(jnp.float32)
+    rot = jax.lax.dot_general(
+        xf, perm, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (xf * cos[None] + rot * sin[None]).astype(x.dtype)
+
+
+def _rope_perm(d: int) -> np.ndarray:
+    """(D, D) matrix with x @ P == concat([-x2, x1], -1)."""
+    half = d // 2
+    p = np.zeros((d, d), np.float32)
+    for m in range(half):
+        p[m + half, m] = -1.0
+        p[m, m + half] = 1.0
+    return p
+
+
+def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
+                              sin_ref, perm_ref, o_ref, *, sm_scale: float,
+                              causal: bool, rope: bool):
+    """One program = G whole (batch*head) attention problems.
+
+    q/k/v_ref: (G, T, D); kbias_ref: (G, 8, T) f32 additive key bias with
+    NEG_INF at padded keys (row 0 used); cos/sin_ref: (T, D) f32 RoPE
+    tables (applied in VMEM when ``rope`` — the in-graph rotary's
+    elementwise HBM passes cost ~23% of an ESM2-650M forward at T=256);
+    o_ref: (G, T, D).
+
+    Protein contexts are short (T <= ~1k), so per-head matmuls are far too
+    small to amortize per-program overhead — grouping G heads per program
+    is what makes the kernel pay off; the whole-T f32 scores block lives
+    in VMEM and never touches HBM.
+    """
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    if rope:
+        cos = cos_ref[...]
+        sin = sin_ref[...]
+        perm = perm_ref[...]
+        q = _rope_in_kernel(q, cos, sin, perm)
+        k = _rope_in_kernel(k, cos, sin, perm)
+    # batched over G on the MXU, bf16 operands with f32 accumulation
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # (G, T, T) f32
+    scores = scores + kbias_ref[:, 0][:, None, :]
+    if causal:
+        t = scores.shape[-1]
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        scores = jnp.where((k_pos <= q_pos)[None], scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / jnp.maximum(denom, 1e-30)
+    o = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+# VMEM budget for one program's f32 score block (G * T * T * 4 bytes);
+# G adapts down at long T. The scoped-vmem limit is 16 MB and Pallas
+# double-buffers the q/k/v/kbias input blocks, so 5 MB of scores keeps
+# the total comfortably under it (an 8 MB budget OOMed at T=512, G=8:
+# 16.4 MB scoped allocation).
+_SCORES_VMEM_BUDGET = 5 << 20
+_GROUP_MAX = 16
+
+
+def grouped_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    rope_base: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Grouped-heads fused attention for short contexts. q/k/v:
+    (B, H, T, D); scores never touch HBM. With ``rope_base``, q/k arrive
+    UNROTATED and RoPE applies inside the kernel (fused, zero extra HBM
+    passes). Returns (B, H, T, D)."""
+    b, h, t, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    t_pad = _round_up(t, 128)
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    if key_mask is None:
+        key_mask = jnp.ones((b, t), bool)
+    kmask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    kbias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)  # (B, T)
+    kbias = jnp.broadcast_to(kbias[:, None, :], (b, h, t_pad))
+    if bias is not None:
+        bias_p = jnp.pad(bias.astype(jnp.float32), [(0, 0), (0, t_pad - t)])
+        kbias = kbias + bias_p[None]
+    kbias = jnp.broadcast_to(
+        kbias.reshape(b * h, 1, t_pad), (b * h, 8, t_pad)
+    )
+
+    bh = b * h
+    g = min(_GROUP_MAX, max(1, _SCORES_VMEM_BUDGET // (t_pad * t_pad * 4)))
+    while bh % g:
+        g -= 1
+
+    qf = q.reshape(bh, t_pad, d)
+    kf = k.reshape(bh, t_pad, d)
+    vf = v.reshape(bh, t_pad, d)
+    if rope_base is not None:
+        from proteingym_tpu.ops.rotary import _cos_sin_cache
+
+        cos_np, sin_np = _cos_sin_cache(t_pad, d, rope_base)
+        cos = jnp.asarray(cos_np)
+        sin = jnp.asarray(sin_np)
+    else:
+        cos = jnp.zeros((t_pad, d), jnp.float32)
+        sin = jnp.zeros((t_pad, d), jnp.float32)
+    perm = jnp.asarray(_rope_perm(d))
+    kernel = functools.partial(
+        _grouped_attention_kernel, sm_scale=sm_scale, causal=causal,
+        rope=rope_base is not None,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        grid=(bh // g,),
+        in_specs=[
+            pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((g, 8, t_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
+            pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(qf, kf, vf, kbias, cos, sin, perm)
+    return out.reshape(b, h, t_pad, d)[:, :, :t]
+
+
 def reference_mha(
     q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None
 ):
@@ -179,20 +339,72 @@ def reference_mha(
 # under ~0.7 GB at B=32/H=20 — above that the flash kernel's O(T*block)
 # footprint wins even though it is a little slower per FLOP.
 FLASH_MIN_SEQ_LEN = 512
+# Up to this context length the grouped whole-T kernel applies (its f32
+# score block fits VMEM even at G=1); beyond, the q-blocked flash kernel
+# takes over. XLA's attention materializes the (B, H, T, T) scores in
+# HBM, which the grouped kernel avoids at EVERY length — measured 34% of
+# ESM2-650M forward wall time at T=256 and ~50% at T=416.
+GROUPED_MAX_SEQ_LEN = 1024
 
 
-def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None):
-    """Dispatch: Pallas flash kernel on TPU for long sequences, XLA
-    attention otherwise."""
-    if (
-        _HAVE_PALLAS
-        and jax.default_backend() == "tpu"
-        and q.shape[2] >= FLASH_MIN_SEQ_LEN
-    ):
+# Tensor-parallel meshes shard attention heads across devices; a Pallas
+# custom call cannot be partitioned by XLA, so sharded apply fns trace
+# under force_xla_attention() and take the partitionable einsum path.
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def force_xla_attention():
+    global _FORCE_XLA
+    old = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = old
+
+
+def _apply_rope_bhtd(q, k, rope_base):
+    """In-graph RoPE for (B, H, T, D) tensors (non-kernel paths), with
+    rotate_half as a signed-permutation matmul (fusable; the slice+concat
+    form materializes f32 intermediates in HBM)."""
+    from proteingym_tpu.ops.rotary import _cos_sin_cache
+
+    t, d = q.shape[2], q.shape[3]
+    cos_np, sin_np = _cos_sin_cache(t, d, rope_base)
+    cos = jnp.asarray(cos_np)[None, None]
+    sin = jnp.asarray(sin_np)[None, None]
+    perm = jnp.asarray(_rope_perm(d), q.dtype)
+
+    def rot(x):
+        r = jnp.einsum("bhtd,de->bhte", x, perm,
+                       preferred_element_type=jnp.float32)
+        return (x * cos + r * sin).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None,
+        rope_base=None):
+    """Dispatch: grouped-heads fused kernel on TPU up to
+    GROUPED_MAX_SEQ_LEN, q-blocked flash kernel beyond, XLA elsewhere.
+
+    With ``rope_base``, q/k arrive UNROTATED; the grouped kernel fuses
+    RoPE in VMEM and the other paths apply it in-graph."""
+    if _HAVE_PALLAS and not _FORCE_XLA and jax.default_backend() == "tpu":
+        if q.shape[2] <= GROUPED_MAX_SEQ_LEN:
+            return grouped_mha(
+                q, k, v, key_mask=key_mask, bias=bias, causal=causal,
+                sm_scale=sm_scale, rope_base=rope_base,
+            )
+        if rope_base is not None:
+            q, k = _apply_rope_bhtd(q, k, rope_base)
         return flash_mha(
             q, k, v, key_mask=key_mask, bias=bias, causal=causal,
             sm_scale=sm_scale, block_q=DEFAULT_BLOCK_Q,
         )
+    if rope_base is not None:
+        q, k = _apply_rope_bhtd(q, k, rope_base)
     return reference_mha(
         q, k, v, key_mask=key_mask, bias=bias, causal=causal, sm_scale=sm_scale
     )
