@@ -72,6 +72,12 @@ AA = "ACDEFGHIKLMNPQRSTVWY"
 def _setup_jax():
     import jax
 
+    # the axon site customization force-selects the TPU tunnel backend at
+    # jax import regardless of JAX_PLATFORMS; honor an explicit override
+    # (PGYM_BENCH_PLATFORM=cpu validates the bench code paths off-TPU)
+    plat = os.environ.get("PGYM_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     try:
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -195,7 +201,9 @@ def measure_core(preset: str) -> None:
 
     # ---- long-sequence: L=1500 through the optimal-window path ----------
     try:
-        long_len = 1500
+        # CPU smoke keeps the window path tiny (it only validates the code
+        # path; 1500x1024-token rows take ~20 min on CPU)
+        long_len = 1500 if backend != "cpu" else 120
         # full single-substitution DMS: all 19*L mutants amortize the one
         # windowed table, exactly as in production scoring. chunk=16 at
         # T=1024 measured faster than 32 (smaller attention working set).
@@ -226,7 +234,7 @@ def measure_core(preset: str) -> None:
 
     # ---- bucketed multi-assay sweep (cross-assay packed) -----------------
     try:
-        lengths = [137, 250, 412]
+        lengths = [137, 250, 412] if backend != "cpu" else [17, 25, 41]
         sweeps = [
             [_synth_assay(n, 10 * rep + i) for i, n in enumerate(lengths)]
             for rep in (1, 2)

@@ -241,3 +241,60 @@ class TestConvertedQuantizerScoring:
         df = score_prosst(ctx)
         col = [c for c in df.columns if c.endswith("_score")][0]
         assert np.isfinite(df[col]).all()
+
+
+class TestRealPdbParity:
+    """Parity on the reference's shipped real structure
+    (prosst/example_data/p1.pdb, 72 residues of AF-like geometry with
+    genuine long-range contacts)."""
+
+    PDB = "/root/reference/proteingym/baselines/prosst/example_data/p1.pdb"
+
+    @pytest.fixture(scope="class")
+    def real(self, ref_quantizer):
+        import os
+
+        if not os.path.exists(self.PDB):
+            pytest.skip("reference example PDB not available")
+        from proteingym_tpu.data.structures import parse_pdb_backbone
+
+        coords, seq = parse_pdb_backbone(self.PDB)
+        ref_graph = ref_quantizer.generate_graph(self.PDB, max_distance=10)
+        ours = pq.graph_features(coords.astype(np.float32))
+        return ref_graph, ours, coords
+
+    def test_graph_matches(self, real):
+        ref_graph, ours, _ = real
+        np.testing.assert_array_equal(
+            np.asarray(ref_graph.edge_index), ours.edge_index
+        )
+        np.testing.assert_allclose(
+            ref_graph.node_v.numpy(), ours.node_v, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            ref_graph.edge_s.numpy(), ours.edge_s, atol=1e-4
+        )
+
+    def test_tokens_match_on_real_structure(self, ref_quantizer, real):
+        import torch.nn.functional as F
+
+        _, graph, coords = real
+        enc = _ref_encoder(ref_quantizer, seed=9)
+        params = pq.convert_torch_state_dict(enc.state_dict(), TINY)
+        rs = np.random.RandomState(10)
+        centroids = rs.randn(16, TINY.node_h[0]).astype(np.float32)
+        want = []
+        for anchor in range(coords.shape[0]):
+            sub = pq.build_subgraph(graph, anchor)
+            with torch.no_grad():
+                emb = enc.get_embedding(
+                    (torch.tensor(graph.node_s[sub["nodes"]]),
+                     torch.tensor(graph.node_v[sub["nodes"]])),
+                    torch.tensor(sub["edge_index"], dtype=torch.long),
+                    (torch.tensor(graph.edge_s[sub["edge_feat_rows"]]),
+                     torch.tensor(graph.edge_v[sub["edge_feat_rows"]])),
+                )
+            g = F.normalize(emb.mean(dim=0, keepdim=True), p=2, dim=1).numpy()
+            want.append(int(np.argmin(((g - centroids) ** 2).sum(-1))))
+        got = pq.predict_tokens(params, TINY, graph, centroids)
+        np.testing.assert_array_equal(got, np.asarray(want))
