@@ -58,7 +58,8 @@ FALLBACKS = ["esm2_t33_650M", "esm2_t30_150M", "esm2_t6_8M"]
 # 16s to 375s; give it headroom before falling back (steady-state is fast)
 PRESET_TIMEOUTS = {"esm2_t33_650M": 1800.0}
 DEFAULT_TIMEOUT = float(os.environ.get("PGYM_BENCH_TIMEOUT", 700))
-FAMILY_TIMEOUT = float(os.environ.get("PGYM_BENCH_FAMILY_TIMEOUT", 2400))
+# PER-FAMILY watchdog (each family runs in its own subprocess)
+FAMILY_TIMEOUT = float(os.environ.get("PGYM_BENCH_FAMILY_TIMEOUT", 1500))
 CACHE_DIR = os.environ.get("PGYM_XLA_CACHE", "/tmp/pgym_xla_cache")
 
 # assumed bf16 MXU peak per chip for MFU accounting. The axon tunnel
@@ -67,6 +68,10 @@ CACHE_DIR = os.environ.get("PGYM_XLA_CACHE", "/tmp/pgym_xla_cache")
 PEAK_FLOPS = {"tpu": 197e12, "axon": 197e12}
 
 AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+class _Skip(Exception):
+    """Raised to skip a family stage not selected by --family."""
 
 
 def _setup_jax():
@@ -257,6 +262,8 @@ def measure_core(preset: str) -> None:
         result["bucketed_packing"] = "cross-assay"
         log(f"packed sweep: {dt_sweep:.2f}s for {n} mutants")
         print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"packed sweep stage failed: {e!r}")
 
@@ -265,20 +272,25 @@ def measure_core(preset: str) -> None:
 # Families: Tranception / MSA Transformer / EVE / PoET
 # ---------------------------------------------------------------------------
 
-def measure_families() -> None:
+def measure_families(only: str = "all") -> None:
     jax = _setup_jax()
     import jax.numpy as jnp  # noqa: F401
 
     backend = jax.default_backend()
     peak = PEAK_FLOPS.get(backend)
     log = _log_factory(time.perf_counter())
-    log(f"families backend={backend}")
+    log(f"families backend={backend} only={only}")
     result = {"families_backend": backend}
     rs = np.random.RandomState(0)
     tiny = backend == "cpu"  # smoke-size models off-TPU
 
+    def wanted(name):
+        return only in ("all", name)
+
     # ---- Tranception-L AR scoring with retrieval fusion ------------------
     try:
+        if not wanted("tranception"):
+            raise _Skip
         from proteingym_tpu.models import tranception as tr
         from proteingym_tpu.models.trancepteve import (
             RetrievalConfig, score_trancepteve,
@@ -332,11 +344,15 @@ def measure_families() -> None:
             result["tranception_mfu"] = round(flops / dt / peak, 4)
         log(f"tranception steady: {dt:.2f}s for {n_mut} mutants")
         print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"tranception stage failed: {e!r}")
 
     # ---- MSA Transformer masked table ------------------------------------
     try:
+        if not wanted("msa_transformer"):
+            raise _Skip
         from proteingym_tpu.models import msa_transformer as mt
 
         config = (mt.PRESETS["msa_tiny"] if tiny
@@ -375,11 +391,15 @@ def measure_families() -> None:
         result["msa_transformer_mutants_per_sec"] = round(19 * L / dt, 2)
         log(f"msa transformer table: {dt:.2f}s")
         print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"msa transformer stage failed: {e!r}")
 
     # ---- EVE: 20k-sample ELBO scoring + train step -----------------------
     try:
+        if not wanted("eve"):
+            raise _Skip
         from proteingym_tpu.models import eve
 
         L = 250 if not tiny else 30
@@ -438,11 +458,15 @@ def measure_families() -> None:
         log(f"eve: {seq_samples_per_sec:.0f} seq-samples/s, "
             f"train {dt_step * 1e3:.1f} ms/step")
         print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"eve stage failed: {e!r}")
 
     # ---- PoET family-context scoring --------------------------------------
     try:
+        if not wanted("poet"):
+            raise _Skip
         from proteingym_tpu.models import poet
 
         config = poet.POET_PRESETS["poet_tiny" if tiny else "poet_200m"]
@@ -488,6 +512,8 @@ def measure_families() -> None:
         result["poet_mutants_per_sec"] = round(n_mut / dt, 2)
         log(f"poet steady: {dt:.2f}s for {n_mut} mutants")
         print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"poet stage failed: {e!r}")
 
@@ -520,12 +546,18 @@ def _run_inner(args, timeout):
     return _last_json_line(stdout), stderr, rc
 
 
+FAMILIES = ["tranception", "msa_transformer", "eve", "poet"]
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--inner":
         measure_core(sys.argv[2])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--families":
         measure_families()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--family":
+        measure_families(sys.argv[2])
         return
 
     core = None
@@ -543,12 +575,19 @@ def main():
         return
 
     if os.environ.get("PGYM_BENCH_SKIP_FAMILIES") != "1":
-        fam, stderr, rc = _run_inner(["--families"], FAMILY_TIMEOUT)
-        if fam:
-            core.update(fam)
-        else:
-            print("[bench] family stages produced no JSON", file=sys.stderr)
-            print((stderr or "")[-2000:], file=sys.stderr)
+        # one watchdogged subprocess PER family: a stalled tunnel compile
+        # in one family cannot starve the rest (r2 run: MSA-T hung and
+        # EVE/PoET never executed)
+        for fam_name in FAMILIES:
+            fam, stderr, rc = _run_inner(
+                ["--family", fam_name], FAMILY_TIMEOUT
+            )
+            if fam:
+                core.update(fam)
+            else:
+                print(f"[bench] family {fam_name} produced no JSON",
+                      file=sys.stderr)
+                print((stderr or "")[-2000:], file=sys.stderr)
     print(json.dumps(core), flush=True)
 
 

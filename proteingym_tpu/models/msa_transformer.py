@@ -175,16 +175,30 @@ def _col_attention(x, p, config, pad_mask):
     q = _heads(_dense(x, p["q"]), b, r, cols, c.num_heads, c.head_dim)
     k = _heads(_dense(x, p["k"]), b, r, cols, c.num_heads, c.head_dim)
     v = _heads(_dense(x, p["v"]), b, r, cols, c.num_heads, c.head_dim)
-    q = q * (c.head_dim ** -0.5)
-    scores = jnp.einsum(
-        "bichd,bjchd->bhcij", q, k, preferred_element_type=jnp.float32
-    )
-    scores = jnp.where(
-        pad_mask.transpose(0, 2, 1)[:, None, :, None, :], -10000.0, scores
-    )
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum(
-        "bhcij,bjchd->bichd", probs, v, preferred_element_type=jnp.float32
+
+    # Column attention is standard MHA with T = rows, batched over
+    # (batch, column): route through the shared dispatcher so the TPU path
+    # takes the grouped Pallas kernel — the einsum form materializes a
+    # (B, H, C, R, R) f32 score tensor in HBM (3.6 GB at R=385, C=253,
+    # B=2), which OOM-crashes a 16 GB chip at production MSA depth; the
+    # kernel keeps scores in VMEM. Masking semantics: an MSA's rows all
+    # share one column pad pattern, so a column's keys are either all
+    # masked (uniform softmax, same as the reference's -10000 fill,
+    # ref esm/axial_attention.py:272) or all live.
+    from proteingym_tpu.ops.flash_attention import mha
+
+    def to_bhtd(z):  # (B, R, C, H, Dh) -> (B*C, H, R, Dh)
+        return z.transpose(0, 2, 3, 1, 4).reshape(
+            b * cols, c.num_heads, r, c.head_dim
+        )
+
+    key_mask = ~pad_mask.transpose(0, 2, 1).reshape(b * cols, r)
+    o = mha(
+        to_bhtd(q), to_bhtd(k), to_bhtd(v), key_mask=key_mask,
+        sm_scale=c.head_dim ** -0.5,
+    )  # (B*C, H, R, Dh)
+    ctx = o.reshape(b, cols, c.num_heads, r, c.head_dim).transpose(
+        0, 3, 1, 2, 4
     ).astype(x.dtype)
     return _dense(ctx.reshape(b, r, cols, c.embed_dim), p["o"])
 
@@ -336,6 +350,7 @@ def masked_marginal_table_msa(
     chunk: int = 4,
     window: int = 1024,
     params=None,
+    super_chunks: int = 32,
 ) -> jnp.ndarray:
     """(C, V) log-prob table; row i from a forward with first-row position i
     masked (ref :381-396 batched over the mask position). Long MSAs use the
@@ -347,18 +362,33 @@ def masked_marginal_table_msa(
     r, total = msa_tokens.shape
 
     if params is not None and total <= window:
-        # fast path: one (R, C) upload, masked grids built on device
+        # fast path: one (R, C) upload, masked grids built on device.
+        # The work grid is dispatched in fixed-shape (K, chunk) pieces
+        # with a power-of-two tail rather than as one giant program: a
+        # deep-MSA table is minutes of device time, and a single dispatch
+        # that long trips the TPU runtime's execution watchdog (observed
+        # as a worker crash at R=385, C=252 on v5e — ~110 s in one
+        # program; ~50 s dispatches survive). K decomposes as powers of
+        # two so compile keys stay bounded.
         n_pad = ((total + chunk - 1) // chunk) * chunk
         offsets = np.concatenate(
             [np.arange(total, dtype=np.int32),
              np.zeros(n_pad - total, np.int32)]
         ).reshape(n_pad // chunk, chunk)
         step = _msa_step(logits_fn, "build")
-        out = step(
-            params, jnp.asarray(msa_tokens), jnp.asarray(offsets),
-            jnp.asarray(mask_idx, msa_tokens.dtype),
-        )
-        return out[:total]
+        base = jnp.asarray(msa_tokens)
+        mval = jnp.asarray(mask_idx, msa_tokens.dtype)
+        n_rows = offsets.shape[0]
+        outs = []
+        c = 0
+        while c < n_rows:
+            k = super_chunks
+            while k > n_rows - c:
+                k //= 2
+            outs.append(step(params, base, jnp.asarray(offsets[c:c + k]),
+                             mval))
+            c += k
+        return jnp.concatenate(outs, axis=0)[:total]
 
     if total > window:
         grids = np.zeros((total, r, window), dtype=msa_tokens.dtype)
