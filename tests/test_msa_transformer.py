@@ -94,6 +94,33 @@ class TestMaskedMarginals:
             )
 
 
+    def test_params_mode_super_chunks_match_host_path(self):
+        # the device fast path splits the work grid into (K, chunk)
+        # dispatches with a power-of-two tail; results must not depend on
+        # the split (super_chunks=2 forces multiple dispatches + tail)
+        rs = np.random.RandomState(7)
+        _, seqs = _family(rs, 5, 11)
+        params = mt.init_params(jax.random.PRNGKey(0), TINY)
+        tokens = mt.tokenize_msa(seqs)
+
+        def logits_fn(p, toks):
+            return mt.apply(p, TINY, toks)
+
+        host = np.asarray(
+            mt.masked_marginal_table_msa(
+                lambda t: logits_fn(params, t), tokens, chunk=3
+            )
+        )
+        for sc in (2, 64):
+            dev = np.asarray(
+                mt.masked_marginal_table_msa(
+                    logits_fn, tokens, chunk=3, params=params,
+                    super_chunks=sc,
+                )
+            )
+            np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
 class TestSampling:
     def test_wt_kept_first_and_deterministic(self):
         rs = np.random.RandomState(4)
