@@ -28,6 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Segment packing: upper bound on independent sequences per packed row
+# (sized for 1024-token rows of the shortest DMS assays, ~39 tokens each);
+# one-hot machinery in ``apply`` is shaped by this, so packers must not
+# exceed it.
+MAX_ROW_SEGMENTS = 28
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +217,7 @@ def _gelu(x):
     return (x32 * 0.5 * (1.0 + jax.lax.erf(x32 / math.sqrt(2.0)))).astype(x.dtype)
 
 
-def _attention(x, layer, config: EsmConfig, padding_mask):
+def _attention(x, layer, config: EsmConfig, padding_mask, segment_ids=None):
     """Bidirectional multi-head self-attention, (B, T, D)."""
     b, t, d = x.shape
     h, hd = config.num_heads, config.head_dim
@@ -232,6 +237,7 @@ def _attention(x, layer, config: EsmConfig, padding_mask):
         key_mask=key_mask,
         sm_scale=hd ** -0.5,
         rope_base=10000.0 if config.use_rotary else None,
+        segment_ids=segment_ids,
     )
     ctx = ctx.transpose(0, 2, 1, 3).astype(x.dtype).reshape(b, t, d)
     return _dense(ctx, layer["out"])
@@ -250,6 +256,7 @@ def apply(
     tokens: jnp.ndarray,
     return_representations: bool = False,
     extra_embedding=None,
+    segment_ids: Optional[jnp.ndarray] = None,
 ):
     """Forward pass: (B, T) int tokens -> (B, T, V) f32 logits.
 
@@ -257,11 +264,30 @@ def apply(
     models/contacts.py when needed). ``extra_embedding`` (T, D) is an
     optional additive per-position conditioning signal (structure
     adapters, e.g. MULAN in models/structure_plms.py).
+
+    ``segment_ids`` (B, T) int32, 0 = padding, 1..S contiguous: each row
+    packs several independent sequences (segment packing — every segment
+    scores EXACTLY as if it were alone in the row). Attention is
+    block-diagonal per segment, token-dropout scaling is computed per
+    segment, and learned positions restart at each segment boundary;
+    rotary needs no adjustment (RoPE attention sees only position
+    differences, and cross-segment pairs are masked).
     """
     pad = ALPHABET.padding_idx
     mask_idx = ALPHABET.mask_idx
     padding_mask = tokens == pad
     any_padding = padding_mask  # static-shape friendly: always mask
+
+    seg_onehot = None
+    if segment_ids is not None:
+        # (B, T, S) one-hot over live segments; built once, reused by the
+        # token-dropout and positional machinery below (einsum -> MXU).
+        # Packers must keep per-row segment counts <= MAX_ROW_SEGMENTS
+        # (ids above it would silently fall out of the one-hot).
+        seg_onehot = (
+            segment_ids[..., None]
+            == jnp.arange(1, MAX_ROW_SEGMENTS + 1)[None, None]
+        ).astype(jnp.float32)
 
     x = params["embed_tokens"].astype(config.dtype)[tokens]
     if extra_embedding is not None:
@@ -274,13 +300,37 @@ def apply(
         is_masked = tokens == mask_idx
         x = jnp.where(is_masked[..., None], 0.0, x)
         mask_ratio_train = 0.15 * 0.8
-        src_lengths = jnp.sum(~padding_mask, axis=-1)
-        mask_ratio_obs = jnp.sum(is_masked, axis=-1) / jnp.maximum(src_lengths, 1)
-        scale = (1 - mask_ratio_train) / (1 - mask_ratio_obs)
-        x = x * scale[:, None, None].astype(x.dtype)
+        if seg_onehot is None:
+            src_lengths = jnp.sum(~padding_mask, axis=-1)
+            mask_ratio_obs = (
+                jnp.sum(is_masked, axis=-1) / jnp.maximum(src_lengths, 1)
+            )
+            scale = (1 - mask_ratio_train) / (1 - mask_ratio_obs)
+            x = x * scale[:, None, None].astype(x.dtype)
+        else:
+            # per-SEGMENT observed mask ratio (each packed sequence must
+            # see the same scale it would get alone, ref esm2.py:95-101)
+            seg_len = jnp.einsum("bts->bs", seg_onehot)
+            seg_masked = jnp.einsum(
+                "bts,bt->bs", seg_onehot, is_masked.astype(jnp.float32)
+            )
+            seg_scale = (1 - mask_ratio_train) / (
+                1 - seg_masked / jnp.maximum(seg_len, 1.0)
+            )
+            tok_scale = jnp.einsum("bts,bs->bt", seg_onehot, seg_scale)
+            x = x * tok_scale[..., None].astype(x.dtype)
 
     if not config.use_rotary:
-        pos = _learned_positions(tokens, pad)
+        if seg_onehot is None:
+            pos = _learned_positions(tokens, pad)
+        else:
+            # fairseq indices restarted per segment: rank of the token
+            # within its own segment (+ padding_idx; pads get padding_idx)
+            csum = jnp.cumsum(seg_onehot, axis=1)  # (B, T, S)
+            rank = jnp.einsum("bts,bts->bt", seg_onehot, csum)
+            pos = (rank.astype(jnp.int32) + pad) * (segment_ids > 0) + pad * (
+                segment_ids == 0
+            )
         x = x + params["embed_positions"].astype(config.dtype)[pos]
         if config.emb_layer_norm_before and "emb_ln_before" in params:
             x = _layer_norm(x, params["emb_ln_before"])
@@ -290,7 +340,7 @@ def apply(
     def layer_fn(x, layer):
         residual = x
         y = _layer_norm(x, layer["attn_ln"])
-        y = _attention(y, layer, config, any_padding)
+        y = _attention(y, layer, config, any_padding, segment_ids)
         x = residual + y
         residual = x
         y = _layer_norm(x, layer["ffn_ln"])
@@ -347,6 +397,17 @@ def make_apply_fn(config: EsmConfig):
 
     def apply_fn(params, tokens):
         return apply(params, config, tokens)
+
+    return apply_fn
+
+
+@functools.lru_cache(maxsize=32)
+def make_segmented_apply_fn(config: EsmConfig):
+    """STABLE (params, tokens, segment_ids) -> logits callable for packed
+    rows (see ``apply``'s segment_ids contract)."""
+
+    def apply_fn(params, tokens, segment_ids):
+        return apply(params, config, tokens, segment_ids=segment_ids)
 
     return apply_fn
 

@@ -222,6 +222,224 @@ def packed_masked_marginal_tables(
     return tables
 
 
+def _segment_kernel(apply_fn: Callable, row_len: int, slots: int):
+    """Jitted segment-packed table kernel.
+
+    (params, stacked, sids, starts, begins, lens, offs, mask_val, pad_val)
+    -> (K*chunk*slots, V). sids/starts/begins/lens/offs: (K, chunk, slots)
+    int32 — slot s of a row holds stacked[sid][start : start + len] placed
+    at row position ``begin``, with segment-relative position ``off``
+    masked; len == 0 marks an empty slot. Rows and segment-id maps are
+    built ON DEVICE from those scalars (a dispatch ships five small int
+    tensors, never (rows, T) tokens), and each row's forward runs with
+    block-diagonal segment attention so every packed segment scores
+    exactly as if it were alone (ref esm/compute_fitness.py:489-504
+    semantics per segment).
+    """
+    key = (apply_fn, row_len, slots, "seg")
+    if key in _KERNEL_CACHE:
+        _KERNEL_CACHE.move_to_end(key)
+        return _KERNEL_CACHE[key]
+
+    from proteingym_tpu.ops.gather_logprobs import multi_log_softmax_gather
+
+    @jax.jit
+    def wrapped(params, stacked, sids, starts, begins, lens, offs,
+                mask_val, pad_val):
+        t_src = stacked.shape[1]
+        t = jnp.arange(row_len, dtype=jnp.int32)
+
+        def build(sid_r, st_r, bg_r, ln_r, off_r):  # each (slots,)
+            in_slot = (t[None, :] >= bg_r[:, None]) & (
+                t[None, :] < (bg_r + ln_r)[:, None]
+            )  # (slots, T)
+            slot = jnp.argmax(in_slot, axis=0)
+            valid = jnp.any(in_slot, axis=0)
+            src_pos = jnp.clip(t - bg_r[slot] + st_r[slot], 0, t_src - 1)
+            row = stacked[sid_r[slot], src_pos]
+            row = jnp.where(valid, row, pad_val)
+            gm = jnp.where(ln_r > 0, bg_r + off_r, row_len)  # (slots,)
+            row = row.at[gm].set(mask_val, mode="drop")
+            seg = jnp.where(valid, slot + 1, 0).astype(jnp.int32)
+            return row, seg, gm
+
+        def body(args):
+            rows, segs, gms = jax.vmap(build)(*args)
+            logits = apply_fn(params, rows, segs)
+            return multi_log_softmax_gather(logits, gms)  # (chunk, S, V)
+
+        out = jax.lax.map(body, (sids, starts, begins, lens, offs))
+        return out.reshape(-1, out.shape[-1])
+
+    _KERNEL_CACHE[key] = wrapped
+    while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
+        _KERNEL_CACHE.popitem(last=False)
+    return wrapped
+
+
+def _plan_rows(
+    counts: Dict[int, int], row_len: int, max_slots: int
+) -> List[List[int]]:
+    """Greedy bin packing of segment lengths into rows.
+
+    counts: {segment_length: how_many}. Returns one list of segment
+    lengths per row. Repeatedly fills a row with the LARGEST remaining
+    length that fits (first-fit-decreasing over a handful of distinct
+    lengths — one per assay — so this is O(rows * lengths))."""
+    remaining = dict(counts)
+    rows: List[List[int]] = []
+    lengths = sorted(remaining, reverse=True)
+    while any(remaining.values()):
+        free, used = row_len, []
+        while len(used) < max_slots:
+            pick = next(
+                (L for L in lengths if remaining.get(L, 0) and L <= free),
+                None,
+            )
+            if pick is None:
+                break
+            used.append(pick)
+            remaining[pick] -= 1
+            free -= pick
+        rows.append(used)
+    return rows
+
+
+def packed_segment_tables(
+    seg_apply_fn: Callable,
+    params,
+    token_list: Sequence[np.ndarray],
+    mask_idx: Optional[int] = None,
+    pad_idx: Optional[int] = None,
+    row_len: int = 1024,
+    chunk: int = 8,
+    super_chunks: int = 8,
+    window: int = 1024,
+    max_slots: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Segment-packed cross-assay masked-marginal tables.
+
+    Packs masked rows from EVERY assay — any length mix — into fixed
+    ``row_len`` rows with block-diagonal segment attention, so the whole
+    scoring workload runs as one compiled program shape at the MXU
+    sweet spot instead of one shape per length bucket, and short-assay
+    rows stop paying bucket padding (a 139-token assay wastes ~45% of a
+    160-bucket row; packed, seven of them share a 1024 row at ~95% fill).
+    Semantically identical per assay to ``packed_masked_marginal_tables``
+    (each segment scores as if alone; ref esm/compute_fitness.py:489-504).
+
+    seg_apply_fn: STABLE (params, tokens, segment_ids) -> logits (e.g.
+    esm2.make_segmented_apply_fn). Sequences longer than ``window`` score
+    through optimal windows (ref :492-495) which pack like any other
+    segment.
+    """
+    from proteingym_tpu.models.esm2 import MAX_ROW_SEGMENTS
+
+    mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
+    pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
+    if max_slots is None:
+        max_slots = MAX_ROW_SEGMENTS
+    max_slots = min(max_slots, MAX_ROW_SEGMENTS)
+    window = min(window, row_len)
+    n_assays = len(token_list)
+    lengths = [int(np.asarray(tk).shape[0]) for tk in token_list]
+
+    # --- flatten every assay into (assay, sid, start, off, seg_len) ------
+    seqs: List[np.ndarray] = []
+    items: List[Tuple[int, int, int, int, int]] = []
+    for a, toks in enumerate(token_list):
+        toks = np.asarray(toks)
+        total = lengths[a]
+        sid = len(seqs)
+        seqs.append(toks)
+        if total <= window:
+            for off in range(total):
+                items.append((a, sid, 0, off, total))
+        else:
+            for i in range(total):
+                start, _end = get_optimal_window(i, total, window)
+                items.append((a, sid, start, i - start, window))
+
+    # --- plan rows, assign items to slots --------------------------------
+    counts: Dict[int, int] = defaultdict(int)
+    for it in items:
+        counts[it[4]] += 1
+    plan = _plan_rows(counts, row_len, max_slots)
+    slots = max((len(r) for r in plan), default=1)
+    slots = min(_round_up(max(slots, 1), 4), max_slots)
+
+    by_len: Dict[int, List[Tuple[int, int, int, int, int]]] = defaultdict(list)
+    for it in items:
+        by_len[it[4]].append(it)
+
+    n_rows = len(plan)
+    n_rows_pad = _round_up(n_rows, chunk)
+    sids = np.zeros((n_rows_pad, slots), np.int32)
+    starts = np.zeros((n_rows_pad, slots), np.int32)
+    begins = np.zeros((n_rows_pad, slots), np.int32)
+    lens = np.zeros((n_rows_pad, slots), np.int32)
+    offs = np.zeros((n_rows_pad, slots), np.int32)
+    # (assay, table_pos) per (row, slot); -1 = empty
+    meta = np.full((n_rows_pad, slots, 2), -1, np.int64)
+    for r, row_plan in enumerate(plan):
+        begin = 0
+        for s, seg_len in enumerate(row_plan):
+            a, sid, start, off, _ = by_len[seg_len].pop()
+            sids[r, s] = sid
+            starts[r, s] = start
+            begins[r, s] = begin
+            lens[r, s] = seg_len
+            offs[r, s] = off
+            meta[r, s] = (a, start + off)
+            begin += seg_len
+    assert all(not v for v in by_len.values())
+
+    # --- stack sources (seq count padded for bounded compile keys) -------
+    t_max = _round_up(max(s.shape[0] for s in seqs), 32)
+    s_pad = _round_up(len(seqs), 8)
+    stacked = np.full((s_pad, t_max), pad_idx, seqs[0].dtype)
+    for i, s in enumerate(seqs):
+        stacked[i, : s.shape[0]] = s
+
+    kernel = _segment_kernel(seg_apply_fn, row_len, slots)
+    stacked_j = jnp.asarray(stacked)
+    mask_j = jnp.asarray(mask_idx, stacked.dtype)
+    pad_j = jnp.asarray(pad_idx, stacked.dtype)
+    n_chunks = n_rows_pad // chunk
+
+    def grid(arr):
+        return arr.reshape(n_chunks, chunk, slots)
+
+    g_sids, g_starts, g_begins = grid(sids), grid(starts), grid(begins)
+    g_lens, g_offs = grid(lens), grid(offs)
+    outs = []
+    c = 0
+    while c < n_chunks:
+        k = super_chunks
+        while k > n_chunks - c:
+            k //= 2
+        sl = slice(c, c + k)
+        outs.append(kernel(
+            params, stacked_j, jnp.asarray(g_sids[sl]),
+            jnp.asarray(g_starts[sl]), jnp.asarray(g_begins[sl]),
+            jnp.asarray(g_lens[sl]), jnp.asarray(g_offs[sl]),
+            mask_j, pad_j,
+        ))
+        c += k
+    out = np.asarray(jnp.concatenate(outs, axis=0))  # (rows_pad*slots, V)
+    vocab = out.shape[-1]
+
+    flat_meta = meta.reshape(-1, 2)
+    tables = [
+        np.zeros((lengths[a], vocab), np.float32) for a in range(n_assays)
+    ]
+    live = flat_meta[:, 0] >= 0
+    for a in range(n_assays):
+        sel = live & (flat_meta[:, 0] == a)
+        tables[a][flat_meta[sel, 1]] = out[sel]
+    return tables
+
+
 def score_assays_packed(
     apply_fn: Callable,
     params,
@@ -233,18 +451,34 @@ def score_assays_packed(
     window: int = 1024,
     pad_to_multiple: int = 32,
     buckets: Optional[Sequence[int]] = None,
+    seg_apply_fn: Optional[Callable] = None,
+    row_len: int = 1024,
+    seg_chunk: int = 8,
 ) -> List[np.ndarray]:
     """Masked-marginal scoring of many (sequence, mutants) assays with
     cross-assay row packing. Per-assay scores match
     models/esm_scoring.score_assay(strategy='masked-marginals').
+
+    With ``seg_apply_fn`` (a segment-aware apply, e.g.
+    esm2.make_segmented_apply_fn), rows additionally pack SEGMENTS of
+    different assays into fixed ``row_len`` rows (block-diagonal
+    attention) — one compiled shape for the whole sweep.
     """
     token_list = [alphabet.tokenize(seq) for seq, _ in assays]
-    tables = packed_masked_marginal_tables(
-        apply_fn, params, token_list,
-        mask_idx=alphabet.mask_idx, pad_idx=alphabet.padding_idx,
-        chunk=chunk, super_chunks=super_chunks, window=window,
-        pad_to_multiple=pad_to_multiple, buckets=buckets,
-    )
+    if seg_apply_fn is not None:
+        tables = packed_segment_tables(
+            seg_apply_fn, params, token_list,
+            mask_idx=alphabet.mask_idx, pad_idx=alphabet.padding_idx,
+            row_len=row_len, chunk=seg_chunk, super_chunks=super_chunks,
+            window=window,
+        )
+    else:
+        tables = packed_masked_marginal_tables(
+            apply_fn, params, token_list,
+            mask_idx=alphabet.mask_idx, pad_idx=alphabet.padding_idx,
+            chunk=chunk, super_chunks=super_chunks, window=window,
+            pad_to_multiple=pad_to_multiple, buckets=buckets,
+        )
     return [
         np.asarray(score_mutants_from_table(
             jnp.asarray(tables[i]), mutants, seq,

@@ -174,8 +174,9 @@ def _rope_perm(d: int) -> np.ndarray:
 
 
 def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
-                              sin_ref, perm_ref, o_ref, *, sm_scale: float,
-                              causal: bool, rope: bool):
+                              sin_ref, perm_ref, *rest, sm_scale: float,
+                              causal: bool, rope: bool,
+                              segmented: bool = False):
     """One program = G whole (batch*head) attention problems.
 
     q/k/v_ref: (G, T, D); kbias_ref: (G, 8, T) f32 additive key bias with
@@ -188,7 +189,19 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
     small to amortize per-program overhead — grouping G heads per program
     is what makes the kernel pay off; the whole-T f32 scores block lives
     in VMEM and never touches HBM.
+
+    With ``segmented``, ``rest`` is (seg_ref, o_ref) where seg_ref is a
+    (G, 8, T) f32 segment-id map (row 0 used, 0 = padding): attention is
+    restricted block-diagonally to same-segment (q, k) pairs, which packs
+    independent sequences into one row. RoPE stays correct under packing
+    with GLOBAL row positions because rotary attention only sees position
+    DIFFERENCES (R(a)^T R(b) = R(b-a)) and cross-segment pairs are
+    masked.
     """
+    if segmented:
+        seg_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
@@ -204,6 +217,13 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
         preferred_element_type=jnp.float32,
     ) * sm_scale  # (G, T, T) f32
     scores = scores + kbias_ref[:, 0][:, None, :]
+    if segmented:
+        seg = seg_ref[:, 0]  # (G, T)
+        same = seg[:, :, None] == seg[:, None, :]
+        # NEG_INF is finite, so a fully-masked row (a padding q position:
+        # its keys are all kbias-masked too) still softmaxes to a uniform
+        # distribution instead of NaN; those outputs are never consumed
+        scores = jnp.where(same, scores, NEG_INF)
     if causal:
         t = scores.shape[-1]
         q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
@@ -238,12 +258,15 @@ def grouped_mha(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     rope_base: Optional[float] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Grouped-heads fused attention for short contexts. q/k/v:
     (B, H, T, D); scores never touch HBM. With ``rope_base``, q/k arrive
     UNROTATED and RoPE applies inside the kernel (fused, zero extra HBM
-    passes). Returns (B, H, T, D)."""
+    passes). ``segment_ids`` (B, T) int, 0 = padding: block-diagonal
+    attention for rows packing several independent sequences.
+    Returns (B, H, T, D)."""
     b, h, t, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
@@ -265,6 +288,13 @@ def grouped_mha(
     kbias = jnp.broadcast_to(
         kbias.reshape(b * h, 1, t_pad), (b * h, 8, t_pad)
     )
+    if segment_ids is not None:
+        seg = jnp.pad(segment_ids.astype(jnp.float32),
+                      [(0, 0), (0, t_pad - t)])  # pad -> segment 0
+        seg = jnp.broadcast_to(seg[:, None, :], (b, h, t_pad))
+        seg = jnp.broadcast_to(
+            seg.reshape(b * h, 1, t_pad), (b * h, 8, t_pad)
+        )
 
     bh = b * h
     g = min(_GROUP_MAX, max(1, _SCORES_VMEM_BUDGET // (t_pad * t_pad * 4)))
@@ -286,29 +316,35 @@ def grouped_mha(
     perm = jnp.asarray(_rope_perm(d))
     kernel = functools.partial(
         _grouped_attention_kernel, sm_scale=sm_scale, causal=causal,
-        rope=rope_base is not None,
+        rope=rope_base is not None, segmented=segment_ids is not None,
     )
+    in_specs = [
+        pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((g, 8, t_pad), lambda i: (i, 0, 0)),
+        pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
+        pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
+        pl.BlockSpec((d, d), lambda i: (0, 0)),
+    ]
+    operands = [qf, kf, vf, kbias, cos, sin, perm]
+    if segment_ids is not None:
+        in_specs.append(pl.BlockSpec((g, 8, t_pad), lambda i: (i, 0, 0)))
+        operands.append(seg)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
         grid=(bh // g,),
-        in_specs=[
-            pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((g, 8, t_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
-            pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
-            pl.BlockSpec((d, d), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
         interpret=interpret,
-    )(qf, kf, vf, kbias, cos, sin, perm)
+    )(*operands)
     return out.reshape(b, h, t_pad, d)[:, :, :t]
 
 
 def reference_mha(
-    q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None
+    q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None,
+    segment_ids=None,
 ):
     """Pure-XLA reference path (also the non-TPU fallback)."""
     b, h, t, d = q.shape
@@ -322,6 +358,9 @@ def reference_mha(
         scores = scores + bias[None, :, None, :]
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, None, :], scores, NEG_INF)
+    if segment_ids is not None:
+        same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        scores = jnp.where(same, scores, NEG_INF)
     if causal:
         cm = jnp.tril(jnp.ones((t, t), bool))
         scores = jnp.where(cm[None, None], scores, NEG_INF)
@@ -385,26 +424,32 @@ def _apply_rope_bhtd(q, k, rope_base):
 
 
 def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None,
-        rope_base=None):
+        rope_base=None, segment_ids=None):
     """Dispatch: grouped-heads fused kernel on TPU up to
     GROUPED_MAX_SEQ_LEN, q-blocked flash kernel beyond, XLA elsewhere.
 
     With ``rope_base``, q/k arrive UNROTATED; the grouped kernel fuses
-    RoPE in VMEM and the other paths apply it in-graph."""
+    RoPE in VMEM and the other paths apply it in-graph. ``segment_ids``
+    (B, T) int, 0 = padding: block-diagonal attention for packed rows
+    (grouped-kernel and XLA paths; the q-blocked flash kernel does not
+    support it, so longer segmented rows fall back to XLA)."""
     if _HAVE_PALLAS and not _FORCE_XLA and jax.default_backend() == "tpu":
         if q.shape[2] <= GROUPED_MAX_SEQ_LEN:
             return grouped_mha(
                 q, k, v, key_mask=key_mask, bias=bias, causal=causal,
                 sm_scale=sm_scale, rope_base=rope_base,
+                segment_ids=segment_ids,
             )
-        if rope_base is not None:
-            q, k = _apply_rope_bhtd(q, k, rope_base)
-        return flash_mha(
-            q, k, v, key_mask=key_mask, bias=bias, causal=causal,
-            sm_scale=sm_scale, block_q=DEFAULT_BLOCK_Q,
-        )
+        if segment_ids is None:
+            if rope_base is not None:
+                q, k = _apply_rope_bhtd(q, k, rope_base)
+            return flash_mha(
+                q, k, v, key_mask=key_mask, bias=bias, causal=causal,
+                sm_scale=sm_scale, block_q=DEFAULT_BLOCK_Q,
+            )
     if rope_base is not None:
         q, k = _apply_rope_bhtd(q, k, rope_base)
     return reference_mha(
-        q, k, v, key_mask=key_mask, bias=bias, causal=causal, sm_scale=sm_scale
+        q, k, v, key_mask=key_mask, bias=bias, causal=causal,
+        sm_scale=sm_scale, segment_ids=segment_ids
     )

@@ -32,3 +32,16 @@ def row_log_softmax_gather(logits: jnp.ndarray, offs: jnp.ndarray) -> jnp.ndarra
         logits, offs[:, None, None], axis=1
     )[:, 0, :]
     return jax.nn.log_softmax(rows.astype(jnp.float32), axis=-1)
+
+
+def multi_log_softmax_gather(
+    logits: jnp.ndarray, offs: jnp.ndarray
+) -> jnp.ndarray:
+    """out[i, s, :] = log_softmax(logits[i, offs[i, s], :], axis=-1).
+
+    Segment-packed rows carry one masked position per packed segment:
+    logits (B, T, V), offs (B, S) int32 -> (B, S, V) f32. Out-of-range
+    offsets (empty slots) clamp to the last row; callers drop them.
+    """
+    rows = jnp.take_along_axis(logits, offs[:, :, None], axis=1)
+    return jax.nn.log_softmax(rows.astype(jnp.float32), axis=-1)

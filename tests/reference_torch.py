@@ -465,17 +465,23 @@ def load_ref_if1():
 
 def _stub_bio_pdb_rdkit():
     """Bio.PDB / rdkit are only used for PDB parsing + SASA in ProtSSN's
-    dataset; parity tests drive the graph builder with coordinates."""
-    if "Bio.PDB" not in sys.modules:
-        bio = sys.modules.get("Bio") or types.ModuleType("Bio")
-        pdb = types.ModuleType("Bio.PDB")
+    dataset; parity tests drive the graph builder with coordinates.
 
-        class _AnyInit:
-            def __init__(self, *a, **k):
-                pass
+    COMPOSES with _stub_bio_pdb (the ProSST quantizer's functional ATOM
+    parser): only fills in attributes that are missing, so test ordering
+    cannot break either consumer."""
+    bio = sys.modules.get("Bio") or types.ModuleType("Bio")
+    pdb = sys.modules.get("Bio.PDB") or types.ModuleType("Bio.PDB")
 
+    class _AnyInit:
+        def __init__(self, *a, **k):
+            pass
+
+    if not hasattr(pdb, "PDBParser"):
         pdb.PDBParser = _AnyInit
+    if not hasattr(pdb, "ShrakeRupley"):
         pdb.ShrakeRupley = _AnyInit
+    if not hasattr(pdb, "PDBExceptions"):
         exc = types.ModuleType("Bio.PDB.PDBExceptions")
 
         class PDBConstructionWarning(Warning):
@@ -483,10 +489,10 @@ def _stub_bio_pdb_rdkit():
 
         exc.PDBConstructionWarning = PDBConstructionWarning
         pdb.PDBExceptions = exc
-        bio.PDB = pdb
-        sys.modules["Bio"] = bio
-        sys.modules["Bio.PDB"] = pdb
         sys.modules["Bio.PDB.PDBExceptions"] = exc
+    bio.PDB = pdb
+    sys.modules["Bio"] = bio
+    sys.modules["Bio.PDB"] = pdb
     if "rdkit" not in sys.modules:
         rdkit = types.ModuleType("rdkit")
         chem = types.ModuleType("rdkit.Chem")
@@ -882,8 +888,14 @@ def _stub_pathos():
 
 def _stub_bio_pdb():
     """Minimal Bio.PDB parser for the fixed-format ATOM records our tests
-    write, plus Bio.SeqUtils.seq1 (the quantizer's only Bio surface)."""
-    if "Bio.PDB" in sys.modules:
+    write, plus Bio.SeqUtils.seq1 (the quantizer's only Bio surface).
+
+    COMPOSES with _stub_bio_pdb_rdkit: always (re)installs the functional
+    PDBParser — the ProtSSN stub's parser is inert — while keeping any
+    attributes another stub already added."""
+    if "Bio.PDB" in sys.modules and hasattr(
+        sys.modules["Bio.PDB"].PDBParser, "get_structure"
+    ):
         return
     import numpy as np
 
@@ -956,7 +968,7 @@ def _stub_bio_pdb():
             return _Structure([_Model([chain])])
 
     bio = sys.modules.get("Bio") or types.ModuleType("Bio")
-    pdb_mod = types.ModuleType("Bio.PDB")
+    pdb_mod = sys.modules.get("Bio.PDB") or types.ModuleType("Bio.PDB")
     pdb_mod.PDBParser = PDBParser
     sequtils = types.ModuleType("Bio.SeqUtils")
     sequtils.seq1 = lambda r: _3to1.get(r, "X")
