@@ -35,6 +35,7 @@ NEG_INF = -1e30
 
 try:  # Pallas is TPU/interpret-only; import guarded for exotic builds
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     _HAVE_PALLAS = True
 except Exception:  # pragma: no cover
@@ -55,12 +56,14 @@ def _attention_kernel(q_ref, k_ref, v_ref, kbias_ref, o_ref,
     # accumulation — an f32 x f32 matmul runs at HALF the MXU rate, and
     # the scale folds in after the accumulate (measured: the f32 variant
     # capped the kernel at ~0.45 MFU at T=1024)
-    q = q_ref[0]
+    # the softmax scale folds into q: one (block_q, D) pass instead of a
+    # (block_q, T) pass over the scores block
+    q = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale  # (block_q, T) f32
+    )  # (block_q, T) f32
     # key_bias row carries both the additive bias and the -inf padding mask
     scores = scores + kbias_ref[0, 0][None, :]
     if causal:
@@ -73,11 +76,12 @@ def _attention_kernel(q_ref, k_ref, v_ref, kbias_ref, o_ref,
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / jnp.maximum(denom, 1e-30)
+    # deferred normalization: divide the (block_q, D) output instead of
+    # the (block_q, T) probs (same bf16 rounding point as normalizing e)
     o = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) / jnp.maximum(denom, 1e-30)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -174,9 +178,10 @@ def _rope_perm(d: int) -> np.ndarray:
 
 
 def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
-                              sin_ref, perm_ref, *rest, sm_scale: float,
+                              sin_ref, perm_ref, *rest,
                               causal: bool, rope: bool,
-                              segmented: bool = False):
+                              segmented: bool = False,
+                              skip_kbias: bool = False):
     """One program = G whole (batch*head) attention problems.
 
     q/k/v_ref: (G, T, D); kbias_ref: (G, 8, T) f32 additive key bias with
@@ -211,18 +216,18 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
         perm = perm_ref[...]
         q = _rope_in_kernel(q, cos, sin, perm)
         k = _rope_in_kernel(k, cos, sin, perm)
+    # NOTE: the caller (grouped_mha) has already folded the softmax scale
+    # into q — no (G, T, T) scale pass here
     # batched over G on the MXU, bf16 operands with f32 accumulation
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * sm_scale  # (G, T, T) f32
-    scores = scores + kbias_ref[:, 0][:, None, :]
+    )  # (G, T, T) f32
     if segmented:
         seg = seg_ref[:, 0]  # (G, T)
         same = seg[:, :, None] == seg[:, None, :]
-        # NEG_INF is finite, so a fully-masked row (a padding q position:
-        # its keys are all kbias-masked too) still softmaxes to a uniform
-        # distribution instead of NaN; those outputs are never consumed
+        # NEG_INF is finite, so a fully-masked q row (padding) still
+        # produces finite outputs (zeros); those are never consumed
         scores = jnp.where(same, scores, NEG_INF)
     if causal:
         t = scores.shape[-1]
@@ -230,13 +235,23 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
         scores = jnp.where((k_pos <= q_pos)[None], scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
+    if segmented and skip_kbias:
+        e = jnp.exp(scores - m)
+    else:
+        # the key bias (pad mask + ALiBi, both <= 0) joins inside the exp
+        # argument rather than as a pre-max add: softmax is shift
+        # invariant, m = max(unbiased scores) stays a valid overflow
+        # bound, and one (G, T, T) pass is saved. (Adding the broadcast
+        # bias directly onto the matmul accumulator also miscompiles —
+        # Mosaic "limits[i] <= dim(i)" check failure.)
+        e = jnp.exp(scores - m + kbias_ref[:, 0][:, None, :])
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / jnp.maximum(denom, 1e-30)
+    # deferred normalization: divide the (G, T, D) output instead of the
+    # (G, T, T) probs (same bf16 rounding point as normalizing e)
     o = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ) / jnp.maximum(denom, 1e-30)
     o_ref[...] = o.astype(o_ref.dtype)
 
 
@@ -265,11 +280,20 @@ def grouped_mha(
     (B, H, T, D); scores never touch HBM. With ``rope_base``, q/k arrive
     UNROTATED and RoPE applies inside the kernel (fused, zero extra HBM
     passes). ``segment_ids`` (B, T) int, 0 = padding: block-diagonal
-    attention for rows packing several independent sequences.
-    Returns (B, H, T, D)."""
+    attention for rows packing several independent sequences; every
+    position masked by ``key_mask`` must then be segment 0 (the kernel
+    folds the padding mask into the segment select when ``bias`` is
+    None). Returns (B, H, T, D)."""
     b, h, t, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
+    # fold the softmax scale into q HERE (fuses into the pad/reshape
+    # copies XLA already performs): one (B, H, T, D) pass instead of a
+    # (G, T, T) pass over the scores block in the kernel. Linearity of
+    # RoPE makes this valid in the rotated path too. Folding inside the
+    # kernel instead miscompiles (Mosaic "limits[i] <= dim(i)" check
+    # failure when combined with the kbias broadcast add).
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     t_pad = _round_up(t, 128)
     if t_pad != t:
         pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
@@ -315,8 +339,12 @@ def grouped_mha(
         sin = jnp.zeros((t_pad, d), jnp.float32)
     perm = jnp.asarray(_rope_perm(d))
     kernel = functools.partial(
-        _grouped_attention_kernel, sm_scale=sm_scale, causal=causal,
+        _grouped_attention_kernel, causal=causal,
         rope=rope_base is not None, segmented=segment_ids is not None,
+        # with segments and no additive bias, the kbias padding mask is
+        # redundant: pads are segment 0, so every real q excludes them
+        # via the same-segment select (skips a whole (G, T, T) pass)
+        skip_kbias=segment_ids is not None and bias is None,
     )
     in_specs = [
         pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
@@ -340,6 +368,169 @@ def grouped_mha(
         interpret=interpret,
     )(*operands)
     return out.reshape(b, h, t_pad, d)[:, :, :t]
+
+
+# ---------------------------------------------------------------------------
+# Extent-sparse segmented flash attention (packed rows)
+# ---------------------------------------------------------------------------
+
+SEG_BLOCK = 128  # q/k tile edge for the extent-sparse segmented kernel
+
+
+def _seg_block_kernel(lo_ref, hi_ref, seg_ref, q_ref, k_ref, v_ref, o_ref):
+    """One program = one (row, head-group, q-block) flash problem that
+    only visits the key blocks its segments overlap.
+
+    Packed rows hold several short independent segments, so masked-dense
+    attention wastes most of its (T, T) scores on cross-segment tiles
+    that the mask zeroes anyway. Per q block, [lo, hi) bounds (in
+    SEG_BLOCK units, precomputed in-graph) cover every key block sharing
+    a segment with the block's queries; the kernel streams exactly those
+    tiles with an online-softmax accumulator (same recurrence as flash
+    attention) and skips the rest — compute scales with sum(L_s * L_s)
+    instead of T**2.
+
+    lo/hi_ref: (B, nQB) i32 SMEM, passed WHOLE (TPU SMEM blocks must
+    keep the full leading dim) and indexed by program ids; seg_ref:
+    (1, 8, T) f32 (row 0 used, 0 = padding); q_ref: (1, HG, BQ, D)
+    PRE-SCALED and PRE-ROTATED; k/v_ref: (1, HG, T, D);
+    o_ref: (1, HG, BQ, D).
+    """
+    bi = pl.program_id(0)
+    qb = pl.program_id(2)
+    lo = lo_ref[bi, qb]
+    hi = hi_ref[bi, qb]
+    q = q_ref[0]  # (HG, BQ, D)
+    hg, bq, d = q.shape
+    qseg = seg_ref[0, 0, pl.ds(qb * bq, bq)]  # (BQ,)
+
+    def body(jb, carry):
+        m, denom, acc = carry
+        k_t = k_ref[0, :, pl.ds(jb * SEG_BLOCK, SEG_BLOCK), :]
+        v_t = v_ref[0, :, pl.ds(jb * SEG_BLOCK, SEG_BLOCK), :]
+        kseg = seg_ref[0, 0, pl.ds(jb * SEG_BLOCK, SEG_BLOCK)]
+        s = jax.lax.dot_general(
+            q, k_t, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (HG, BQ, BK)
+        same = (qseg[:, None] == kseg[None, :])[None]
+        s = jnp.where(same, s, NEG_INF)
+        m_t = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m, m_t)
+        alpha = jnp.exp(m - m_new)
+        e = jnp.exp(s - m_new[..., None])
+        denom = denom * alpha + jnp.sum(e, axis=-1)
+        acc = acc * alpha[..., None] + jax.lax.dot_general(
+            e.astype(v_t.dtype), v_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, denom, acc
+
+    m0 = jnp.full((hg, bq), NEG_INF, jnp.float32)
+    d0 = jnp.zeros((hg, bq), jnp.float32)
+    a0 = jnp.zeros((hg, bq, d), jnp.float32)
+    # dynamic-bound loop: blocks outside [lo, hi) are never visited at
+    # all (no cond, no wasted MXU/VPU pass) — compute scales with the
+    # per-q-block extent instead of T
+    _, denom, acc = jax.lax.fori_loop(lo, hi, body, (m0, d0, a0))
+    o_ref[0] = (acc / jnp.maximum(denom, 1e-30)[..., None]).astype(
+        o_ref.dtype
+    )
+
+
+def _segment_block_extents(segment_ids: jnp.ndarray, n_qb: int):
+    """(B, T) contiguous segment ids -> per-q-block key-block extents
+    [lo, hi) in SEG_BLOCK units (both (B, nQB) i32), computed in-graph
+    (a few cumulative ops — negligible next to the attention itself)."""
+    b, t = segment_ids.shape
+    seg = segment_ids.astype(jnp.int32)
+    idx = jnp.arange(t, dtype=jnp.int32)[None]
+    is_start = jnp.concatenate(
+        [jnp.ones((b, 1), bool), seg[:, 1:] != seg[:, :-1]], axis=1
+    )
+    start_tok = jax.lax.cummax(jnp.where(is_start, idx, 0), axis=1)
+    is_end = jnp.concatenate(
+        [seg[:, 1:] != seg[:, :-1], jnp.ones((b, 1), bool)], axis=1
+    )
+    end_rev = jax.lax.cummax(
+        jnp.where(is_end, t - 1 - idx, 0)[:, ::-1], axis=1
+    )[:, ::-1]
+    end_tok = t - 1 - end_rev
+    lo = jnp.min(
+        start_tok.reshape(b, n_qb, SEG_BLOCK), axis=-1
+    ) // SEG_BLOCK
+    hi = jnp.max(end_tok.reshape(b, n_qb, SEG_BLOCK), axis=-1) // SEG_BLOCK + 1
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
+def seg_block_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    sm_scale: Optional[float] = None,
+    rope_base: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Extent-sparse block-diagonal attention for segment-packed rows.
+
+    NOT the default (``mha`` keeps segmented rows on the masked-dense
+    grouped kernel): measured on the packed production shape
+    (B=4, H=20, T=1024, D=64, ~5 segments/row of 80-300 tokens) this
+    kernel runs 1.16 ms vs the grouped kernel's 0.70 ms, and the
+    dynamic-bound Mosaic loop costs a ~335 s compile. At ESM2's 1024
+    row cap the per-q-block extents skip too few key blocks to beat one
+    big batched MXU matmul; the kernel is kept (tested in interpret
+    mode) for future packed rows long enough (>= 4k) that O(sum L_s^2)
+    beats O(T^2).
+
+    q/k/v: (B, H, T, D), T a multiple of SEG_BLOCK; segment_ids: (B, T)
+    int32, ids CONTIGUOUS along the row, 0 = padding (a padded tail or
+    all-pad row computes garbage that callers never consume). RoPE and
+    the softmax scale apply in-graph here (one fused elementwise pass —
+    cheap at packed-row sizes, and it keeps k-tiles rotation-free inside
+    the dynamic loop). Returns (B, H, T, D)."""
+    b, h, t, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if rope_base is not None:
+        q, k = _apply_rope_bhtd(q, k, rope_base)
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+
+    n_qb = t // SEG_BLOCK
+    lo, hi = _segment_block_extents(segment_ids, n_qb)
+    seg = jnp.broadcast_to(
+        segment_ids.astype(jnp.float32)[:, None, :], (b, 8, t)
+    )
+
+    # head group: largest divisor of H whose K/V blocks stay <= ~1.5 MB
+    # each (double-buffered by Pallas)
+    hg = h
+    while hg > 1 and hg * t * d * 2 > (1 << 20) + (1 << 19):
+        divs = [x for x in range(1, hg) if h % x == 0]
+        hg = divs[-1]
+    n_hb = h // hg
+
+    out = pl.pallas_call(
+        _seg_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+        grid=(b, n_hb, n_qb),
+        in_specs=[
+            pl.BlockSpec((b, n_qb), lambda bi, hb, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, n_qb), lambda bi, hb, qb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, t), lambda bi, hb, qb: (bi, 0, 0)),
+            pl.BlockSpec((1, hg, SEG_BLOCK, d),
+                         lambda bi, hb, qb: (bi, hb, qb, 0)),
+            pl.BlockSpec((1, hg, t, d), lambda bi, hb, qb: (bi, hb, 0, 0)),
+            pl.BlockSpec((1, hg, t, d), lambda bi, hb, qb: (bi, hb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hg, SEG_BLOCK, d),
+                               lambda bi, hb, qb: (bi, hb, qb, 0)),
+        interpret=interpret,
+    )(lo, hi, seg, q, k, v)
+    return out
 
 
 def reference_mha(
@@ -431,8 +622,9 @@ def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None,
     With ``rope_base``, q/k arrive UNROTATED; the grouped kernel fuses
     RoPE in VMEM and the other paths apply it in-graph. ``segment_ids``
     (B, T) int, 0 = padding: block-diagonal attention for packed rows
-    (grouped-kernel and XLA paths; the q-blocked flash kernel does not
-    support it, so longer segmented rows fall back to XLA)."""
+    (masked-dense in the grouped kernel — measured FASTER than the
+    extent-sparse seg_block_mha at every production row length, see its
+    docstring)."""
     if _HAVE_PALLAS and not _FORCE_XLA and jax.default_backend() == "tpu":
         if q.shape[2] <= GROUPED_MAX_SEQ_LEN:
             return grouped_mha(

@@ -76,6 +76,62 @@ class TestSegmentedAttention:
             atol=1e-5,
         )
 
+    def test_seg_block_kernel_interpret_matches_reference(self):
+        # extent-sparse kernel: segments crossing SEG_BLOCK boundaries,
+        # a padded tail, and a full-row single segment
+        rs = np.random.RandomState(7)
+        b, h, t, d = 2, 4, 512, 32
+        mk = lambda: jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        seg = np.zeros((b, t), np.int32)
+        seg[0, :200] = 1
+        seg[0, 200:310] = 2
+        seg[0, 310:470] = 3  # 470:512 padding
+        seg[1, :] = 1  # one segment spanning every block
+        sj = jnp.asarray(seg)
+        ref = fa.reference_mha(
+            q, k, v, key_mask=sj > 0, segment_ids=sj
+        )
+        got = fa.seg_block_mha(q, k, v, sj, interpret=True)
+        live = seg > 0  # (B, T); compare (B, T, H, D) layouts
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 2, 1, 3)[live],
+            np.asarray(ref).transpose(0, 2, 1, 3)[live], atol=1e-5,
+        )
+
+    def test_seg_block_kernel_rope(self):
+        rs = np.random.RandomState(8)
+        b, h, t, d = 1, 2, 256, 32
+        mk = lambda: jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+        q, k, v = mk(), mk(), mk()
+        seg = np.zeros((b, t), np.int32)
+        seg[0, :100] = 1
+        seg[0, 100:230] = 2
+        sj = jnp.asarray(seg)
+        qr, kr = fa._apply_rope_bhtd(q, k, 10000.0)
+        ref = fa.reference_mha(qr, kr, v, key_mask=sj > 0, segment_ids=sj)
+        got = fa.seg_block_mha(
+            q, k, v, sj, rope_base=10000.0, interpret=True
+        )
+        live = seg > 0
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 2, 1, 3)[live],
+            np.asarray(ref).transpose(0, 2, 1, 3)[live], atol=1e-4,
+        )
+
+    def test_segment_block_extents(self):
+        seg = np.zeros((1, 512), np.int32)
+        seg[0, :200] = 1       # blocks 0..1
+        seg[0, 200:310] = 2    # blocks 1..2
+        seg[0, 310:470] = 3    # blocks 2..3
+        lo, hi = fa._segment_block_extents(jnp.asarray(seg), 4)
+        # q block 0: only segment 1 -> keys [0, 200) -> blocks [0, 2)
+        # q block 1: segments 1+2 -> keys [0, 310) -> blocks [0, 3)
+        # q block 2: segments 2+3 -> keys [200, 470) -> blocks [1, 4)
+        # q block 3: segment 3 + pad tail -> keys [310, 512) -> [2, 4)
+        np.testing.assert_array_equal(np.asarray(lo)[0], [0, 0, 1, 2])
+        np.testing.assert_array_equal(np.asarray(hi)[0], [2, 3, 4, 4])
+
     def test_rope_shift_invariance_under_packing(self):
         # rotary attention sees only position DIFFERENCES, so packed
         # segments rotated at GLOBAL row positions must equal a lone
