@@ -275,6 +275,7 @@ def grouped_mha(
     rope_base: Optional[float] = None,
     segment_ids: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    group_size: Optional[int] = None,
 ) -> jnp.ndarray:
     """Grouped-heads fused attention for short contexts. q/k/v:
     (B, H, T, D); scores never touch HBM. With ``rope_base``, q/k arrive
@@ -283,7 +284,8 @@ def grouped_mha(
     attention for rows packing several independent sequences; every
     position masked by ``key_mask`` must then be segment 0 (the kernel
     folds the padding mask into the segment select when ``bias`` is
-    None). Returns (B, H, T, D)."""
+    None). ``group_size`` overrides the VMEM-budget G heuristic (must
+    divide B*H). Returns (B, H, T, D)."""
     b, h, t, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
@@ -301,29 +303,47 @@ def grouped_mha(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
+    bh = b * h
+    if group_size is not None:
+        g = group_size
+        if bh % g:
+            raise ValueError(f"group_size {g} must divide B*H={bh}")
+    else:
+        g = min(_GROUP_MAX, max(1, _SCORES_VMEM_BUDGET // (t_pad * t_pad * 4)))
+        while bh % g:
+            g -= 1
+
     if key_mask is None:
         key_mask = jnp.ones((b, t), bool)
     kmask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
     kbias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)  # (B, T)
-    kbias = jnp.broadcast_to(kbias[:, None, :], (b, h, t_pad))
-    if bias is not None:
-        bias_p = jnp.pad(bias.astype(jnp.float32), [(0, 0), (0, t_pad - t)])
-        kbias = kbias + bias_p[None]
-    kbias = jnp.broadcast_to(
-        kbias.reshape(b * h, 1, t_pad), (b * h, 8, t_pad)
-    )
+    # when every program's G rows live inside ONE batch row (g | h) and
+    # there is no per-head bias, the key bias and segment map are
+    # PER-BATCH (B, 8, T) operands instead of per-(batch*head)
+    # (B*H, 8, T): 20x less HBM build+stream traffic at H=20
+    per_batch_aux = bias is None and h % g == 0
+    if per_batch_aux:
+        kbias = jnp.broadcast_to(kbias[:, None, :], (b, 8, t_pad))
+    else:
+        kbias = jnp.broadcast_to(kbias[:, None, :], (b, h, t_pad))
+        if bias is not None:
+            bias_p = jnp.pad(
+                bias.astype(jnp.float32), [(0, 0), (0, t_pad - t)]
+            )
+            kbias = kbias + bias_p[None]
+        kbias = jnp.broadcast_to(
+            kbias.reshape(b * h, 1, t_pad), (b * h, 8, t_pad)
+        )
     if segment_ids is not None:
         seg = jnp.pad(segment_ids.astype(jnp.float32),
                       [(0, 0), (0, t_pad - t)])  # pad -> segment 0
-        seg = jnp.broadcast_to(seg[:, None, :], (b, h, t_pad))
-        seg = jnp.broadcast_to(
-            seg.reshape(b * h, 1, t_pad), (b * h, 8, t_pad)
-        )
-
-    bh = b * h
-    g = min(_GROUP_MAX, max(1, _SCORES_VMEM_BUDGET // (t_pad * t_pad * 4)))
-    while bh % g:
-        g -= 1
+        if per_batch_aux:
+            seg = jnp.broadcast_to(seg[:, None, :], (b, 8, t_pad))
+        else:
+            seg = jnp.broadcast_to(seg[:, None, :], (b, h, t_pad))
+            seg = jnp.broadcast_to(
+                seg.reshape(b * h, 1, t_pad), (b * h, 8, t_pad)
+            )
 
     qf = q.reshape(bh, t_pad, d)
     kf = k.reshape(bh, t_pad, d)
@@ -346,18 +366,25 @@ def grouped_mha(
         # via the same-segment select (skips a whole (G, T, T) pass)
         skip_kbias=segment_ids is not None and bias is None,
     )
+    if per_batch_aux:
+        # one (1, 8, T) block per program, indexed by its batch row
+        aux_spec = pl.BlockSpec(
+            (1, 8, t_pad), lambda i: ((i * g) // h, 0, 0)
+        )
+    else:
+        aux_spec = pl.BlockSpec((g, 8, t_pad), lambda i: (i, 0, 0))
     in_specs = [
         pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
         pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
         pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
-        pl.BlockSpec((g, 8, t_pad), lambda i: (i, 0, 0)),
+        aux_spec,
         pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
         pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
         pl.BlockSpec((d, d), lambda i: (0, 0)),
     ]
     operands = [qf, kf, vf, kbias, cos, sin, perm]
     if segment_ids is not None:
-        in_specs.append(pl.BlockSpec((g, 8, t_pad), lambda i: (i, 0, 0)))
+        in_specs.append(aux_spec)
         operands.append(seg)
     out = pl.pallas_call(
         kernel,

@@ -120,6 +120,37 @@ class TestGroupedMha:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
 
+    def test_per_batch_aux_operands(self):
+        # group_size dividing H routes the padding mask (and segment map)
+        # through per-BATCH (B, 8, T) operands instead of per-(B*H) rows
+        from proteingym_tpu.ops.flash_attention import grouped_mha
+
+        q, k, v = self._qkv(2, 4, 40, 16, seed=5)
+        mask = np.ones((2, 40), bool)
+        mask[0, 30:] = False
+        mask[1, 22:] = False
+        seg = np.zeros((2, 40), np.int32)
+        seg[0, :12] = 1
+        seg[0, 12:30] = 2
+        seg[1, :22] = 1
+        for g in (2, 4):  # both divide H=4 -> per-batch aux path
+            got = grouped_mha(q, k, v, key_mask=jnp.asarray(mask),
+                              segment_ids=jnp.asarray(seg),
+                              interpret=True, group_size=g)
+            want = reference_mha(q, k, v, key_mask=jnp.asarray(mask),
+                                 segment_ids=jnp.asarray(seg))
+            live = seg > 0
+            np.testing.assert_allclose(
+                np.asarray(got).transpose(0, 2, 1, 3)[live],
+                np.asarray(want).transpose(0, 2, 1, 3)[live], atol=2e-5,
+            )
+        # g=8 spans batch rows (8 > H) -> per-(B*H) fallback, same result
+        got = grouped_mha(q, k, v, key_mask=jnp.asarray(mask),
+                          interpret=True, group_size=8)
+        want = reference_mha(q, k, v, key_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
     def test_causal(self):
         from proteingym_tpu.ops.flash_attention import grouped_mha
 
