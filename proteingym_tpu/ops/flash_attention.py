@@ -398,6 +398,169 @@ def grouped_mha(
 
 
 # ---------------------------------------------------------------------------
+# Heads-mid (B, T, H, D) grouped attention — transpose-free kernel boundary
+# ---------------------------------------------------------------------------
+
+# max context for the heads-mid kernel: beyond this the whole-T K/V
+# blocks (double-buffered) plus the f32 scores block exceed scoped VMEM
+BTHD_MAX_SEQ_LEN = 512
+
+
+def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
+                           sin_ref, perm_ref, *rest, causal: bool,
+                           rope: bool, segmented: bool,
+                           skip_kbias: bool, bq: int):
+    """One program = one batch row x one q block, ALL H heads.
+
+    The natural layout out of the QKV projections is (B, T, H, D) — a
+    free reshape of the (B, T, H*D) matmul output. The standard kernel
+    wants (B, H, T, D), which costs four materialized HBM transposes per
+    layer around the custom call (q/k/v in, ctx out). This kernel
+    consumes (B, T, H, D) directly and moves heads-major in VMEM
+    (~22x HBM bandwidth) instead.
+
+    q_ref: (1, BQ, H, D) PRE-SCALED; k/v_ref: (1, T, H, D);
+    kbias_ref/seg_ref: (1, 8, T) per-batch f32; cos/sin: (T, D);
+    o_ref: (1, BQ, H, D).
+    """
+    if segmented:
+        seg_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    qb = pl.program_id(1)
+    q = jnp.swapaxes(q_ref[0], 0, 1)  # (H, BQ, D) in VMEM
+    k = jnp.swapaxes(k_ref[0], 0, 1)  # (H, T, D)
+    v = jnp.swapaxes(v_ref[0], 0, 1)
+    if rope:
+        perm = perm_ref[...]
+        # slice the REFS (Mosaic lowers pl.ds ref reads; dynamic_slice on
+        # loaded values is unimplemented in the TC lowering)
+        cos_q = cos_ref[pl.ds(qb * bq, bq), :]
+        sin_q = sin_ref[pl.ds(qb * bq, bq), :]
+        q = _rope_in_kernel(q, cos_q, sin_q, perm)
+        k = _rope_in_kernel(k, cos_ref[...], sin_ref[...], perm)
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (H, BQ, T) f32
+    if segmented:
+        seg = seg_ref[0, 0]  # (T,)
+        qseg = seg_ref[0, 0, pl.ds(qb * bq, bq)]
+        scores = jnp.where(
+            (qseg[:, None] == seg[None, :])[None], scores, NEG_INF
+        )
+    if causal:
+        t = scores.shape[-1]
+        q_pos = qb * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
+        scores = jnp.where((k_pos <= q_pos)[None], scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    if segmented and skip_kbias:
+        e = jnp.exp(scores - m)
+    else:
+        e = jnp.exp(scores - m + kbias_ref[0, 0][None, None, :])
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / jnp.maximum(denom, 1e-30)  # (H, BQ, D)
+    o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+
+
+# per-program f32 scores budget for the heads-mid kernel (all H heads
+# live in one program, so the q-block length adapts instead of G)
+_BTHD_SCORES_BUDGET = 3 << 20
+
+
+def grouped_mha_bthd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    rope_base: Optional[float] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+    block_q: Optional[int] = None,
+) -> jnp.ndarray:
+    """Heads-mid grouped attention: q/k/v AND the result are
+    (B, T, H, D) — the natural layout around the QKV/out projections —
+    so no HBM transposes surround the kernel call. Per-head additive
+    bias (ALiBi) is NOT supported here (those callers keep the
+    (B, H, T, D) kernel). Returns (B, T, H, D)."""
+    b, t, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    t_pad = _round_up(t, 128)
+    if t_pad != t:
+        pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    if key_mask is None:
+        key_mask = jnp.ones((b, t), bool)
+    kmask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    kbias = jnp.where(kmask, 0.0, NEG_INF).astype(jnp.float32)
+    kbias = jnp.broadcast_to(kbias[:, None, :], (b, 8, t_pad))
+    if segment_ids is not None:
+        seg = jnp.pad(segment_ids.astype(jnp.float32),
+                      [(0, 0), (0, t_pad - t)])
+        seg = jnp.broadcast_to(seg[:, None, :], (b, 8, t_pad))
+
+    if block_q is None:
+        bq = max(32, (_BTHD_SCORES_BUDGET // (h * t_pad * 4)) // 32 * 32)
+    else:
+        bq = block_q
+    bq = min(bq, t_pad)
+    while t_pad % bq:
+        bq -= 32
+    n_qb = t_pad // bq
+
+    if rope_base is not None:
+        from proteingym_tpu.ops.rotary import _cos_sin_cache
+
+        cos_np, sin_np = _cos_sin_cache(t_pad, d, rope_base)
+        cos = jnp.asarray(cos_np)
+        sin = jnp.asarray(sin_np)
+    else:
+        cos = jnp.zeros((t_pad, d), jnp.float32)
+        sin = jnp.zeros((t_pad, d), jnp.float32)
+    perm = jnp.asarray(_rope_perm(d))
+
+    kernel = functools.partial(
+        _bthd_attention_kernel, causal=causal,
+        rope=rope_base is not None, segmented=segment_ids is not None,
+        skip_kbias=segment_ids is not None, bq=bq,
+    )
+    aux_spec = pl.BlockSpec((1, 8, t_pad), lambda bi, qb: (bi, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, bq, h, d), lambda bi, qb: (bi, qb, 0, 0)),
+        pl.BlockSpec((1, t_pad, h, d), lambda bi, qb: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, t_pad, h, d), lambda bi, qb: (bi, 0, 0, 0)),
+        aux_spec,
+        pl.BlockSpec((t_pad, d), lambda bi, qb: (0, 0)),
+        pl.BlockSpec((t_pad, d), lambda bi, qb: (0, 0)),
+        pl.BlockSpec((d, d), lambda bi, qb: (0, 0)),
+    ]
+    operands = [q, k, v, kbias, cos, sin, perm]
+    if segment_ids is not None:
+        in_specs.append(aux_spec)
+        operands.append(seg)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, h, d), q.dtype),
+        grid=(b, n_qb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, h, d), lambda bi, qb: (bi, qb, 0, 0)),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :t]
+
+
+# ---------------------------------------------------------------------------
 # Extent-sparse segmented flash attention (packed rows)
 # ---------------------------------------------------------------------------
 

@@ -190,3 +190,71 @@ class TestGroupedMha:
                           interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+
+class TestBthdKernel:
+    """Heads-mid (B, T, H, D) grouped kernel — transpose-free boundary."""
+
+    def _qkv(self, b, t, h, d, seed=0):
+        rs = np.random.RandomState(seed)
+        mk = lambda: jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+        return mk(), mk(), mk()
+
+    def _ref(self, q, k, v, **kw):
+        # reference works in (B, H, T, D)
+        tr = lambda x: jnp.swapaxes(x, 1, 2)
+        return tr(reference_mha(tr(q), tr(k), tr(v), **kw))
+
+    def test_plain_and_padding(self):
+        from proteingym_tpu.ops.flash_attention import grouped_mha_bthd
+
+        q, k, v = self._qkv(2, 150, 4, 32)
+        mask = np.ones((2, 150), bool)
+        mask[0, 110:] = False
+        mask[1, 77:] = False
+        km = jnp.asarray(mask)
+        got = grouped_mha_bthd(q, k, v, key_mask=km, interpret=True)
+        want = self._ref(q, k, v, key_mask=km)
+        np.testing.assert_allclose(
+            np.asarray(got)[mask], np.asarray(want)[mask], atol=2e-5
+        )
+
+    def test_rope_multi_qblock(self):
+        from proteingym_tpu.ops.flash_attention import grouped_mha_bthd
+        from proteingym_tpu.ops.flash_attention import _apply_rope_bhtd
+
+        q, k, v = self._qkv(1, 256, 2, 32, seed=3)
+        tr = lambda x: jnp.swapaxes(x, 1, 2)
+        qr, kr = _apply_rope_bhtd(tr(q), tr(k), 10000.0)
+        want = tr(reference_mha(qr, kr, tr(v)))
+        got = grouped_mha_bthd(q, k, v, rope_base=10000.0, interpret=True,
+                               block_q=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_segmented(self):
+        from proteingym_tpu.ops.flash_attention import grouped_mha_bthd
+
+        q, k, v = self._qkv(2, 256, 4, 32, seed=4)
+        seg = np.zeros((2, 256), np.int32)
+        seg[0, :100] = 1
+        seg[0, 100:230] = 2
+        seg[1, :256] = 1
+        sj = jnp.asarray(seg)
+        got = grouped_mha_bthd(q, k, v, segment_ids=sj, interpret=True,
+                               block_q=128)
+        want = self._ref(q, k, v, key_mask=sj > 0, segment_ids=sj)
+        live = seg > 0
+        np.testing.assert_allclose(
+            np.asarray(got)[live], np.asarray(want)[live], atol=2e-5
+        )
+
+    def test_causal(self):
+        from proteingym_tpu.ops.flash_attention import grouped_mha_bthd
+
+        q, k, v = self._qkv(1, 256, 2, 32, seed=5)
+        got = grouped_mha_bthd(q, k, v, causal=True, interpret=True,
+                               block_q=128)
+        want = self._ref(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
