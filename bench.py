@@ -262,8 +262,6 @@ def measure_core(preset: str) -> None:
         result["bucketed_packing"] = "cross-assay"
         log(f"packed sweep: {dt_sweep:.2f}s for {n} mutants")
         print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
     except Exception as e:  # noqa: BLE001
         log(f"packed sweep stage failed: {e!r}")
 

@@ -86,7 +86,13 @@ def make_train_step(config: EsmConfig, optimizer=None):
         def loss_fn(p):
             return mlm_loss(p, config, masked, tokens, target_mask, seq_weights)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # trace attention through the XLA path: the Pallas kernels have
+        # no VJP rule and cannot be partitioned by pjit, so the grad
+        # (and mesh-sharded) training step must not capture them
+        from proteingym_tpu.ops.flash_attention import force_xla_attention
+
+        with force_xla_attention():
+            loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

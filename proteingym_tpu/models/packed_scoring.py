@@ -289,6 +289,11 @@ def _plan_rows(
     remaining = dict(counts)
     rows: List[List[int]] = []
     lengths = sorted(remaining, reverse=True)
+    if lengths and lengths[0] > row_len:
+        # an unplaceable length would otherwise spin this loop forever
+        raise ValueError(
+            f"segment length {lengths[0]} exceeds row_len {row_len}"
+        )
     while any(remaining.values()):
         free, used = row_len, []
         while len(used) < max_slots:

@@ -254,32 +254,34 @@ def train_from_teacher(
     emb = jnp.asarray(embeddings, jnp.float32)
     target = jnp.asarray(teacher, jnp.float32)
     optimizer = optax.adam(learning_rate)
-    arch = params.pop("arch", "fnn")
-    opt_state = optimizer.init(params)
+    # don't mutate the caller's dict; train whichever architecture the
+    # params carry (apply dispatches on 'arch')
+    arch = params.get("arch", "fnn")
+    net = {k: v for k, v in params.items() if k != "arch"}
+    opt_state = optimizer.init(net)
 
-    def step(params, opt_state):
+    def step(net, opt_state):
         def loss_fn(p):
-            return jnp.mean((fnn_apply(p, emb) - target) ** 2)
+            return jnp.mean((apply({**p, "arch": arch}, emb) - target) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(net)
         updates, opt_state = optimizer.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(net, updates), opt_state, loss
 
     @jax.jit
-    def run(params, opt_state):  # all steps in one dispatch (one lax.scan)
+    def run(net, opt_state):  # all steps in one dispatch (one lax.scan)
         def body(carry, _):
             p, o = carry
             p, o, loss = step(p, o)
             return (p, o), loss
 
-        (params, opt_state), _ = jax.lax.scan(
-            body, (params, opt_state), None, length=steps
+        (net, opt_state), _ = jax.lax.scan(
+            body, (net, opt_state), None, length=steps
         )
-        return params
+        return net
 
-    out = run(params, opt_state)
+    out = dict(run(net, opt_state))
     out["arch"] = arch
-    params["arch"] = arch
     return out
 
 

@@ -177,8 +177,7 @@ def _rope_perm(d: int) -> np.ndarray:
     return p
 
 
-def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
-                              sin_ref, perm_ref, *rest,
+def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
                               causal: bool, rope: bool,
                               segmented: bool = False,
                               skip_kbias: bool = False):
@@ -195,27 +194,32 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
     is what makes the kernel pay off; the whole-T f32 scores block lives
     in VMEM and never touches HBM.
 
-    With ``segmented``, ``rest`` is (seg_ref, o_ref) where seg_ref is a
-    (G, 8, T) f32 segment-id map (row 0 used, 0 = padding): attention is
-    restricted block-diagonally to same-segment (q, k) pairs, which packs
-    independent sequences into one row. RoPE stays correct under packing
-    with GLOBAL row positions because rotary attention only sees position
-    DIFFERENCES (R(a)^T R(b) = R(b-a)) and cross-segment pairs are
-    masked.
+    ``rest`` holds the CONDITIONAL operands in order: (cos_ref, sin_ref,
+    perm_ref) when ``rope`` (streaming zero tables into every program
+    costs real HBM/VMEM traffic, so non-RoPE callers omit them), then
+    seg_ref when ``segmented`` — a (G or 1, 8, T) f32 segment-id map
+    (row 0 used, 0 = padding): attention is restricted block-diagonally
+    to same-segment (q, k) pairs, which packs independent sequences into
+    one row. RoPE stays correct under packing with GLOBAL row positions
+    because rotary attention only sees position DIFFERENCES
+    (R(a)^T R(b) = R(b-a)) and cross-segment pairs are masked. The last
+    element of ``rest`` is always o_ref.
     """
-    if segmented:
-        seg_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+    rest = list(rest)
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
     if rope:
+        cos_ref, sin_ref, perm_ref = rest[:3]
+        del rest[:3]
         cos = cos_ref[...]
         sin = sin_ref[...]
         perm = perm_ref[...]
         q = _rope_in_kernel(q, cos, sin, perm)
         k = _rope_in_kernel(k, cos, sin, perm)
+    if segmented:
+        seg_ref = rest.pop(0)
+    (o_ref,) = rest
     # NOTE: the caller (grouped_mha) has already folded the softmax scale
     # into q — no (G, T, T) scale pass here
     # batched over G on the MXU, bf16 operands with f32 accumulation
@@ -348,16 +352,6 @@ def grouped_mha(
     qf = q.reshape(bh, t_pad, d)
     kf = k.reshape(bh, t_pad, d)
     vf = v.reshape(bh, t_pad, d)
-    if rope_base is not None:
-        from proteingym_tpu.ops.rotary import _cos_sin_cache
-
-        cos_np, sin_np = _cos_sin_cache(t_pad, d, rope_base)
-        cos = jnp.asarray(cos_np)
-        sin = jnp.asarray(sin_np)
-    else:
-        cos = jnp.zeros((t_pad, d), jnp.float32)
-        sin = jnp.zeros((t_pad, d), jnp.float32)
-    perm = jnp.asarray(_rope_perm(d))
     kernel = functools.partial(
         _grouped_attention_kernel, causal=causal,
         rope=rope_base is not None, segmented=segment_ids is not None,
@@ -378,11 +372,19 @@ def grouped_mha(
         pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
         pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0)),
         aux_spec,
-        pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
-        pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
-        pl.BlockSpec((d, d), lambda i: (0, 0)),
     ]
-    operands = [qf, kf, vf, kbias, cos, sin, perm]
+    operands = [qf, kf, vf, kbias]
+    if rope_base is not None:
+        from proteingym_tpu.ops.rotary import _cos_sin_cache
+
+        cos_np, sin_np = _cos_sin_cache(t_pad, d, rope_base)
+        in_specs += [
+            pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
+            pl.BlockSpec((t_pad, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),
+        ]
+        operands += [jnp.asarray(cos_np), jnp.asarray(sin_np),
+                     jnp.asarray(_rope_perm(d))]
     if segment_ids is not None:
         in_specs.append(aux_spec)
         operands.append(seg)
@@ -406,9 +408,8 @@ def grouped_mha(
 BTHD_MAX_SEQ_LEN = 512
 
 
-def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
-                           sin_ref, perm_ref, *rest, causal: bool,
-                           rope: bool, segmented: bool,
+def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
+                           causal: bool, rope: bool, segmented: bool,
                            skip_kbias: bool, bq: int):
     """One program = one batch row x one q block, ALL H heads.
 
@@ -420,18 +421,18 @@ def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
     (~22x HBM bandwidth) instead.
 
     q_ref: (1, BQ, H, D) PRE-SCALED; k/v_ref: (1, T, H, D);
-    kbias_ref/seg_ref: (1, 8, T) per-batch f32; cos/sin: (T, D);
-    o_ref: (1, BQ, H, D).
+    kbias_ref/seg_ref: (1, 8, T) per-batch f32; ``rest`` holds the
+    conditional operands (cos_ref, sin_ref, perm_ref) when ``rope``,
+    then seg_ref when ``segmented``, then o_ref (1, BQ, H, D).
     """
-    if segmented:
-        seg_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+    rest = list(rest)
     qb = pl.program_id(1)
     q = jnp.swapaxes(q_ref[0], 0, 1)  # (H, BQ, D) in VMEM
     k = jnp.swapaxes(k_ref[0], 0, 1)  # (H, T, D)
     v = jnp.swapaxes(v_ref[0], 0, 1)
     if rope:
+        cos_ref, sin_ref, perm_ref = rest[:3]
+        del rest[:3]
         perm = perm_ref[...]
         # slice the REFS (Mosaic lowers pl.ds ref reads; dynamic_slice on
         # loaded values is unimplemented in the TC lowering)
@@ -439,6 +440,9 @@ def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, cos_ref,
         sin_q = sin_ref[pl.ds(qb * bq, bq), :]
         q = _rope_in_kernel(q, cos_q, sin_q, perm)
         k = _rope_in_kernel(k, cos_ref[...], sin_ref[...], perm)
+    if segmented:
+        seg_ref = rest.pop(0)
+    (o_ref,) = rest
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -514,21 +518,12 @@ def grouped_mha_bthd(
         bq = max(32, (_BTHD_SCORES_BUDGET // (h * t_pad * 4)) // 32 * 32)
     else:
         bq = block_q
-    bq = min(bq, t_pad)
+    # keep bq a 32-multiple that divides t_pad (t_pad is a 128-multiple,
+    # so 32 always terminates the walk)
+    bq = max(32, min(bq, t_pad) // 32 * 32)
     while t_pad % bq:
         bq -= 32
     n_qb = t_pad // bq
-
-    if rope_base is not None:
-        from proteingym_tpu.ops.rotary import _cos_sin_cache
-
-        cos_np, sin_np = _cos_sin_cache(t_pad, d, rope_base)
-        cos = jnp.asarray(cos_np)
-        sin = jnp.asarray(sin_np)
-    else:
-        cos = jnp.zeros((t_pad, d), jnp.float32)
-        sin = jnp.zeros((t_pad, d), jnp.float32)
-    perm = jnp.asarray(_rope_perm(d))
 
     kernel = functools.partial(
         _bthd_attention_kernel, causal=causal,
@@ -541,11 +536,19 @@ def grouped_mha_bthd(
         pl.BlockSpec((1, t_pad, h, d), lambda bi, qb: (bi, 0, 0, 0)),
         pl.BlockSpec((1, t_pad, h, d), lambda bi, qb: (bi, 0, 0, 0)),
         aux_spec,
-        pl.BlockSpec((t_pad, d), lambda bi, qb: (0, 0)),
-        pl.BlockSpec((t_pad, d), lambda bi, qb: (0, 0)),
-        pl.BlockSpec((d, d), lambda bi, qb: (0, 0)),
     ]
-    operands = [q, k, v, kbias, cos, sin, perm]
+    operands = [q, k, v, kbias]
+    if rope_base is not None:
+        from proteingym_tpu.ops.rotary import _cos_sin_cache
+
+        cos_np, sin_np = _cos_sin_cache(t_pad, d, rope_base)
+        in_specs += [
+            pl.BlockSpec((t_pad, d), lambda bi, qb: (0, 0)),
+            pl.BlockSpec((t_pad, d), lambda bi, qb: (0, 0)),
+            pl.BlockSpec((d, d), lambda bi, qb: (0, 0)),
+        ]
+        operands += [jnp.asarray(cos_np), jnp.asarray(sin_np),
+                     jnp.asarray(_rope_perm(d))]
     if segment_ids is not None:
         in_specs.append(aux_spec)
         operands.append(seg)
@@ -752,13 +755,6 @@ def reference_mha(
     ).astype(q.dtype)
 
 
-# Below this many key/value positions XLA's fused attention beats the
-# Pallas flash kernel (measured on v5e: 113 vs 94 TFLOP/s at T=252 on
-# ESM2-650M); flash attention pays off where memory, not math, binds.
-# 512 keeps the XLA path's materialized (B, H, T, T) f32 score tensor
-# under ~0.7 GB at B=32/H=20 — above that the flash kernel's O(T*block)
-# footprint wins even though it is a little slower per FLOP.
-FLASH_MIN_SEQ_LEN = 512
 # Up to this context length the grouped whole-T kernel applies (its f32
 # score block fits VMEM even at G=1); beyond, the q-blocked flash kernel
 # takes over. XLA's attention materializes the (B, H, T, T) scores in
