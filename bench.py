@@ -265,6 +265,37 @@ def measure_core(preset: str) -> None:
     except Exception as e:  # noqa: BLE001
         log(f"packed sweep stage failed: {e!r}")
 
+    # ---- production-mix sweep -------------------------------------------
+    # lengths follow the REFERENCE's mutant-weighted assay-length
+    # distribution (DMS_substitutions.csv quantiles p10/p25/p50/p75/p90
+    # plus a short assay and a >1022 windowed one), so this stage is the
+    # closest single number to real 217-assay sweep throughput
+    try:
+        prod_lengths = (
+            [72, 118, 220, 250, 393, 448, 709, 1500]
+            if backend != "cpu" else [12, 17, 25, 41]
+        )
+        prod = [_synth_assay(n, 100 + i) for i, n in enumerate(prod_lengths)]
+
+        def run_prod():
+            scores = score_assays_packed(
+                apply_fn, params, prod, chunk=chunk,
+                super_chunks=8, pad_to_multiple=32,
+            )
+            return sum(len(s) for s in scores)
+
+        run_prod()
+        log("production-mix warmup done")
+        t0 = time.perf_counter()
+        n = run_prod()
+        dt_prod = time.perf_counter() - t0
+        result["production_mix_lengths"] = prod_lengths
+        result["production_mix_mutants_per_sec"] = round(n / dt_prod, 2)
+        log(f"production-mix sweep: {dt_prod:.2f}s for {n} mutants")
+        print(json.dumps(result), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"production-mix stage failed: {e!r}")
+
 
 # ---------------------------------------------------------------------------
 # Families: Tranception / MSA Transformer / EVE / PoET
