@@ -58,15 +58,20 @@ def _gelu(x):
 
 
 def _causal_attend(q, k, v, dtype):
-    """(B, H, T, hd) fp32-score causal attention."""
-    t = q.shape[2]
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
-    ) / math.sqrt(q.shape[-1])
-    causal = jnp.tril(jnp.ones((t, t), bool))
-    scores = jnp.where(causal[None, None], scores, -1e9)
-    probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32)).astype(dtype)
+    """(B, H, T, hd) fp32-score causal attention.
+
+    Routed through the shared mha dispatcher: on TPU the grouped Pallas
+    kernel keeps the (T, T) f32 scores in VMEM instead of materializing
+    a (B, H, T, T) tensor in HBM (the old einsum form). Operands stay
+    f32 for reference parity (ref modeling_progen.py fp32 scores);
+    post-softmax results are identical (exp of the masked fill
+    underflows to exactly 0 either way)."""
+    from proteingym_tpu.ops.flash_attention import mha
+
+    return mha(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), causal=True,
+    ).astype(dtype)
 
 
 def _rope_tables(t, dim, interleaved: bool):

@@ -242,7 +242,6 @@ def apply(
 
     x = params["wte"].astype(c.dtype)[tokens]
     bias = jnp.asarray(alibi_bias(h, t))  # (H, 1, T)
-    causal = jnp.tril(jnp.ones((t, t), bool))
     pad_mask = tokens == VOCAB.PAD
 
     for layer in params["layers"]:
@@ -266,15 +265,16 @@ def apply(
         k = jnp.concatenate(ks, axis=1)
         v = jnp.concatenate(vs, axis=1)
 
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(hd)
-        scores = jnp.where(causal[None, None], scores, -1e4)
-        scores = scores + bias[None, :, :, :]
-        scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+        # shared mha dispatcher: grouped Pallas kernel on TPU (scores in
+        # VMEM), XLA reference elsewhere. The grouped-ALiBi bias is a
+        # KEY-position bias (H, T), which is exactly mha's bias contract.
+        # Post-softmax parity with the reference's -1e4-then-bias fill
+        # order holds because exp of either fill underflows to exactly 0.
+        from proteingym_tpu.ops.flash_attention import mha
+
+        ctx = mha(
+            q, k, v, key_mask=~pad_mask, bias=bias[:, 0],
+            causal=True, sm_scale=1.0 / math.sqrt(hd),
         ).astype(x.dtype)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, c.embed_dim)
         x = residual + _dense(ctx, layer["c_proj"])
