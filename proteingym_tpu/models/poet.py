@@ -158,24 +158,39 @@ def _rope_by_positions(x, positions, base=10000.0):
     return x * cos + _rotate_half(x) * sin
 
 
-def _masked_attention(x, p, c, mask, positions, rotary=True):
-    """x: (B, T, D); mask: (B, T, T) bool allowed pairs."""
+def _masked_attention(x, p, c, positions, segment_ids=None, key_mask=None):
+    """x: (B, T, D); causal attention through the shared mha dispatcher
+    (grouped Pallas kernel on TPU, XLA reference elsewhere).
+
+    With ``segment_ids`` (0 = padding): block-diagonal per-segment
+    causal attention (the SELF layers). Rotary then applies INSIDE the
+    kernel at global row positions — equivalent to the reference's
+    per-segment positions because rotary attention only sees position
+    differences and cross-segment pairs are masked
+    (R(a)^T R(b) = R(b-a); ref poet/models/modules/attention.py).
+
+    With ``key_mask`` instead (the MULTI layers, attending across
+    segments), q/k are pre-rotated by the per-segment ``positions`` —
+    cross-segment pairs genuinely see the tiered position scheme, so
+    the rotation cannot move into the kernel."""
     b, t, d = x.shape
     h, hd = c.num_heads, c.head_dim
     q = _dense(x, p["q"]).reshape(b, t, h, hd)
     k = _dense(x, p["k"]).reshape(b, t, h, hd)
     v = _dense(x, p["v"]).reshape(b, t, h, hd)
-    if rotary:
+    from proteingym_tpu.ops.flash_attention import mha
+
+    tr = lambda z: z.transpose(0, 2, 1, 3)
+    if segment_ids is not None:
+        ctx = mha(
+            tr(q), tr(k), tr(v), causal=True,
+            segment_ids=segment_ids, rope_base=10000.0,
+        )
+    else:
         q = _rope_by_positions(q, positions)
         k = _rope_by_positions(k, positions)
-    scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) / np.sqrt(hd)
-    scores = jnp.where(mask[:, None], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+        ctx = mha(tr(q), tr(k), tr(v), causal=True, key_mask=key_mask)
+    ctx = tr(ctx).astype(x.dtype)
     return _dense(ctx.reshape(b, t, d), p["o"])
 
 
@@ -188,22 +203,23 @@ def apply(
     valid: jnp.ndarray,
 ) -> jnp.ndarray:
     """tokens/segment_ids/positions/valid: (B, T) -> (B, T, V) f32 logits."""
-    causal = positions_causal = None
     b, t = tokens.shape
     x = params["token_embed"].astype(c.dtype)[tokens]
 
-    causal = jnp.tril(jnp.ones((t, t), bool))[None]
-    pair_valid = valid[:, :, None] & valid[:, None, :]
-    same_seg = segment_ids[:, :, None] == segment_ids[:, None, :]
-    self_mask = causal & pair_valid & same_seg
-    multi_mask = causal & pair_valid
+    # self layers: block-diagonal per-segment causal; 0 marks padding
+    # (build_rows numbers segments from 0, so shift by one)
+    seg_nonzero = (segment_ids.astype(jnp.int32) + 1) * valid.astype(
+        jnp.int32
+    )
 
     for layer in params["layers"]:
         x = x + _masked_attention(
-            _ln(x, layer["norm1"]), layer["self"], c, self_mask, positions
+            _ln(x, layer["norm1"]), layer["self"], c, positions,
+            segment_ids=seg_nonzero,
         )
         x = x + _masked_attention(
-            _ln(x, layer["norm2"]), layer["multi"], c, multi_mask, positions
+            _ln(x, layer["norm2"]), layer["multi"], c, positions,
+            key_mask=valid,
         )
         y = _ln(x, layer["norm3"])
         y32 = jax.nn.gelu(_dense(y, layer["fc1"]).astype(jnp.float32))
