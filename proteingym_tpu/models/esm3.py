@@ -279,12 +279,12 @@ def _plain_attn(layer, x, n_heads, key_mask=None):
     k = k.reshape(B, T, n_heads, hd)
     v = v.reshape(B, T, n_heads, hd)
     q, k = apply_rotary(q, k)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-    if key_mask is not None:
-        scores = jnp.where(key_mask[:, None, None, :], scores, -jnp.inf)
-    w = jax.nn.softmax(scores, -1)
-    ctx = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, T, D)
-    return _lin(ctx, layer["out"])
+    # shared dispatcher (grouped Pallas kernel on TPU, XLA elsewhere)
+    from proteingym_tpu.ops.flash_attention import mha
+
+    tr = lambda z: z.transpose(0, 2, 1, 3)
+    ctx = tr(mha(tr(q), tr(k), tr(v), key_mask=key_mask))
+    return _lin(ctx.reshape(B, T, D), layer["out"])
 
 
 def _ffn(layer, x):

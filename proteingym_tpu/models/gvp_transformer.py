@@ -500,15 +500,27 @@ def _mha(p, x_q, x_kv, heads, key_mask=None, causal=False):
         return z.reshape(B, t, heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = split(q, Tq), split(k, Tk), split(v, Tk)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-    if causal:
-        cm = jnp.tril(jnp.ones((Tq, Tk), bool))
-        scores = jnp.where(cm, scores, -jnp.inf)
-    if key_mask is not None:  # True = padded
-        scores = jnp.where(key_mask[:, None, None, :], -jnp.inf, scores)
-    probs = jax.nn.softmax(scores, -1)
-    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if Tq == Tk:
+        # self-attention: shared dispatcher (grouped Pallas kernel on
+        # TPU). q arrives pre-scaled, so sm_scale=1. fairseq's NaN->0
+        # for fully-masked rows differs from the kernel's finite-fill
+        # uniform average only at PADDING query rows, whose outputs are
+        # positionwise and never consumed.
+        from proteingym_tpu.ops.flash_attention import mha
+
+        km = None if key_mask is None else ~key_mask
+        ctx = mha(q, k, v, key_mask=km, causal=causal, sm_scale=1.0)
+    else:
+        # encoder-decoder cross attention (Tq != Tk): XLA path
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if causal:
+            cm = jnp.tril(jnp.ones((Tq, Tk), bool))
+            scores = jnp.where(cm, scores, -jnp.inf)
+        if key_mask is not None:  # True = padded
+            scores = jnp.where(key_mask[:, None, None, :], -jnp.inf, scores)
+        probs = jax.nn.softmax(scores, -1)
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, D)
     return _lin(ctx, p["o"])
 

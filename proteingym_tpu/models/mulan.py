@@ -101,11 +101,11 @@ def struct_embeddings(params, c: MulanConfig, feats, attn_mask):
     h = c.esm.num_heads
     hd = d // h
     x = _dn(feats, params["mlp"])
-    big_neg = jnp.finfo(jnp.float32).min
-    bias = jnp.where(attn_mask[:, None, None, :], 0.0, big_neg)
+    from proteingym_tpu.ops.flash_attention import mha
+
     for layer in params["layers"]:
         y = _lnorm(x, layer["attn_ln"])
-        q = _dn(y, layer["q"]) * hd ** -0.5
+        q = _dn(y, layer["q"])
         k = _dn(y, layer["k"])
         v = _dn(y, layer["v"])
         B, T = y.shape[0], y.shape[1]
@@ -113,9 +113,9 @@ def struct_embeddings(params, c: MulanConfig, feats, attn_mask):
         def split(z):
             return z.reshape(B, T, h, hd).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)) + bias
-        w = jax.nn.softmax(scores, -1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", w, split(v))
+        # shared dispatcher (grouped Pallas kernel on TPU); the adapter's
+        # attn_mask is a per-batch key mask, exactly mha's contract
+        ctx = mha(split(q), split(k), split(v), key_mask=attn_mask)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, d)
         x = x + _dn(ctx, layer["out"])
         y = _lnorm(x, layer["ffn_ln"])

@@ -224,7 +224,6 @@ def apply(
         params["embed_tokens"].astype(c.dtype)[tokens]
         + params["embed_seq_id"].astype(c.dtype)[sequence_ids]
     )
-    causal = jnp.tril(jnp.ones((t, t), bool))
 
     for layer in params["layers"]:
         y = _rms_norm(x, layer["input_norm"], c.rms_eps)
@@ -238,12 +237,15 @@ def apply(
             rep = nh // kvh
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
-        ) / np.sqrt(hd)
-        scores = jnp.where(causal[None, None], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+        # shared dispatcher (grouped Pallas kernel on TPU, XLA reference
+        # elsewhere); operands stay f32 for reference parity
+        from proteingym_tpu.ops.flash_attention import mha
+
+        tr = lambda z: z.transpose(0, 2, 1, 3)
+        ctx = tr(mha(
+            tr(q.astype(jnp.float32)), tr(k.astype(jnp.float32)),
+            tr(v.astype(jnp.float32)), causal=True,
+        ))
         attn = (ctx.reshape(b, t, nh * hd) @ layer["o"]).astype(c.dtype)
         x = x + attn
         y = _rms_norm(x, layer["post_attn_norm"], c.rms_eps)
