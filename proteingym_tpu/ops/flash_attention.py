@@ -233,22 +233,22 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
         # NEG_INF is finite, so a fully-masked q row (padding) still
         # produces finite outputs (zeros); those are never consumed
         scores = jnp.where(same, scores, NEG_INF)
+    if not (segmented and skip_kbias):
+        # the key bias (pad mask + ALiBi) MUST join before the row max:
+        # grouped-ALiBi biases are nonnegative and grow with key position
+        # (tranception.alibi_bias = slope*k), so a deferred add inside exp
+        # overflows f32 beyond ~180 tokens; and with a pure padding mask,
+        # masked keys' unbiased scores can anchor the max so high that
+        # every real key underflows the denominator to 0. One (G, T, T)
+        # add keeps m a true bound on the exp argument in both regimes.
+        scores = scores + kbias_ref[:, 0][:, None, :]
     if causal:
         t = scores.shape[-1]
         q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
         scores = jnp.where((k_pos <= q_pos)[None], scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    if segmented and skip_kbias:
-        e = jnp.exp(scores - m)
-    else:
-        # the key bias (pad mask + ALiBi, both <= 0) joins inside the exp
-        # argument rather than as a pre-max add: softmax is shift
-        # invariant, m = max(unbiased scores) stays a valid overflow
-        # bound, and one (G, T, T) pass is saved. (Adding the broadcast
-        # bias directly onto the matmul accumulator also miscompiles —
-        # Mosaic "limits[i] <= dim(i)" check failure.)
-        e = jnp.exp(scores - m + kbias_ref[:, 0][:, None, :])
+    e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     # deferred normalization: divide the (G, T, D) output instead of the
     # (G, T, T) probs (same bf16 rounding point as normalizing e)
@@ -453,16 +453,18 @@ def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
         scores = jnp.where(
             (qseg[:, None] == seg[None, :])[None], scores, NEG_INF
         )
+    if not (segmented and skip_kbias):
+        # pre-max add, same rationale as _grouped_attention_kernel: the
+        # padding mask must participate in the row max or masked keys can
+        # anchor m high enough to underflow the denominator
+        scores = scores + kbias_ref[0, 0][None, None, :]
     if causal:
         t = scores.shape[-1]
         q_pos = qb * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
         scores = jnp.where((k_pos <= q_pos)[None], scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    if segmented and skip_kbias:
-        e = jnp.exp(scores - m)
-    else:
-        e = jnp.exp(scores - m + kbias_ref[0, 0][None, None, :])
+    e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -800,6 +802,28 @@ def _apply_rope_bhtd(q, k, rope_base):
     return rot(q), rot(k)
 
 
+def _seg_block_dispatch(q, k, v, segment_ids, sm_scale=None, rope_base=None,
+                        interpret=False):
+    """Packed rows beyond the grouped kernel's VMEM cap: the
+    extent-sparse kernel streams only same-segment key blocks — never
+    the dense (B, H, T, T) HBM scores the reference path would
+    materialize (OOM-prone at long packed rows). Padded tails map to
+    segment 0, which real queries exclude via the same-segment select
+    (key_mask positions are segment 0 per the packing contract)."""
+    t = q.shape[2]
+    t_pad = _round_up(t, SEG_BLOCK)
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        segment_ids = jnp.pad(segment_ids, [(0, 0), (0, t_pad - t)])
+    return seg_block_mha(
+        q, k, v, segment_ids, sm_scale=sm_scale, rope_base=rope_base,
+        interpret=interpret,
+    )[:, :, :t]
+
+
 def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None,
         rope_base=None, segment_ids=None):
     """Dispatch: grouped-heads fused kernel on TPU up to
@@ -824,6 +848,10 @@ def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None,
             return flash_mha(
                 q, k, v, key_mask=key_mask, bias=bias, causal=causal,
                 sm_scale=sm_scale, block_q=DEFAULT_BLOCK_Q,
+            )
+        if bias is None and not causal:
+            return _seg_block_dispatch(
+                q, k, v, segment_ids, sm_scale=sm_scale, rope_base=rope_base
             )
     if rope_base is not None:
         q, k = _apply_rope_bhtd(q, k, rope_base)

@@ -171,6 +171,49 @@ class TestGroupedMha:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
 
+    def test_tranception_alibi_production_regime(self):
+        """Grouped-ALiBi key bias is NONNEGATIVE and grows with key
+        position (slope*k, max slope 0.5 at 20 heads); at T >= 384 a
+        deferred bias add inside exp overflows f32 to Inf/NaN. The
+        kernel must include the bias in the softmax row max."""
+        from proteingym_tpu.models.tranception import alibi_bias
+        from proteingym_tpu.ops.flash_attention import grouped_mha
+
+        rs = np.random.RandomState(7)
+        b, h, t, d = 1, 20, 384, 16  # Tranception's 20 heads: max slope 0.5
+        q = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+        k = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+        v = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+        bias = jnp.asarray(alibi_bias(h, t)[:, 0, :])  # (H, T), >= 0
+        assert float(bias.max()) > 100.0  # the overflow regime is real
+        got = grouped_mha(q, k, v, bias=bias, causal=True, interpret=True)
+        want = reference_mha(q, k, v, bias=bias, causal=True)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
+
+    def test_masked_key_does_not_anchor_softmax_max(self):
+        """A padded key whose raw score dominates the row must not anchor
+        the softmax max: if the mask joins after the max, every real
+        key underflows the f32 denominator and the 1e-30 clamp emits
+        garbage."""
+        from proteingym_tpu.ops.flash_attention import grouped_mha
+
+        rs = np.random.RandomState(8)
+        b, h, t, d = 1, 4, 40, 16
+        q = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+        k = np.asarray(rs.randn(b, h, t, d), np.float32)
+        k[:, :, 30:, :] *= 100.0  # masked keys with huge raw scores
+        k = jnp.asarray(k)
+        v = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+        mask = np.ones((b, t), bool)
+        mask[:, 30:] = False
+        got = grouped_mha(q, k, v, key_mask=jnp.asarray(mask),
+                          interpret=True)
+        want = reference_mha(q, k, v, key_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
     def test_fused_rope_matches_pre_rotated(self):
         """rope_base path == apply_rotary then attention (all dispatches)."""
         from proteingym_tpu.ops.flash_attention import grouped_mha
@@ -258,3 +301,47 @@ class TestBthdKernel:
         want = self._ref(q, k, v, causal=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+    def test_masked_key_does_not_anchor_softmax_max(self):
+        from proteingym_tpu.ops.flash_attention import grouped_mha_bthd
+
+        rs = np.random.RandomState(9)
+        b, t, h, d = 1, 64, 2, 16
+        q = jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+        k = np.asarray(rs.randn(b, t, h, d), np.float32)
+        k[:, 50:] *= 100.0
+        k = jnp.asarray(k)
+        v = jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+        mask = np.ones((b, t), bool)
+        mask[:, 50:] = False
+        got = grouped_mha_bthd(q, k, v, key_mask=jnp.asarray(mask),
+                               interpret=True)
+        want = self._ref(q, k, v, key_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(
+            np.asarray(got)[mask], np.asarray(want)[mask], atol=2e-5
+        )
+
+
+def test_seg_block_dispatch_pads_unaligned_rows():
+    """The long-packed-row dispatch path (T > GROUPED_MAX_SEQ_LEN with
+    segment_ids) pads to a SEG_BLOCK multiple and routes to the
+    extent-sparse kernel instead of materializing dense HBM scores."""
+    from proteingym_tpu.ops.flash_attention import _seg_block_dispatch
+
+    rs = np.random.RandomState(10)
+    b, h, t, d = 1, 2, 300, 16  # not a multiple of SEG_BLOCK=128
+    q = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+    seg = np.zeros((b, t), np.int32)
+    seg[0, :120] = 1
+    seg[0, 120:260] = 2  # tail 260: stays padding
+    sj = jnp.asarray(seg)
+    got = _seg_block_dispatch(q, k, v, sj, interpret=True)
+    assert got.shape == (b, h, t, d)
+    want = reference_mha(q, k, v, segment_ids=sj, key_mask=sj > 0)
+    live = seg > 0
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1, 3)[live],
+        np.asarray(want).transpose(0, 2, 1, 3)[live], atol=2e-5,
+    )
