@@ -28,12 +28,19 @@ backend memoizes identical dispatches; device work is forced to complete
 with a scalar fetch (block_until_ready does not synchronize through the
 tunnel).
 
-Robustness: the tunneled TPU occasionally stalls on very large compiles,
-so the core measurement runs in a watchdogged subprocess and falls back
-650M -> 150M -> 8M until one completes; family stages run in a second
-watchdogged subprocess so a family timeout cannot kill the headline. The
-inner processes print a JSON line after EVERY completed stage and the
-parent merges the last parseable lines.
+Robustness (v4, VERDICT r3 item 1b): the whole run observes a TOTAL wall
+budget (PGYM_BENCH_TOTAL, default 900s — r02 finished well inside that;
+the r03 worst case of ~9200s is gone). Before anything heavy runs, a
+short-timeout subprocess probes backend health; a wedged TPU is detected
+once and the bench skips straight to a labeled CPU smoke instead of
+iterating 650M fallbacks against a dead chip. The core measurement runs
+in a watchdogged subprocess (process-group killed on timeout) and falls
+back 650M -> 150M -> 8M while budget remains; each family runs in its
+own watchdogged subprocess. The parent prints the merged JSON line the
+moment the core parses and again after every family, so a driver kill at
+ANY point still leaves the best-so-far numbers on stdout (the last JSON
+line wins). PGYM_BENCH_FAULT=<stage> injects a failure for the contract
+self-test (tests/test_bench_contract.py).
 """
 
 import json
@@ -54,12 +61,19 @@ TARGETS = {
     "esm2_smoke": None,
 }
 FALLBACKS = ["esm2_t33_650M", "esm2_t30_150M", "esm2_t6_8M"]
+# TOTAL wall budget for the whole bench (probe + core + families). Every
+# subprocess timeout is clamped to the remaining budget, so the worst
+# case is bounded by this one number regardless of stage count.
+BENCH_TOTAL = float(os.environ.get("PGYM_BENCH_TOTAL", 900))
 # tunnel-side compiles for the 650M graph have been observed anywhere from
 # 16s to 375s; give it headroom before falling back (steady-state is fast)
-PRESET_TIMEOUTS = {"esm2_t33_650M": 1800.0}
-DEFAULT_TIMEOUT = float(os.environ.get("PGYM_BENCH_TIMEOUT", 700))
+PRESET_TIMEOUTS = {"esm2_t33_650M": 600.0}
+DEFAULT_TIMEOUT = float(os.environ.get("PGYM_BENCH_TIMEOUT", 300))
 # PER-FAMILY watchdog (each family runs in its own subprocess)
-FAMILY_TIMEOUT = float(os.environ.get("PGYM_BENCH_FAMILY_TIMEOUT", 1500))
+FAMILY_TIMEOUT = float(os.environ.get("PGYM_BENCH_FAMILY_TIMEOUT", 300))
+# health-probe subprocess: imports jax, runs one tiny matmul. TPU init
+# through the tunnel normally takes 20-40s; a wedged backend hangs >90s.
+PROBE_TIMEOUT = float(os.environ.get("PGYM_BENCH_PROBE_TIMEOUT", 150))
 CACHE_DIR = os.environ.get("PGYM_XLA_CACHE", "/tmp/pgym_xla_cache")
 
 # assumed bf16 MXU peak per chip for MFU accounting. The axon tunnel
@@ -72,6 +86,13 @@ AA = "ACDEFGHIKLMNPQRSTVWY"
 
 class _Skip(Exception):
     """Raised to skip a family stage not selected by --family."""
+
+
+def _maybe_fault(stage: str) -> None:
+    """Contract-test hook: PGYM_BENCH_FAULT=<stage> makes that stage
+    raise, so tests can assert a JSON line is still emitted."""
+    if os.environ.get("PGYM_BENCH_FAULT") == stage:
+        raise RuntimeError(f"injected fault in stage {stage!r}")
 
 
 def _setup_jax():
@@ -161,6 +182,10 @@ def measure_core(preset: str) -> None:
 
     # ---- headline: L=250 single assay -----------------------------------
     seq_len = 250
+    if backend == "cpu":
+        # the contract self-test shrinks the CPU smoke further so the
+        # fast test tier stays fast
+        seq_len = int(os.environ.get("PGYM_BENCH_SMOKE_LEN", 250))
     # two distinct assays of the same shape: the tunneled backend memoizes
     # identical dispatches, so timing iterations must vary their inputs
     assays = [_synth_assay(seq_len, s) for s in (0, 1)]
@@ -172,6 +197,7 @@ def measure_core(preset: str) -> None:
         )
         return score_mutants_from_table(table, mutants, seq)
 
+    _maybe_fault("headline")
     np.asarray(run(*assays[0]))
     log("warmup/compile done")
     t0 = time.perf_counter()
@@ -204,8 +230,43 @@ def measure_core(preset: str) -> None:
     }
     print(json.dumps(result), flush=True)
 
+    # ---- production-mix sweep -------------------------------------------
+    # lengths follow the REFERENCE's mutant-weighted assay-length
+    # distribution (DMS_substitutions.csv quantiles p10/p25/p50/p75/p90
+    # plus a short assay and a >1022 windowed one), so this stage is the
+    # closest single number to real 217-assay sweep throughput. It runs
+    # IMMEDIATELY after the headline (VERDICT r3 item 2) so a driver kill
+    # mid-bench still captures it; the big long-seq compile goes last.
+    try:
+        _maybe_fault("production_mix")
+        prod_lengths = (
+            [72, 118, 220, 250, 393, 448, 709, 1500]
+            if backend != "cpu" else [12, 17, 25, 41]
+        )
+        prod = [_synth_assay(n, 100 + i) for i, n in enumerate(prod_lengths)]
+
+        def run_prod():
+            scores = score_assays_packed(
+                apply_fn, params, prod, chunk=chunk,
+                super_chunks=8, pad_to_multiple=32,
+            )
+            return sum(len(s) for s in scores)
+
+        run_prod()
+        log("production-mix warmup done")
+        t0 = time.perf_counter()
+        n = run_prod()
+        dt_prod = time.perf_counter() - t0
+        result["production_mix_lengths"] = prod_lengths
+        result["production_mix_mutants_per_sec"] = round(n / dt_prod, 2)
+        log(f"production-mix sweep: {dt_prod:.2f}s for {n} mutants")
+        print(json.dumps(result), flush=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"production-mix stage failed: {e!r}")
+
     # ---- long-sequence: L=1500 through the optimal-window path ----------
     try:
+        _maybe_fault("long_seq")
         # CPU smoke keeps the window path tiny (it only validates the code
         # path; 1500x1024-token rows take ~20 min on CPU)
         long_len = 1500 if backend != "cpu" else 120
@@ -239,6 +300,7 @@ def measure_core(preset: str) -> None:
 
     # ---- bucketed multi-assay sweep (cross-assay packed) -----------------
     try:
+        _maybe_fault("bucketed")
         lengths = [137, 250, 412] if backend != "cpu" else [17, 25, 41]
         sweeps = [
             [_synth_assay(n, 10 * rep + i) for i, n in enumerate(lengths)]
@@ -264,37 +326,6 @@ def measure_core(preset: str) -> None:
         print(json.dumps(result), flush=True)
     except Exception as e:  # noqa: BLE001
         log(f"packed sweep stage failed: {e!r}")
-
-    # ---- production-mix sweep -------------------------------------------
-    # lengths follow the REFERENCE's mutant-weighted assay-length
-    # distribution (DMS_substitutions.csv quantiles p10/p25/p50/p75/p90
-    # plus a short assay and a >1022 windowed one), so this stage is the
-    # closest single number to real 217-assay sweep throughput
-    try:
-        prod_lengths = (
-            [72, 118, 220, 250, 393, 448, 709, 1500]
-            if backend != "cpu" else [12, 17, 25, 41]
-        )
-        prod = [_synth_assay(n, 100 + i) for i, n in enumerate(prod_lengths)]
-
-        def run_prod():
-            scores = score_assays_packed(
-                apply_fn, params, prod, chunk=chunk,
-                super_chunks=8, pad_to_multiple=32,
-            )
-            return sum(len(s) for s in scores)
-
-        run_prod()
-        log("production-mix warmup done")
-        t0 = time.perf_counter()
-        n = run_prod()
-        dt_prod = time.perf_counter() - t0
-        result["production_mix_lengths"] = prod_lengths
-        result["production_mix_mutants_per_sec"] = round(n / dt_prod, 2)
-        log(f"production-mix sweep: {dt_prod:.2f}s for {n} mutants")
-        print(json.dumps(result), flush=True)
-    except Exception as e:  # noqa: BLE001
-        log(f"production-mix stage failed: {e!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -560,19 +591,52 @@ def _last_json_line(text):
     return None
 
 
-def _run_inner(args, timeout):
+def _run_inner(args, timeout, extra_env=None):
+    """Run a bench subprocess in its own process GROUP; on timeout the
+    whole group is SIGKILLed (a bare terminate leaves grandchildren —
+    e.g. a wedged libtpu thread — holding the chip). Returns the last
+    parseable JSON line of its stdout, its stderr, and the return code
+    (-1 on timeout)."""
+    import signal
+
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)] + args,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, start_new_session=True,
+    )
     try:
-        out = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__)] + args,
-            capture_output=True, text=True, timeout=timeout,
-        )
-        stdout, stderr, rc = out.stdout, out.stderr, out.returncode
-    except subprocess.TimeoutExpired as e:
-        stdout = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-        stderr = e.stderr.decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        stdout, stderr = proc.communicate(timeout=max(timeout, 1.0))
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        stdout, stderr = proc.communicate()
         rc = -1
-        print(f"[bench] {args} timed out", file=sys.stderr)
+        print(f"[bench] {args} timed out after {timeout:.0f}s",
+              file=sys.stderr)
     return _last_json_line(stdout), stderr, rc
+
+
+def probe_backend() -> None:
+    """--probe mode: import jax, run one tiny matmul, print a JSON line.
+    The parent runs this under a short timeout to detect a wedged TPU
+    backend BEFORE committing the big-model budget to it."""
+    t0 = time.perf_counter()
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    y = float((x @ x).sum())
+    assert np.isfinite(y)
+    print(json.dumps({
+        "probe_backend": jax.default_backend(),
+        "probe_seconds": round(time.perf_counter() - t0, 1),
+    }), flush=True)
 
 
 FAMILIES = ["tranception", "msa_transformer", "eve", "poet"]
@@ -588,35 +652,101 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--family":
         measure_families(sys.argv[2])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        probe_backend()
+        return
 
+    t_start = time.perf_counter()
+    deadline = t_start + BENCH_TOTAL
+
+    def remaining():
+        return deadline - time.perf_counter()
+
+    # ---- backend health probe -------------------------------------------
+    # One short-timeout subprocess decides TPU health for the whole run: a
+    # wedged backend (the r03 failure mode — init hangs or raises
+    # UNAVAILABLE) is detected once, and every later stage pins itself to
+    # CPU instead of re-hanging against the dead chip.
+    probe, probe_err, probe_rc = _run_inner(
+        ["--probe"], min(PROBE_TIMEOUT, max(remaining() - 60, 30))
+    )
+    cpu_env = {}
+    backend_health = "ok"
+    if probe_rc != 0 or not probe:
+        backend_health = "unavailable"
+        cpu_env = {"PGYM_BENCH_PLATFORM": "cpu"}
+        print("[bench] backend probe failed; pinning all stages to CPU",
+              file=sys.stderr)
+        print((probe_err or "")[-1500:], file=sys.stderr)
+    else:
+        print(f"[bench] probe ok: {probe}", file=sys.stderr)
+
+    # ---- core measurement (with preset fallbacks) ------------------------
     core = None
-    for preset in FALLBACKS:
-        parsed, stderr, rc = _run_inner(
-            ["--inner", preset], PRESET_TIMEOUTS.get(preset, DEFAULT_TIMEOUT)
+    # keep a slice of the budget for the family stages; the core gets the
+    # rest (the 650M compile is the long pole)
+    family_reserve = 0.35 * BENCH_TOTAL
+    presets = FALLBACKS if backend_health == "ok" else ["esm2_t6_8M"]
+    for preset in presets:
+        budget = min(
+            PRESET_TIMEOUTS.get(preset, DEFAULT_TIMEOUT),
+            remaining() - family_reserve,
         )
-        if parsed and (rc == 0 or rc == -1):
+        if budget < 60:
+            budget = min(remaining() - 30, DEFAULT_TIMEOUT)
+        if budget < 30:
+            break
+        parsed, stderr, rc = _run_inner(["--inner", preset], budget, cpu_env)
+        if parsed and "metric" in parsed:
             core = parsed
             break
         print((stderr or "")[-2000:], file=sys.stderr)
+    if core is None and remaining() > 60:
+        # last resort: CPU smoke in a subprocess (never in-process — a
+        # wedged in-process jax import would eat the whole window)
+        parsed, stderr, rc = _run_inner(
+            ["--inner", "esm2_t6_8M"], min(remaining() - 15, 300),
+            {"PGYM_BENCH_PLATFORM": "cpu"},
+        )
+        if parsed and "metric" in parsed:
+            core = parsed
+            core["backend_health"] = "fallback_cpu_smoke"
     if core is None:
-        # last resort: in-process smoke (always works on CPU)
-        measure_core("esm2_t6_8M")
+        # the contract: ALWAYS one JSON line, even with nothing measured
+        print(json.dumps({
+            "metric": "bench_failed", "value": 0.0, "unit": "mutants/sec/chip",
+            "vs_baseline": None, "backend_health": backend_health,
+        }), flush=True)
         return
+
+    core["backend_health"] = backend_health
+    core["bench_total_budget"] = BENCH_TOTAL
+    # emit IMMEDIATELY: a driver kill during the family stages must not
+    # lose the core measurement (the last JSON line on stdout wins)
+    print(json.dumps(core), flush=True)
 
     if os.environ.get("PGYM_BENCH_SKIP_FAMILIES") != "1":
         # one watchdogged subprocess PER family: a stalled tunnel compile
         # in one family cannot starve the rest (r2 run: MSA-T hung and
         # EVE/PoET never executed)
         for fam_name in FAMILIES:
+            budget = min(FAMILY_TIMEOUT, remaining() - 15)
+            if budget < 60:
+                print(f"[bench] budget exhausted before family {fam_name}",
+                      file=sys.stderr)
+                break
             fam, stderr, rc = _run_inner(
-                ["--family", fam_name], FAMILY_TIMEOUT
+                ["--family", fam_name], budget, cpu_env
             )
             if fam:
                 core.update(fam)
+                # updated merged line after EVERY family (VERDICT r3 1b)
+                print(json.dumps(core), flush=True)
             else:
                 print(f"[bench] family {fam_name} produced no JSON",
                       file=sys.stderr)
                 print((stderr or "")[-2000:], file=sys.stderr)
+    core["bench_wall_seconds"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps(core), flush=True)
 
 
