@@ -134,6 +134,109 @@ class TestGemme:
             assert np.isfinite(s).all()
 
 
+def _two_clade_msa(rs, L=30, per_clade=20):
+    """Known tree structure: two clades split at the root.
+
+    Column roles: 0-9 globally conserved; 10-14 differ BETWEEN clades but
+    are conserved within each (deep-split columns); 15-29 vary randomly
+    within clades (shallow columns)."""
+    base = rs.randint(1, 21, L)
+    clade_b = base.copy()
+    for p in range(10, 15):
+        clade_b[p] = (base[p] % 20) + 1
+    rows = []
+    for c, proto in enumerate([base, clade_b]):
+        for _ in range(per_clade):
+            s = proto.copy()
+            for p in range(15, L):
+                if rs.rand() < 0.6:
+                    s[p] = rs.randint(1, 21)
+            rows.append(s)
+    return np.asarray(rows, np.int8), base
+
+
+class TestGemmeTree:
+    """The faithful (JET2-trace + NJ patristic distance) path."""
+
+    def test_method_is_tree_with_native_lib(self):
+        from proteingym_tpu import native
+
+        rs = np.random.RandomState(10)
+        mat, base = _two_clade_msa(rs)
+        model = gemme.fit_gemme(mat)
+        if native.get_lib() is None:
+            assert model.method == "surrogate"
+        else:
+            assert model.method == "tree"
+
+    def test_ranked_et_trace_orders_by_tree_level(self):
+        """Globally conserved > deep-split > shallow columns — the ET
+        ordering (Engelen et al. 2009) that entropy conservation cannot
+        produce (entropy scores deep-split and shallow columns alike)."""
+        from proteingym_tpu import native
+
+        rs = np.random.RandomState(11)
+        mat, base = _two_clade_msa(rs)
+        tree = native.nj_tree(mat)
+        if tree is None:
+            import pytest
+
+            pytest.skip("native NJ library unavailable")
+        trace = gemme._ranked_et_trace(mat.astype(np.int64), tree)
+        conserved = trace[:10].mean()
+        deep = trace[10:15].mean()
+        shallow = trace[15:].mean()
+        assert conserved > deep > shallow
+        np.testing.assert_allclose(trace[:10], 1.0)  # rank 1 exactly
+
+    def test_epistatic_uses_tree_distance(self):
+        """A variant carried only in the other clade must score worse
+        than one carried by a same-clade neighbor, and the distances
+        must come from the tree (method == 'tree')."""
+        from proteingym_tpu import native
+
+        if native.get_lib() is None:
+            import pytest
+
+            pytest.skip("native NJ library unavailable")
+        rs = np.random.RandomState(12)
+        mat, base = _two_clade_msa(rs)
+        # query = row 0 (clade A). Plant variant X in a clade-A row and
+        # variant Y in a clade-B row at a conserved column
+        pos = 5
+        x_aa = (base[pos] % 20) + 1
+        y_aa = ((base[pos] + 7) % 20) + 1
+        if y_aa == x_aa:
+            y_aa = (y_aa % 20) + 1
+        mat[0] = base  # exact query
+        mat[3, pos] = x_aa  # same clade
+        mat[25, pos] = y_aa  # other clade
+        model = gemme.fit_gemme(mat)
+        assert model.method == "tree"
+        wt = "".join(AA[c - 1] for c in base)
+        m_same = f"{wt[pos]}{pos + 1}{AA[x_aa - 1]}"
+        m_other = f"{wt[pos]}{pos + 1}{AA[y_aa - 1]}"
+        s = gemme.score_mutants(model, wt, [m_same, m_other],
+                                mode="epistatic")
+        assert s[0] > s[1]
+
+    def test_surrogate_fallback_forced(self):
+        rs = np.random.RandomState(13)
+        mat, base = _two_clade_msa(rs)
+        model = gemme.fit_gemme(mat, use_tree=False)
+        assert model.method == "surrogate"
+        wt = "".join(AA[c - 1] for c in base)
+        s = gemme.score_mutants(model, wt, [f"{wt[0]}1{AA[5]}"])
+        assert np.isfinite(s).all()
+
+    def test_alpha_depth_schedule(self):
+        rs = np.random.RandomState(14)
+        mat, _ = _two_clade_msa(rs)
+        shallow = gemme.fit_gemme(mat[:6])
+        deep = gemme.fit_gemme(mat)
+        assert shallow.alpha >= deep.alpha  # shallow leans independent
+
+
 class TestSiteRmGtr:
     """The real SiteRM model class: per-site reversible 21-state rate
     matrices (ref SiteRM/compute_fitness.py:83-130, 328-350)."""
