@@ -88,7 +88,6 @@ _SLOW_NODE_PATTERNS = [
     "test_kermut.py::TestMpnnConditionals",
     "test_prosst_real.py",
     "test_esm3_parity.py",
-    "test_esm_if1.py",
     "test_prosst_quantizer.py",
     "test_mulan_parity.py",
     "test_protssn_parity.py",
