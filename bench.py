@@ -347,6 +347,75 @@ def measure_families(only: str = "all") -> None:
     def wanted(name):
         return only in ("all", name)
 
+    # ---- attention-kernel A/B: (B,H,T,D) grouped vs heads-mid (B,T,H,D) --
+    # VERDICT r3 item 3: decide grouped_mha_bthd with an on-device number.
+    # Measures at the MODEL boundary (ESM2-650M shapes, RoPE fused): the
+    # standard path includes the four HBM transposes around the custom
+    # call, the heads-mid path consumes the projection layout directly.
+    try:
+        if not wanted("attn"):
+            raise _Skip
+        if tiny:
+            raise _Skip  # on-device measurement only
+        from proteingym_tpu.ops.flash_attention import (
+            grouped_mha_bthd, mha,
+        )
+
+        def std_path(q, k, v):
+            tr = lambda x: x.transpose(0, 2, 1, 3)
+            return tr(mha(tr(q), tr(k), tr(v), rope_base=10000.0))
+
+        def bthd_path(q, k, v):
+            return grouped_mha_bthd(q, k, v, rope_base=10000.0)
+
+        H, Dh = 20, 64  # ESM2-650M head geometry
+        for T, B, K in ((256, 16, 128), (512, 8, 48)):
+            # K kernel calls per dispatch amortize the tunnel's ~27 ms
+            # round-trip floor; per-step input perturbation defeats CSE
+            def many(fn, seed, _T=T, _B=B, _K=K):
+                def run(key):
+                    q, k, v = (
+                        jax.random.normal(
+                            jax.random.fold_in(key, i), (_B, _T, H, Dh),
+                            jnp.bfloat16,
+                        ) for i in range(3)
+                    )
+
+                    def body(acc, i):
+                        qi = q + (i * 1e-6).astype(jnp.bfloat16)
+                        out = fn(qi, k, v)
+                        return acc + out.astype(jnp.float32).sum(), None
+
+                    acc, _ = jax.lax.scan(
+                        body, jnp.float32(0.0),
+                        jnp.arange(_K, dtype=jnp.float32),
+                    )
+                    return acc
+
+                return float(jax.jit(run)(jax.random.PRNGKey(seed)))
+
+            stage = {}
+            for name, fn in (("grouped", std_path), ("bthd", bthd_path)):
+                many(fn, 0)  # compile + warmup
+                times = []
+                for s in (1, 2, 3):
+                    t0 = time.perf_counter()
+                    many(fn, s)
+                    times.append(time.perf_counter() - t0)
+                stage[name] = min(times) / K
+            result[f"attn_grouped_ms_t{T}"] = round(
+                stage["grouped"] * 1e3, 3)
+            result[f"attn_bthd_ms_t{T}"] = round(stage["bthd"] * 1e3, 3)
+            result[f"attn_bthd_speedup_t{T}"] = round(
+                stage["grouped"] / stage["bthd"], 3)
+            log(f"attn A/B T={T}: grouped {stage['grouped']*1e3:.3f} ms "
+                f"vs bthd {stage['bthd']*1e3:.3f} ms per call")
+        print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
+    except Exception as e:  # noqa: BLE001
+        log(f"attn A/B stage failed: {e!r}")
+
     # ---- Tranception-L AR scoring with retrieval fusion ------------------
     try:
         if not wanted("tranception"):
@@ -577,6 +646,9 @@ def measure_families(only: str = "all") -> None:
     except Exception as e:  # noqa: BLE001
         log(f"poet stage failed: {e!r}")
 
+    # always leave a parseable line, even if every selected stage skipped
+    print(json.dumps(result), flush=True)
+
 
 # ---------------------------------------------------------------------------
 # Parent orchestration
@@ -639,7 +711,7 @@ def probe_backend() -> None:
     }), flush=True)
 
 
-FAMILIES = ["tranception", "msa_transformer", "eve", "poet"]
+FAMILIES = ["attn", "tranception", "msa_transformer", "eve", "poet"]
 
 
 def main():

@@ -225,21 +225,22 @@ def _attention(x, layer, config: EsmConfig, padding_mask, segment_ids=None):
     k = _dense(x, layer["k"]).reshape(b, t, h, hd)
     v = _dense(x, layer["v"]).reshape(b, t, h, hd)
     # fused Pallas attention on TPU, XLA einsum elsewhere. RoPE rides into
-    # mha unapplied: the grouped kernel rotates q/k in VMEM (the in-graph
-    # rotary's elementwise HBM passes measured ~23% of a forward at T=256)
-    from proteingym_tpu.ops.flash_attention import mha
+    # the kernel unapplied: it rotates q/k in VMEM (the in-graph rotary's
+    # elementwise HBM passes measured ~23% of a forward at T=256).
+    # mha_natural keeps the (B, T, H, D) projection layout; with
+    # PGYM_MHA_LAYOUT=bthd the heads-mid kernel skips the four per-layer
+    # HBM transposes around the custom call.
+    from proteingym_tpu.ops.flash_attention import mha_natural
 
     key_mask = None if padding_mask is None else ~padding_mask
-    ctx = mha(
-        q.transpose(0, 2, 1, 3),
-        k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
+    ctx = mha_natural(
+        q, k, v,
         key_mask=key_mask,
         sm_scale=hd ** -0.5,
         rope_base=10000.0 if config.use_rotary else None,
         segment_ids=segment_ids,
     )
-    ctx = ctx.transpose(0, 2, 1, 3).astype(x.dtype).reshape(b, t, d)
+    ctx = ctx.astype(x.dtype).reshape(b, t, d)
     return _dense(ctx, layer["out"])
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -822,6 +823,36 @@ def _seg_block_dispatch(q, k, v, segment_ids, sm_scale=None, rope_base=None,
         q, k, v, segment_ids, sm_scale=sm_scale, rope_base=rope_base,
         interpret=interpret,
     )[:, :, :t]
+
+
+def mha_natural(q, k, v, key_mask=None, bias=None, causal=False,
+                sm_scale=None, rope_base=None, segment_ids=None):
+    """Attention at the MODEL's natural layout: q/k/v and the result are
+    (B, T, H, D) — the free reshape of the QKV projection outputs.
+
+    Default route: transpose to (B, H, T, D) around ``mha`` (XLA fuses
+    these into surrounding ops where it can). With ``PGYM_MHA_LAYOUT=
+    bthd`` on TPU (and no per-head bias, T <= BTHD_MAX_SEQ_LEN), the
+    heads-mid kernel consumes the natural layout directly and the four
+    per-layer HBM transposes around the custom call disappear — opt-in
+    pending the on-device A/B the bench's ``attn`` stage measures
+    (bench.py, keys ``attn_*``)."""
+    b, t, h, d = q.shape
+    if (
+        _HAVE_PALLAS and not _FORCE_XLA and bias is None
+        and t <= BTHD_MAX_SEQ_LEN
+        and os.environ.get("PGYM_MHA_LAYOUT") == "bthd"
+        and jax.default_backend() == "tpu"
+    ):
+        return grouped_mha_bthd(
+            q, k, v, key_mask=key_mask, causal=causal, sm_scale=sm_scale,
+            rope_base=rope_base, segment_ids=segment_ids,
+        )
+    tr = lambda x: x.transpose(0, 2, 1, 3)
+    return tr(mha(
+        tr(q), tr(k), tr(v), key_mask=key_mask, bias=bias, causal=causal,
+        sm_scale=sm_scale, rope_base=rope_base, segment_ids=segment_ids,
+    ))
 
 
 def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None,

@@ -322,6 +322,24 @@ class TestBthdKernel:
         )
 
 
+def test_mha_natural_matches_transposed_mha():
+    """The natural-layout entry point is layout plumbing only."""
+    from proteingym_tpu.ops.flash_attention import mha, mha_natural
+
+    rs = np.random.RandomState(11)
+    b, t, h, d = 2, 40, 4, 16
+    q = jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+    mask = np.ones((b, t), bool)
+    mask[0, 30:] = False
+    km = jnp.asarray(mask)
+    got = mha_natural(q, k, v, key_mask=km, rope_base=10000.0)
+    tr = lambda x: jnp.swapaxes(x, 1, 2)
+    want = tr(mha(tr(q), tr(k), tr(v), key_mask=km, rope_base=10000.0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
 def test_seg_block_dispatch_pads_unaligned_rows():
     """The long-packed-row dispatch path (T > GROUPED_MAX_SEQ_LEN with
     segment_ids) pads to a SEG_BLOCK multiple and routes to the
