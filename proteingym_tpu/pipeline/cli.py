@@ -454,7 +454,7 @@ CONVERTERS = {
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
     "s3f", "prosst", "prosst_quantizer", "carp", "saprot", "mulan",
-    "vespag",
+    "vespag", "prot_t5",
 }
 
 
@@ -637,6 +637,14 @@ def cmd_convert(args) -> int:
 
         params = m.convert_torch_state_dict(sd())
         config = m.VespagArchConfig(arch=params.pop("arch"))
+    elif fam == "prot_t5":
+        # HF T5EncoderModel state dict (Rostlab/prot_t5_xl_uniref50, the
+        # VESPA trunk); self-describing — dims read from the weights
+        from proteingym_tpu.models import prot_t5 as m
+
+        state = sd()
+        config = m.config_from_state_dict(state, name=preset or "prot_t5")
+        params = m.convert_torch_state_dict(state, config)
     elif fam == "eve":
         # self-describing checkpoint: the reference save dict carries the
         # encoder/decoder hyperparameters (ref VAE_model.py:356-364), so the

@@ -578,18 +578,54 @@ def score_rsalor(ctx: ScoreContext) -> pd.DataFrame:
     return _with_column(ctx, "RSALOR_score", scores)
 
 
+def _plm_embeddings(ctx: ScoreContext, wt: str):
+    """Per-residue trunk embeddings for VESPA-class heads.
+
+    Default trunk: ESM2 (``--extra esm_checkpoint=``, VespaG's trunk).
+    With ``--extra prot_t5_checkpoint=<dir from pgym convert --family
+    prot_t5>`` the weight-compatible ProtT5 encoder supplies them instead
+    — the trunk the reference's vespa CLI uses (ref
+    vespa/compute_fitness.py; models/prot_t5.py). Returns (emb, dim)."""
+    p5 = ctx.extra.get("prot_t5_checkpoint")
+    if p5:
+        import dataclasses as _dc
+        import json as _json
+
+        from proteingym_tpu.models import prot_t5
+        from proteingym_tpu.pipeline.checkpoints import restore_pytree
+
+        params = restore_pytree(Path(p5) / "params")
+        meta = {}
+        cfg_file = Path(p5) / "config.json"
+        if cfg_file.exists():
+            meta = _json.loads(cfg_file.read_text())
+        fields = {f.name for f in _dc.fields(prot_t5.ProtT5Config)}
+        config = prot_t5.ProtT5Config(
+            **{k: v for k, v in meta.items() if k in fields and k != "dtype"}
+        )
+        emb = np.asarray(prot_t5.embeddings(params, config, wt))
+        return emb, config.d_model
+    from proteingym_tpu.models.protssn import esm_embeddings
+    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
+
+    esm_params, esm_config = load_esm_checkpoint(
+        ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
+    )
+    emb = np.asarray(esm_embeddings(esm_params, esm_config, wt))
+    return emb, esm_config.embed_dim
+
+
 @register_scorer("vespag")
 @register_scorer("vespa")
 def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
     """VespaG: PLM-embedding head distilled from the native GEMME teacher
     (ref vespag/; the vespa CLI wrapper role is covered by the same
-    conservation-x-logodds teacher)."""
+    conservation-x-logodds teacher over the trunk _plm_embeddings
+    selects — ProtT5 when a converted checkpoint is supplied)."""
     import jax
 
     from proteingym_tpu.models import gemme as gemme_mod
     from proteingym_tpu.models import vespag as vespag_mod
-    from proteingym_tpu.models.protssn import esm_embeddings
-    from proteingym_tpu.pipeline.checkpoints import load_esm_checkpoint
 
     # converted-checkpoint path: the real VespaG head (pgym convert
     # --family vespag on the published state_dict_v2.pt) over PLM
@@ -607,11 +643,8 @@ def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
         if cfg_file.exists():
             meta = _json.loads(cfg_file.read_text())
         params["arch"] = meta.get("arch", "fnn")
-        esm_params, esm_config = load_esm_checkpoint(
-            ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
-        )
         wt = ctx.record.target_seq
-        emb = np.asarray(esm_embeddings(esm_params, esm_config, wt))
+        emb, _ = _plm_embeddings(ctx, wt)
         table = np.asarray(vespag_mod.apply(params, emb))
         scores = vespag_mod.score_mutants_reference(
             table, wt, ctx.dms_frame["mutant"].tolist(),
@@ -622,12 +655,9 @@ def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
 
     msa = ctx.load_msa()
     teacher = gemme_mod.fit_gemme(msa.matrix, msa.weights)
-    esm_params, esm_config = load_esm_checkpoint(
-        ctx.extra.get("esm_checkpoint", "esm2_t6_8M")
-    )
     wt = msa.focus_seq_trimmed.upper()
-    emb = np.asarray(esm_embeddings(esm_params, esm_config, wt))
-    config = vespag_mod.VespagConfig(embed_dim=esm_config.embed_dim)
+    emb, embed_dim = _plm_embeddings(ctx, wt)
+    config = vespag_mod.VespagConfig(embed_dim=embed_dim)
     params = vespag_mod.init_params(jax.random.PRNGKey(0), config)
     params = vespag_mod.train_from_teacher(
         params, emb, teacher.combined(),
