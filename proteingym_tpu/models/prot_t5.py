@@ -220,6 +220,129 @@ def embeddings(params: Dict[str, Any], c: ProtT5Config, seq: str,
 
 
 # ---------------------------------------------------------------------------
+# decoder + masked log-odds (the VESPA signal)
+# ---------------------------------------------------------------------------
+
+DECODER_START_ID = PAD_ID  # T5 decoder_start_token_id == pad
+
+
+def sentinel_id(c: ProtT5Config, k: int = 0) -> int:
+    """<extra_id_k>: T5 sentinels occupy the top of the vocab in reverse
+    order (HF convention: extra_id_0 = vocab_size - 1)."""
+    return c.vocab_size - 1 - k
+
+
+def decoder_apply(params: Dict[str, Any], c: ProtT5Config,
+                  dec_tokens: jnp.ndarray, enc_hidden: jnp.ndarray,
+                  enc_pad: jnp.ndarray) -> jnp.ndarray:
+    """T5 decoder stack -> (B, Td, V) lm logits.
+
+    dec_tokens: (B, Td) decoder input ids (start token first);
+    enc_hidden: (B, Te, d_model) encoder output; enc_pad: (B, Te) bool.
+    Matches T5ForConditionalGeneration: unidirectional relative bias
+    shared from decoder block 0, causal self-attention, biasless
+    cross-attention, and (when the embedding is tied) the d_model**-0.5
+    output scale before the lm head."""
+    dec = params["decoder"]
+    b, t = dec_tokens.shape
+    h, dk = c.num_heads, c.d_kv
+    x = params["embed"].astype(c.dtype)[dec_tokens]
+
+    ctx_pos = np.arange(t)[:, None]
+    mem_pos = np.arange(t)[None, :]
+    rel = mem_pos - ctx_pos
+    # unidirectional buckets (bidirectional=False in HF): only past keys
+    neg = -np.minimum(rel, 0)
+    max_exact = c.num_buckets // 2
+    is_small = neg < max_exact
+    large = max_exact + (
+        np.log(np.maximum(neg, 1) / max_exact)
+        / math.log(c.max_distance / max_exact)
+        * (c.num_buckets - max_exact)
+    ).astype(np.int64)
+    buckets = np.where(is_small, neg, np.minimum(large, c.num_buckets - 1))
+    pos_bias = dec["rel_bias"].astype(jnp.float32)[jnp.asarray(buckets)]
+    pos_bias = jnp.transpose(pos_bias, (2, 0, 1))[None]  # (1, H, Td, Td)
+    causal = np.triu(np.ones((t, t), bool), 1)
+    self_bias = pos_bias + jnp.where(jnp.asarray(causal), -1e9, 0.0)
+    cross_bias = jnp.where(enc_pad, -1e9, 0.0)[:, None, None, :]
+
+    def attn(y, kv, proj, bias):
+        bq, tq = y.shape[:2]
+        tk = kv.shape[1]
+        q = (y @ proj["q"].astype(y.dtype)).reshape(bq, tq, h, dk)
+        k = (kv @ proj["k"].astype(y.dtype)).reshape(bq, tk, h, dk)
+        v = (kv @ proj["v"].astype(y.dtype)).reshape(bq, tk, h, dk)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(y.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(y.dtype).reshape(bq, tq, h * dk)
+        return ctx @ proj["o"].astype(y.dtype)
+
+    enc_kv = enc_hidden.astype(c.dtype)
+    for layer in dec["layers"]:
+        y = _rms_norm(x, layer["ln_self"])
+        x = x + attn(y, y, layer["self"], self_bias)
+        y = _rms_norm(x, layer["ln_cross"])
+        x = x + attn(y, enc_kv, layer["cross"], cross_bias)
+        y = _rms_norm(x, layer["ln_ff"])
+        if c.gated:
+            ff = jax.nn.gelu(
+                (y @ layer["wi_0"].astype(y.dtype)).astype(jnp.float32),
+                approximate=True,
+            ) * (y @ layer["wi_1"].astype(y.dtype)).astype(jnp.float32)
+        else:
+            ff = jax.nn.relu(
+                (y @ layer["wi"].astype(y.dtype)).astype(jnp.float32)
+            )
+        x = x + (ff.astype(y.dtype) @ layer["wo"].astype(y.dtype))
+    x = _rms_norm(x, dec["final_ln"]).astype(jnp.float32)
+    if dec.get("lm_head") is not None:
+        return x @ dec["lm_head"]
+    # tied embedding: HF scales by d_model**-0.5 before the shared head
+    return (x * (c.d_model ** -0.5)) @ params["embed"].astype(
+        jnp.float32).T
+
+
+def masked_logodds(params: Dict[str, Any], c: ProtT5Config, seq: str,
+                   token_ids: Optional[Dict[str, int]] = None,
+                   chunk: int = 32) -> np.ndarray:
+    """(L, V) log-probabilities of the reconstruction for each masked
+    position — the VESPA log-odds signal (Marquet et al. 2022): replace
+    residue i with <extra_id_0>, decode [start, <extra_id_0>] and read
+    the distribution at the slot after the sentinel. Requires a decoder
+    (converted from T5ForConditionalGeneration).
+
+    VESPA's per-mutation log-odds ratio is then
+    ``table[i, tok(mt)] - table[i, tok(wt)]``."""
+    if "decoder" not in params:
+        raise ValueError("masked_logodds needs a decoder-bearing "
+                         "checkpoint (convert --family prot_t5 on a "
+                         "T5ForConditionalGeneration state dict)")
+    L = len(seq)
+    base = tokenize(seq, token_ids=token_ids)
+    sid = sentinel_id(c)
+    rows = np.tile(base[None], (L, 1))
+    rows[np.arange(L), np.arange(L)] = sid
+    dec_in = np.asarray([[DECODER_START_ID, sid]], np.int32)
+    out = np.zeros((L, c.vocab_size), np.float32)
+    for s0 in range(0, L, chunk):
+        blk = rows[s0 : s0 + chunk]
+        enc = apply(params, c, jnp.asarray(blk))
+        pad = jnp.asarray(blk == PAD_ID)
+        dec = jnp.broadcast_to(jnp.asarray(dec_in), (len(blk), 2))
+        logits = decoder_apply(params, c, dec, enc, pad)
+        # slot 1 (after the sentinel) predicts the masked residue
+        out[s0 : s0 + len(blk)] = np.asarray(
+            jax.nn.log_softmax(logits[:, 1], axis=-1)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # converter (HF T5EncoderModel state dict)
 # ---------------------------------------------------------------------------
 
@@ -260,25 +383,31 @@ def convert_torch_state_dict(sd: Dict[str, Any],
     def a(key):
         return jnp.asarray(np.asarray(sd[key], np.float32))
 
+    def ffn(layer, prefix):
+        layer["wo"] = t(f"{prefix}.wo.weight")
+        if c.gated:
+            layer["wi_0"] = t(f"{prefix}.wi_0.weight")
+            layer["wi_1"] = t(f"{prefix}.wi_1.weight")
+        else:
+            layer["wi"] = t(f"{prefix}.wi.weight")
+        return layer
+
+    def attn_proj(prefix):
+        return {
+            "q": t(f"{prefix}.q.weight"), "k": t(f"{prefix}.k.weight"),
+            "v": t(f"{prefix}.v.weight"), "o": t(f"{prefix}.o.weight"),
+        }
+
     layers = []
     for i in range(c.num_layers):
         p = f"encoder.block.{i}.layer"
         layer = {
             "ln_attn": a(f"{p}.0.layer_norm.weight"),
-            "q": t(f"{p}.0.SelfAttention.q.weight"),
-            "k": t(f"{p}.0.SelfAttention.k.weight"),
-            "v": t(f"{p}.0.SelfAttention.v.weight"),
-            "o": t(f"{p}.0.SelfAttention.o.weight"),
             "ln_ff": a(f"{p}.1.layer_norm.weight"),
-            "wo": t(f"{p}.1.DenseReluDense.wo.weight"),
+            **attn_proj(f"{p}.0.SelfAttention"),
         }
-        if c.gated:
-            layer["wi_0"] = t(f"{p}.1.DenseReluDense.wi_0.weight")
-            layer["wi_1"] = t(f"{p}.1.DenseReluDense.wi_1.weight")
-        else:
-            layer["wi"] = t(f"{p}.1.DenseReluDense.wi.weight")
-        layers.append(layer)
-    return {
+        layers.append(ffn(layer, f"{p}.1.DenseReluDense"))
+    out = {
         "embed": a("shared.weight"),
         "rel_bias": a(
             "encoder.block.0.layer.0.SelfAttention."
@@ -287,3 +416,39 @@ def convert_torch_state_dict(sd: Dict[str, Any],
         "layers": layers,
         "final_ln": a("encoder.final_layer_norm.weight"),
     }
+
+    # decoder (T5ForConditionalGeneration state dicts) — enables the
+    # VESPA masked-reconstruction log-odds
+    if "decoder.final_layer_norm.weight" in sd:
+        n_dec = 1 + max(
+            int(k.split(".")[2]) for k in sd if k.startswith("decoder.block.")
+        )
+        dec_layers = []
+        for i in range(n_dec):
+            p = f"decoder.block.{i}.layer"
+            layer = {
+                "ln_self": a(f"{p}.0.layer_norm.weight"),
+                "self": attn_proj(f"{p}.0.SelfAttention"),
+                "ln_cross": a(f"{p}.1.layer_norm.weight"),
+                "cross": attn_proj(f"{p}.1.EncDecAttention"),
+                "ln_ff": a(f"{p}.2.layer_norm.weight"),
+            }
+            dec_layers.append(ffn(layer, f"{p}.2.DenseReluDense"))
+        out["decoder"] = {
+            "rel_bias": a(
+                "decoder.block.0.layer.0.SelfAttention."
+                "relative_attention_bias.weight"
+            ),
+            "layers": dec_layers,
+            "final_ln": a("decoder.final_layer_norm.weight"),
+        }
+        # v1.1 has an untied lm_head; v1.0/ProtT5 ties it to the shared
+        # embedding, in which case HF ALSO scales the decoder output by
+        # d_model**-0.5 (decoder_apply's tied path). A tied state dict
+        # still contains lm_head.weight (same tensor as shared.weight),
+        # so tying is detected by value equality.
+        if "lm_head.weight" in sd and not np.array_equal(
+            np.asarray(sd["lm_head.weight"]), np.asarray(sd["shared.weight"])
+        ):
+            out["decoder"]["lm_head"] = t("lm_head.weight")
+    return out

@@ -588,21 +588,9 @@ def _plm_embeddings(ctx: ScoreContext, wt: str):
     vespa/compute_fitness.py; models/prot_t5.py). Returns (emb, dim)."""
     p5 = ctx.extra.get("prot_t5_checkpoint")
     if p5:
-        import dataclasses as _dc
-        import json as _json
-
         from proteingym_tpu.models import prot_t5
-        from proteingym_tpu.pipeline.checkpoints import restore_pytree
 
-        params = restore_pytree(Path(p5) / "params")
-        meta = {}
-        cfg_file = Path(p5) / "config.json"
-        if cfg_file.exists():
-            meta = _json.loads(cfg_file.read_text())
-        fields = {f.name for f in _dc.fields(prot_t5.ProtT5Config)}
-        config = prot_t5.ProtT5Config(
-            **{k: v for k, v in meta.items() if k in fields and k != "dtype"}
-        )
+        params, config = _load_prot_t5(p5)
         emb = np.asarray(prot_t5.embeddings(params, config, wt))
         return emb, config.d_model
     from proteingym_tpu.models.protssn import esm_embeddings
@@ -615,17 +603,66 @@ def _plm_embeddings(ctx: ScoreContext, wt: str):
     return emb, esm_config.embed_dim
 
 
+def _load_prot_t5(path):
+    import dataclasses as _dc
+    import json as _json
+
+    from proteingym_tpu.models import prot_t5
+    from proteingym_tpu.pipeline.checkpoints import restore_pytree
+
+    params = restore_pytree(Path(path) / "params")
+    meta = {}
+    cfg_file = Path(path) / "config.json"
+    if cfg_file.exists():
+        meta = _json.loads(cfg_file.read_text())
+    fields = {f.name for f in _dc.fields(prot_t5.ProtT5Config)}
+    config = prot_t5.ProtT5Config(
+        **{k: v for k, v in meta.items() if k in fields and k != "dtype"}
+    )
+    return params, config
+
+
 @register_scorer("vespag")
 @register_scorer("vespa")
 def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
     """VespaG: PLM-embedding head distilled from the native GEMME teacher
     (ref vespag/; the vespa CLI wrapper role is covered by the same
     conservation-x-logodds teacher over the trunk _plm_embeddings
-    selects — ProtT5 when a converted checkpoint is supplied)."""
+    selects — ProtT5 when a converted checkpoint is supplied).
+
+    With ``--extra vespa_mode=logodds`` and a decoder-bearing converted
+    ProtT5 (pgym convert --family prot_t5 on a
+    T5ForConditionalGeneration state dict), scores are the actual VESPA
+    masked-reconstruction log-odds (Marquet et al. 2022): mask each
+    position with <extra_id_0>, read the decoder's distribution, score =
+    sum of logP(mt) - logP(wt) over mutated positions. (The published
+    pipeline additionally blends a ProtT5-conservation CNN through a
+    logistic head whose weights live in the uninstalled vespa package —
+    log-odds is its dominant term.)"""
     import jax
 
     from proteingym_tpu.models import gemme as gemme_mod
     from proteingym_tpu.models import vespag as vespag_mod
+
+    p5 = ctx.extra.get("prot_t5_checkpoint")
+    if p5 and str(ctx.extra.get("vespa_mode", "")) == "logodds":
+        from proteingym_tpu.data.mutants import is_wt_row
+        from proteingym_tpu.models import prot_t5
+
+        params, config = _load_prot_t5(p5)
+        wt = ctx.record.target_seq
+        table = prot_t5.masked_logodds(params, config, wt)
+        ids = prot_t5.AA_TOKEN_IDS
+        scores = np.zeros(len(ctx.dms_frame))
+        for i, m in enumerate(ctx.dms_frame["mutant"].tolist()):
+            if is_wt_row(m):
+                continue
+            for tok in str(m).split(":"):
+                w, pos, mt = tok[0], int(tok[1:-1]) - 1, tok[-1]
+                if wt[pos] != w:
+                    raise ValueError(f"WT mismatch in {tok}")
+                scores[i] += table[pos, ids[mt]] - table[pos, ids[w]]
+        return _with_column(ctx, "VESPA_score", scores)
 
     # converted-checkpoint path: the real VespaG head (pgym convert
     # --family vespag on the published state_dict_v2.pt) over PLM
