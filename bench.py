@@ -416,6 +416,32 @@ def measure_families(only: str = "all") -> None:
     except Exception as e:  # noqa: BLE001
         log(f"attn A/B stage failed: {e!r}")
 
+    # ---- MSA sequence-weights kernel --------------------------------------
+    # The reference's numba O(N^2 L) cluster-weight loop runs for HOURS on
+    # deep MSAs (SURVEY §2.3 row 1, ref utils/weights.py:114-216); this
+    # stage records the tiled one-hot-matmul kernel's throughput.
+    try:
+        if not wanted("weights"):
+            raise _Skip
+        from proteingym_tpu.msa.weights import sequence_weights
+
+        N, L = (16384, 300) if not tiny else (512, 60)
+        mats = [rs.randint(0, 21, (N, L)).astype(np.int8) for _ in range(2)]
+        sequence_weights(mats[0], theta=0.2)  # warmup/compile
+        t0 = time.perf_counter()
+        w = sequence_weights(mats[1], theta=0.2)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(w).all()
+        result["weights_msa_shape"] = [N, L]
+        result["weights_seconds"] = round(dt, 3)
+        result["weights_pairs_per_sec"] = round(N * N / dt, 0)
+        log(f"weights kernel: {dt:.3f}s for {N}x{L}")
+        print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
+    except Exception as e:  # noqa: BLE001
+        log(f"weights stage failed: {e!r}")
+
     # ---- Tranception-L AR scoring with retrieval fusion ------------------
     try:
         if not wanted("tranception"):
@@ -711,7 +737,8 @@ def probe_backend() -> None:
     }), flush=True)
 
 
-FAMILIES = ["attn", "tranception", "msa_transformer", "eve", "poet"]
+FAMILIES = ["attn", "weights", "tranception", "msa_transformer", "eve",
+            "poet"]
 
 
 def main():
