@@ -766,9 +766,11 @@ def main():
     # wedged backend (the r03 failure mode — init hangs or raises
     # UNAVAILABLE) is detected once, and every later stage pins itself to
     # CPU instead of re-hanging against the dead chip.
-    probe, probe_err, probe_rc = _run_inner(
-        ["--probe"], min(PROBE_TIMEOUT, max(remaining() - 60, 30))
-    )
+    # probe budget: reserve 60s of the window when there's room, else
+    # scale with what's left so PGYM_BENCH_TOTAL stays a true ceiling
+    probe_budget = min(PROBE_TIMEOUT,
+                       max(remaining() - 60, 0.8 * remaining(), 5.0))
+    probe, probe_err, probe_rc = _run_inner(["--probe"], probe_budget)
     cpu_env = {}
     backend_health = "ok"
     if probe_rc != 0 or not probe:

@@ -256,13 +256,16 @@ def fit_gemme(
         ns = len(sample_idx)
 
         # trace levels: ranked ET averaged over independently sampled
-        # trees (first tree doubles as the distance tree)
+        # trees (first tree doubles as the distance tree). When the
+        # sample already covers the whole alignment, resampling would
+        # rebuild byte-identical trees — one is enough.
         traces = [_ranked_et_trace(sub, tree)]
-        for t in range(1, n_trace_trees):
-            idx_t = _sample_rows(n, weights, tree_size, focus_row, rng)
-            tree_t = native.nj_tree(matrix[idx_t].astype(np.int8))
-            if tree_t is not None:
-                traces.append(_ranked_et_trace(matrix[idx_t], tree_t))
+        if ns < n:
+            for t in range(1, n_trace_trees):
+                idx_t = _sample_rows(n, weights, tree_size, focus_row, rng)
+                tree_t = native.nj_tree(matrix[idx_t].astype(np.int8))
+                if tree_t is not None:
+                    traces.append(_ranked_et_trace(matrix[idx_t], tree_t))
         cons = np.mean(traces, axis=0)
 
         # patristic distances to the query for the sampled leaves, then

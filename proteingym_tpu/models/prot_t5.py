@@ -85,6 +85,10 @@ def tokenize(seq: str, pad_to: Optional[int] = None,
     ids = token_ids or AA_TOKEN_IDS
     row = [ids.get(a, UNK_ID) for a in seq.upper()] + [EOS_ID]
     if pad_to is not None:
+        if pad_to < len(row):
+            raise ValueError(
+                f"pad_to={pad_to} < sequence length + EOS = {len(row)}"
+            )
         row = row + [PAD_ID] * (pad_to - len(row))
     return np.asarray(row, np.int32)
 

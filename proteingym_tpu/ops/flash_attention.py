@@ -240,9 +240,14 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
         # (tranception.alibi_bias = slope*k), so a deferred add inside exp
         # overflows f32 beyond ~180 tokens; and with a pure padding mask,
         # masked keys' unbiased scores can anchor the max so high that
-        # every real key underflows the denominator to 0. One (G, T, T)
-        # add keeps m a true bound on the exp argument in both regimes.
-        scores = scores + kbias_ref[:, 0][:, None, :]
+        # every real key underflows the denominator to 0. The bias folds
+        # in via the `scores - m0 + kbias` chain — the exact elementwise
+        # pattern the previous kernel compiled inside exp — rather than a
+        # bare add on the dot output, which Mosaic has historically
+        # miscompiled ("limits[i] <= dim(i)" check failure). Softmax
+        # shift invariance makes the m0 shift a no-op.
+        m0 = jnp.max(scores, axis=-1, keepdims=True)
+        scores = scores - m0 + kbias_ref[:, 0][:, None, :]
     if causal:
         t = scores.shape[-1]
         q_pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
@@ -455,10 +460,12 @@ def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
             (qseg[:, None] == seg[None, :])[None], scores, NEG_INF
         )
     if not (segmented and skip_kbias):
-        # pre-max add, same rationale as _grouped_attention_kernel: the
-        # padding mask must participate in the row max or masked keys can
-        # anchor m high enough to underflow the denominator
-        scores = scores + kbias_ref[0, 0][None, None, :]
+        # pre-max fold, same rationale + same Mosaic-safe `- m0 + kbias`
+        # chain as _grouped_attention_kernel: the padding mask must
+        # participate in the row max or masked keys can anchor m high
+        # enough to underflow the denominator
+        m0 = jnp.max(scores, axis=-1, keepdims=True)
+        scores = scores - m0 + kbias_ref[0, 0][None, None, :]
     if causal:
         t = scores.shape[-1]
         q_pos = qb * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
@@ -810,7 +817,13 @@ def _seg_block_dispatch(q, k, v, segment_ids, sm_scale=None, rope_base=None,
     the dense (B, H, T, T) HBM scores the reference path would
     materialize (OOM-prone at long packed rows). Padded tails map to
     segment 0, which real queries exclude via the same-segment select
-    (key_mask positions are segment 0 per the packing contract)."""
+    (key_mask positions are segment 0 per the packing contract).
+
+    NOTE: seg_block_mha's dynamic-bound Mosaic loop has a long one-time
+    compile (~minutes, see its docstring); no current caller reaches
+    this path (ESM2 caps packed rows at GROUPED_MAX_SEQ_LEN; PoET's
+    segmented layers are causal), it exists so a future long-row packer
+    degrades to a working kernel instead of a dense HBM OOM."""
     t = q.shape[2]
     t_pad = _round_up(t, SEG_BLOCK)
     if t_pad != t:
@@ -881,6 +894,15 @@ def mha(q, k, v, key_mask=None, bias=None, causal=False, sm_scale=None,
                 sm_scale=sm_scale, block_q=DEFAULT_BLOCK_Q,
             )
         if bias is None and not causal:
+            if key_mask is not None:
+                # fold the mask into the segment map (masked keys join
+                # segment 0, which live queries never attend) so the
+                # extent-sparse kernel honors it. The kernel needs
+                # CONTIGUOUS segment runs: masks at segment tails (the
+                # packing contract's padding) stay contiguous; a hole in
+                # the middle of a segment would split the run and drop
+                # cross-hole attention.
+                segment_ids = jnp.where(key_mask, segment_ids, 0)
             return _seg_block_dispatch(
                 q, k, v, segment_ids, sm_scale=sm_scale, rope_base=rope_base
             )

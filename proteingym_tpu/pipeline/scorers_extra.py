@@ -645,7 +645,13 @@ def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
     from proteingym_tpu.models import vespag as vespag_mod
 
     p5 = ctx.extra.get("prot_t5_checkpoint")
-    if p5 and str(ctx.extra.get("vespa_mode", "")) == "logodds":
+    if str(ctx.extra.get("vespa_mode", "")) == "logodds":
+        if not p5:
+            raise ValueError(
+                "vespa_mode=logodds needs --extra prot_t5_checkpoint="
+                "<dir from pgym convert --family prot_t5 on a "
+                "T5ForConditionalGeneration state dict>"
+            )
         from proteingym_tpu.data.mutants import is_wt_row
         from proteingym_tpu.models import prot_t5
 

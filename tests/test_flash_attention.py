@@ -363,3 +363,30 @@ def test_seg_block_dispatch_pads_unaligned_rows():
         np.asarray(got).transpose(0, 2, 1, 3)[live],
         np.asarray(want).transpose(0, 2, 1, 3)[live], atol=2e-5,
     )
+
+
+def test_seg_block_dispatch_key_mask_folds_into_segments():
+    """A key_mask masking positions INSIDE a live segment must be
+    honored by the long-row segmented route (mha folds it into the
+    segment map: masked keys -> segment 0)."""
+    from proteingym_tpu.ops.flash_attention import _seg_block_dispatch
+
+    rs = np.random.RandomState(12)
+    b, h, t, d = 1, 2, 256, 16
+    q = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, t, d), jnp.float32)
+    seg = np.zeros((b, t), np.int32)
+    seg[0, :200] = 1
+    mask = np.ones((b, t), bool)
+    mask[0, 150:200] = False  # masked keys inside segment 1
+    sj = jnp.asarray(seg)
+    km = jnp.asarray(mask)
+    folded = jnp.where(km, sj, 0)  # what mha computes before dispatch
+    got = _seg_block_dispatch(q, k, v, folded, interpret=True)
+    want = reference_mha(q, k, v, segment_ids=sj, key_mask=km)
+    live = (seg > 0) & mask
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1, 3)[live],
+        np.asarray(want).transpose(0, 2, 1, 3)[live], atol=2e-5,
+    )
