@@ -181,7 +181,8 @@ def _rope_perm(d: int) -> np.ndarray:
 def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
                               causal: bool, rope: bool,
                               segmented: bool = False,
-                              skip_kbias: bool = False):
+                              skip_kbias: bool = False,
+                              mask_only: bool = False):
     """One program = G whole (batch*head) attention problems.
 
     q/k/v_ref: (G, T, D); kbias_ref: (G, 8, T) f32 additive key bias with
@@ -234,14 +235,23 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
         # NEG_INF is finite, so a fully-masked q row (padding) still
         # produces finite outputs (zeros); those are never consumed
         scores = jnp.where(same, scores, NEG_INF)
-    if not (segmented and skip_kbias):
-        # the key bias (pad mask + ALiBi) MUST join before the row max:
-        # grouped-ALiBi biases are nonnegative and grow with key position
-        # (tranception.alibi_bias = slope*k), so a deferred add inside exp
-        # overflows f32 beyond ~180 tokens; and with a pure padding mask,
-        # masked keys' unbiased scores can anchor the max so high that
-        # every real key underflows the denominator to 0. The bias folds
-        # in via the `scores - m0 + kbias` chain — the exact elementwise
+    if skip_kbias:
+        pass  # pads are segment 0 (or no mask/bias at all): nothing to fold
+    elif mask_only:
+        # pure padding mask (kbias rows are {0, NEG_INF}): a select is
+        # one pass and keeps masked keys out of the row max (they could
+        # otherwise anchor it high enough to underflow the denominator).
+        # where-on-scores is the same proven-to-compile pattern as the
+        # causal/segment selects below.
+        scores = jnp.where(
+            kbias_ref[:, 0][:, None, :] < -1.0, NEG_INF, scores
+        )
+    else:
+        # real additive bias (pad mask + ALiBi) MUST join before the row
+        # max: grouped-ALiBi biases are nonnegative and grow with key
+        # position (tranception.alibi_bias = slope*k), so a deferred add
+        # inside exp overflows f32 beyond ~180 tokens. The bias folds in
+        # via the `scores - m0 + kbias` chain — the exact elementwise
         # pattern the previous kernel compiled inside exp — rather than a
         # bare add on the dot output, which Mosaic has historically
         # miscompiled ("limits[i] <= dim(i)" check failure). Softmax
@@ -365,6 +375,9 @@ def grouped_mha(
         # redundant: pads are segment 0, so every real q excludes them
         # via the same-segment select (skips a whole (G, T, T) pass)
         skip_kbias=segment_ids is not None and bias is None,
+        # no ALiBi: the padding mask folds in as a one-pass select
+        # instead of the bias-add chain
+        mask_only=segment_ids is None and bias is None,
     )
     if per_batch_aux:
         # one (1, 8, T) block per program, indexed by its batch row
@@ -460,12 +473,14 @@ def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
             (qseg[:, None] == seg[None, :])[None], scores, NEG_INF
         )
     if not (segmented and skip_kbias):
-        # pre-max fold, same rationale + same Mosaic-safe `- m0 + kbias`
-        # chain as _grouped_attention_kernel: the padding mask must
-        # participate in the row max or masked keys can anchor m high
-        # enough to underflow the denominator
-        m0 = jnp.max(scores, axis=-1, keepdims=True)
-        scores = scores - m0 + kbias_ref[0, 0][None, None, :]
+        # the padding mask must participate in the row max or masked
+        # keys can anchor m high enough to underflow the denominator;
+        # this kernel never carries an additive bias, so a one-pass
+        # select suffices (same rationale as the grouped kernel's
+        # mask_only path)
+        scores = jnp.where(
+            kbias_ref[0, 0][None, None, :] < -1.0, NEG_INF, scores
+        )
     if causal:
         t = scores.shape[-1]
         q_pos = qb * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
