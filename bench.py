@@ -369,7 +369,9 @@ def measure_families(only: str = "all") -> None:
             return grouped_mha_bthd(q, k, v, rope_base=10000.0)
 
         H, Dh = 20, 64  # ESM2-650M head geometry
-        for T, B, K in ((256, 16, 128), (512, 8, 48)):
+        # K sized so one dispatch's work (~30-60 ms) clears the tunnel's
+        # ~27 ms round-trip floor and the transpose delta is resolvable
+        for T, B, K in ((256, 16, 256), (512, 8, 96)):
             # K kernel calls per dispatch amortize the tunnel's ~27 ms
             # round-trip floor; per-step input perturbation defeats CSE
             def many(fn, seed, _T=T, _B=B, _K=K):
