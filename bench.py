@@ -725,15 +725,29 @@ def _run_inner(args, timeout, extra_env=None):
 def probe_backend() -> None:
     """--probe mode: import jax, run one tiny matmul, print a JSON line.
     The parent runs this under a short timeout to detect a wedged TPU
-    backend BEFORE committing the big-model budget to it."""
+    backend BEFORE committing the big-model budget to it.
+
+    Two lines are printed: a marker as soon as device init returns (so a
+    parent that has to kill the probe mid-matmul can still distinguish
+    "backend alive, compiles slow today" — tunnel first-compiles have
+    been observed at 90s+ for a 128x128 matmul — from "init never
+    returned", the r03 wedge) and the full result after the matmul."""
     t0 = time.perf_counter()
     jax = _setup_jax()
     import jax.numpy as jnp
 
+    devs = jax.devices()
+    print(json.dumps({
+        "probe_devices": len(devs),
+        "probe_backend": jax.default_backend(),
+        "probe_init_seconds": round(time.perf_counter() - t0, 1),
+    }), flush=True)
+    _maybe_fault("probe_matmul")  # contract test: marker-only probe
     x = jnp.ones((128, 128))
     y = float((x @ x).sum())
     assert np.isfinite(y)
     print(json.dumps({
+        "probe_devices": len(devs),
         "probe_backend": jax.default_backend(),
         "probe_seconds": round(time.perf_counter() - t0, 1),
     }), flush=True)
@@ -775,21 +789,32 @@ def main():
     probe, probe_err, probe_rc = _run_inner(["--probe"], probe_budget)
     cpu_env = {}
     backend_health = "ok"
-    if probe_rc != 0 or not probe:
+    if (probe_rc == 0 and probe and "probe_seconds" in probe):
+        print(f"[bench] probe ok: {probe}", file=sys.stderr)
+    elif probe and "probe_devices" in probe:
+        # init returned but the tiny matmul didn't finish inside the
+        # probe window: the backend is ALIVE, today's tunnel compiles are
+        # just slow. Keep the TPU (the real stages have their own, much
+        # longer watchdogs) rather than throwing the chip away.
+        backend_health = "slow_compile"
+        print(f"[bench] probe: backend alive but slow ({probe}); "
+              "keeping TPU with full stage watchdogs", file=sys.stderr)
+    else:
         backend_health = "unavailable"
         cpu_env = {"PGYM_BENCH_PLATFORM": "cpu"}
         print("[bench] backend probe failed; pinning all stages to CPU",
               file=sys.stderr)
         print((probe_err or "")[-1500:], file=sys.stderr)
-    else:
-        print(f"[bench] probe ok: {probe}", file=sys.stderr)
 
     # ---- core measurement (with preset fallbacks) ------------------------
     core = None
     # keep a slice of the budget for the family stages; the core gets the
     # rest (the 650M compile is the long pole)
     family_reserve = 0.35 * BENCH_TOTAL
-    presets = FALLBACKS if backend_health == "ok" else ["esm2_t6_8M"]
+    presets = (
+        FALLBACKS if backend_health in ("ok", "slow_compile")
+        else ["esm2_t6_8M"]
+    )
     for preset in presets:
         budget = min(
             PRESET_TIMEOUTS.get(preset, DEFAULT_TIMEOUT),

@@ -65,6 +65,27 @@ def test_json_emitted_even_when_a_stage_raises():
     assert time.time() - t0 < 420
 
 
+def test_slow_probe_keeps_backend():
+    """A probe that proves device init but dies before its matmul (the
+    'backend alive, tunnel compiles slow today' signature) must NOT be
+    classified unavailable: the run proceeds on the probed backend and
+    labels backend_health=slow_compile."""
+    out, lines = _run_bench(
+        {
+            "PGYM_BENCH_FAULT": "probe_matmul",
+            "PGYM_BENCH_SKIP_FAMILIES": "1",
+            "PGYM_BENCH_TOTAL": "420",
+            "PGYM_BENCH_SMOKE_LEN": "60",
+        },
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert lines, f"no JSON line on stdout:\n{out.stdout}"
+    final = lines[-1]
+    assert final.get("backend_health") == "slow_compile", final
+    assert final["value"] > 0
+
+
 def test_budget_too_small_still_prints_json():
     """With a budget too small for any measurement the bench must exit
     quickly with a labeled failure record, not hang or stay silent."""
