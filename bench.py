@@ -398,20 +398,26 @@ def measure_families(only: str = "all") -> None:
 
             stage = {}
             for name, fn in (("grouped", std_path), ("bthd", bthd_path)):
-                many(fn, 0)  # compile + warmup
-                times = []
-                for s in (1, 2, 3):
-                    t0 = time.perf_counter()
-                    many(fn, s)
-                    times.append(time.perf_counter() - t0)
-                stage[name] = min(times) / K
-            result[f"attn_grouped_ms_t{T}"] = round(
-                stage["grouped"] * 1e3, 3)
-            result[f"attn_bthd_ms_t{T}"] = round(stage["bthd"] * 1e3, 3)
-            result[f"attn_bthd_speedup_t{T}"] = round(
-                stage["grouped"] / stage["bthd"], 3)
-            log(f"attn A/B T={T}: grouped {stage['grouped']*1e3:.3f} ms "
-                f"vs bthd {stage['bthd']*1e3:.3f} ms per call")
+                # per-path: one path failing (e.g. bthd's VMEM guard at
+                # long T) must not lose the other path's number
+                try:
+                    many(fn, 0)  # compile + warmup
+                    times = []
+                    for s in (1, 2, 3):
+                        t0 = time.perf_counter()
+                        many(fn, s)
+                        times.append(time.perf_counter() - t0)
+                    stage[name] = min(times) / K
+                    result[f"attn_{name}_ms_t{T}"] = round(
+                        stage[name] * 1e3, 3)
+                except Exception as e:  # noqa: BLE001
+                    result[f"attn_{name}_ms_t{T}"] = None
+                    log(f"attn A/B {name} T={T} failed: {e!r}"[:500])
+            if stage.get("grouped") and stage.get("bthd"):
+                result[f"attn_bthd_speedup_t{T}"] = round(
+                    stage["grouped"] / stage["bthd"], 3)
+                log(f"attn A/B T={T}: grouped {stage['grouped']*1e3:.3f} "
+                    f"ms vs bthd {stage['bthd']*1e3:.3f} ms per call")
         print(json.dumps(result), flush=True)
     except _Skip:
         pass

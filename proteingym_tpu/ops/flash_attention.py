@@ -496,9 +496,43 @@ def _bthd_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
     o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
 
 
-# per-program f32 scores budget for the heads-mid kernel (all H heads
-# live in one program, so the q-block length adapts instead of G)
-_BTHD_SCORES_BUDGET = 3 << 20
+# Per-program VMEM budget for the heads-mid kernel (all H heads live in
+# one program, so the q-block length adapts instead of G). Unlike the
+# (B, H, T, D) kernel, a scores-only budget is NOT enough here: the
+# on-device failure mode (v5e, scoped-vmem limit 16 MB) was a 16.6 MB
+# allocation at bq=128, T=256, H=20, D=64 with only 5.2 MB of scores —
+# the full-T k/v blocks (double-buffered), their in-kernel swapaxes
+# copies and the f32 RoPE temporaries dominate. _bthd_block_q models the
+# whole working set, with a 1.25x factor for Mosaic tile padding
+# ((H, 64) trailing dims pad to (16k, 128) tiles), calibrated so the
+# model predicts ~16.6 MB at the measured OOM point. The target leaves
+# headroom for the CALLER's loop context too: the same kernel that
+# compiles standalone at bq=64 (T=256, H=20) hits 16.05 MB inside a
+# lax.scan body, where XLA stacks the surrounding fusion's buffers on
+# the same scoped allocation.
+_BTHD_VMEM_TARGET = 11 << 20
+
+
+def _bthd_block_q(t_pad: int, h: int, d: int, itemsize: int) -> int:
+    """Largest 32-multiple q-block length whose modeled per-program VMEM
+    stays under _BTHD_VMEM_TARGET; 0 when even bq=32 cannot fit (full-T
+    k/v residency alone exceeds the budget — long T needs the (B,H,T,D)
+    kernel or a streaming variant)."""
+    pad = 1.25
+    # resident regardless of bq: k+v blocks (x2 double-buffer), their
+    # swapaxes copies, and the f32 RoPE temp on k
+    fixed = (2 * t_pad * h * d * itemsize) * 2
+    fixed += 2 * t_pad * h * d * itemsize
+    fixed += t_pad * h * d * 4
+    # proportional to bq: q/out blocks (x2 double-buffer), q swap copy,
+    # f32 RoPE temp on q, f32 scores + exp, f32 output accumulator
+    per_bq = 2 * (h * d * itemsize) * 2
+    per_bq += h * d * itemsize + h * d * 4
+    per_bq += 2 * h * t_pad * 4
+    per_bq += h * d * 4
+    room = _BTHD_VMEM_TARGET / pad - fixed
+    bq = int(room // per_bq) // 32 * 32
+    return max(0, min(bq, t_pad))
 
 
 def grouped_mha_bthd(
@@ -517,7 +551,15 @@ def grouped_mha_bthd(
     (B, T, H, D) — the natural layout around the QKV/out projections —
     so no HBM transposes surround the kernel call. Per-head additive
     bias (ALiBi) is NOT supported here (those callers keep the
-    (B, H, T, D) kernel). Returns (B, T, H, D)."""
+    (B, H, T, D) kernel). Returns (B, T, H, D).
+
+    Measured on-device (v5e, ESM2-650M shapes, bench ``attn`` stage):
+    LOSES to transpose + ``grouped_mha`` — 4.49 vs 1.96 ms/call at
+    T=256, and the full-T all-heads k/v residency cannot fit scoped
+    VMEM at T=512 at all. The transposes this layout avoids are far
+    cheaper than its costs (tiny bq=32 q-blocks, (H, 64) trailing-dim
+    tile padding). Kept as a tested opt-in for re-measurement on other
+    TPU generations, not a production path."""
     b, t, h, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
@@ -540,7 +582,13 @@ def grouped_mha_bthd(
         seg = jnp.broadcast_to(seg[:, None, :], (b, 8, t_pad))
 
     if block_q is None:
-        bq = max(32, (_BTHD_SCORES_BUDGET // (h * t_pad * 4)) // 32 * 32)
+        bq = _bthd_block_q(t_pad, h, d, q.dtype.itemsize)
+        if bq == 0 and not interpret:
+            raise ValueError(
+                f"grouped_mha_bthd: full-T k/v residency for T={t} H={h} "
+                f"D={d} exceeds the scoped-VMEM budget; use mha/grouped_mha"
+            )
+        bq = max(32, bq)
     else:
         bq = block_q
     # keep bq a 32-multiple that divides t_pad (t_pad is a 128-multiple,
@@ -859,18 +907,22 @@ def mha_natural(q, k, v, key_mask=None, bias=None, causal=False,
     (B, T, H, D) — the free reshape of the QKV projection outputs.
 
     Default route: transpose to (B, H, T, D) around ``mha`` (XLA fuses
-    these into surrounding ops where it can). With ``PGYM_MHA_LAYOUT=
-    bthd`` on TPU (and no per-head bias, T <= BTHD_MAX_SEQ_LEN), the
-    heads-mid kernel consumes the natural layout directly and the four
-    per-layer HBM transposes around the custom call disappear — opt-in
-    pending the on-device A/B the bench's ``attn`` stage measures
-    (bench.py, keys ``attn_*``)."""
+    these into surrounding ops where it can). ``PGYM_MHA_LAYOUT=bthd``
+    on TPU (no per-head bias, T <= BTHD_MAX_SEQ_LEN, VMEM model fits)
+    routes to the heads-mid kernel instead — measured SLOWER (4.49 vs
+    1.96 ms/call at ESM2-650M T=256 on v5e; see grouped_mha_bthd's
+    docstring), so the default transpose route is the production path
+    and the env var exists only for re-measurement."""
     b, t, h, d = q.shape
     if (
         _HAVE_PALLAS and not _FORCE_XLA and bias is None
         and t <= BTHD_MAX_SEQ_LEN
         and os.environ.get("PGYM_MHA_LAYOUT") == "bthd"
         and jax.default_backend() == "tpu"
+        # the heads-mid kernel keeps full-T k/v (all heads) resident per
+        # program; when the working-set model says that cannot fit the
+        # scoped-VMEM limit, take the transpose path instead of raising
+        and _bthd_block_q(_round_up(t, 128), h, d, q.dtype.itemsize) > 0
     ):
         return grouped_mha_bthd(
             q, k, v, key_mask=key_mask, causal=causal, sm_scale=sm_scale,
