@@ -443,6 +443,7 @@ def measure_families(only: str = "all") -> None:
         result["weights_msa_shape"] = [N, L]
         result["weights_seconds"] = round(dt, 3)
         result["weights_pairs_per_sec"] = round(N * N / dt, 0)
+        result["weights_impl"] = "xla_blocked"  # measured 5.5x vs pallas
         log(f"weights kernel: {dt:.3f}s for {N}x{L}")
         print(json.dumps(result), flush=True)
     except _Skip:
@@ -759,8 +760,12 @@ def probe_backend() -> None:
     }), flush=True)
 
 
-FAMILIES = ["attn", "weights", "tranception", "msa_transformer", "eve",
-            "poet"]
+# cheapest-compile-first: on a cold XLA cache the big-model compiles
+# (Tranception-L 709M ~6 min through the tunnel) must not starve the
+# cheap families out of the total budget. Warm-cache runs land all six
+# either way.
+FAMILIES = ["attn", "weights", "eve", "msa_transformer", "poet",
+            "tranception"]
 
 
 def main():

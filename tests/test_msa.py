@@ -49,6 +49,43 @@ def test_weights_match_oracle(rng, theta):
     np.testing.assert_allclose(w, 1.0 / expected, atol=1e-9)
 
 
+def test_weights_pallas_parity(rng):
+    """Pallas kernel (interpret) == blocked-XLA path, exercising the
+    K-tiled accumulation (tile_k < K forces multi-step grid dim 2) and
+    zero-padded K columns. The untiled form OOMed scoped VMEM on v5e at
+    real alignment lengths (L=300 -> K=6000 -> 29 MB working set)."""
+    from proteingym_tpu.msa.weights import num_cluster_members_pallas
+
+    n, length = 48, 13  # K = 260: pads to 2 x tile_k=128 + remainder
+    seeds = rng.integers(1, 21, size=(4, length))
+    matrix = seeds[rng.integers(0, 4, size=n)]
+    noise = rng.random(size=(n, length)) < 0.2
+    matrix = np.where(noise, rng.integers(1, 21, size=(n, length)), matrix)
+    matrix[5] = 0  # all-gap row: weight 0, never a neighbor
+    matrix = matrix.astype(np.int8)
+
+    thr = 0.8
+    expected = np.asarray(num_cluster_members(matrix, thr, block=16))
+    got = np.asarray(
+        num_cluster_members_pallas(
+            matrix, thr, tile_i=16, tile_j=16, tile_k=128, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_weights_pallas_tile_k_model():
+    """The VMEM model keeps the modeled working set under the 16 MB
+    scoped limit at the bench shape that OOMed (N=16384, L=300)."""
+    from proteingym_tpu.msa.weights import _weights_tile_k
+
+    for k in (260, 6000, 20000, 40000):
+        tk = _weights_tile_k(k, 256, 512)
+        assert tk % 128 == 0 and tk >= 128
+        working = (256 + 512) * tk * 2 * 2 + 2 * 256 * 512 * 4
+        assert working <= 12 << 20, (k, tk, working)
+
+
 def test_weights_empty_sequence_gets_zero(rng):
     matrix = rng.integers(1, 21, size=(10, 12)).astype(np.int8)
     matrix[3] = 0  # all gaps
