@@ -63,8 +63,13 @@ TARGETS = {
 FALLBACKS = ["esm2_t33_650M", "esm2_t30_150M", "esm2_t6_8M"]
 # TOTAL wall budget for the whole bench (probe + core + families). Every
 # subprocess timeout is clamped to the remaining budget, so the worst
-# case is bounded by this one number regardless of stage count.
-BENCH_TOTAL = float(os.environ.get("PGYM_BENCH_TOTAL", 900))
+# case is bounded by this one number regardless of stage count. 1200 s:
+# a fully-warm-cache run measured 885 s wall but got cut before the last
+# two families; tunnel-side compile/executable-load time is noisy
+# (35-500 s for the same 650M program across same-day runs), and the
+# incremental last-JSON-wins printing means even an external kill at any
+# earlier point still leaves every landed stage on stdout.
+BENCH_TOTAL = float(os.environ.get("PGYM_BENCH_TOTAL", 1200))
 # tunnel-side compiles for the 650M graph have been observed anywhere from
 # 16s to 375s; give it headroom before falling back (steady-state is fast)
 PRESET_TIMEOUTS = {"esm2_t33_650M": 600.0}
@@ -239,8 +244,15 @@ def measure_core(preset: str) -> None:
     # mid-bench still captures it; the big long-seq compile goes last.
     try:
         _maybe_fault("production_mix")
+        # 6 lengths on a 64-multiple bucket ladder -> 5 distinct padded
+        # row shapes. The old 8-length/32-multiple mix compiled 22
+        # distinct 650M programs; on the tunneled backend even a
+        # PERSISTENT-CACHE HIT costs ~20-30 s per program (measured: 29
+        # hits, 555 s warmup — executable deserialize/upload dominates,
+        # not compilation), so program count is the only lever that
+        # keeps this stage inside the bench budget.
         prod_lengths = (
-            [72, 118, 220, 250, 393, 448, 709, 1500]
+            [72, 118, 250, 448, 709, 1500]
             if backend != "cpu" else [12, 17, 25, 41]
         )
         prod = [_synth_assay(n, 100 + i) for i, n in enumerate(prod_lengths)]
@@ -248,7 +260,7 @@ def measure_core(preset: str) -> None:
         def run_prod():
             scores = score_assays_packed(
                 apply_fn, params, prod, chunk=chunk,
-                super_chunks=8, pad_to_multiple=32,
+                super_chunks=8, pad_to_multiple=64,
             )
             return sum(len(s) for s in scores)
 

@@ -178,10 +178,23 @@ def packed_masked_marginal_tables(
         # more than chunk-1 padded rows — padding to K*chunk cost 27%
         # wasted compute on single-assay buckets
         n_pad = _round_up(n, chunk)
+        n_chunks = n_pad // chunk
+        # ...EXCEPT when the bucket is large enough that rounding the
+        # chunk count up to a full super-chunk multiple wastes <= 1/8 of
+        # the bucket: then one program shape (K = super_chunks) covers
+        # the whole bucket and the tail programs (K in {4, 2, 1}) never
+        # exist. Program COUNT is the dominant cost on cold caches and
+        # tunneled backends, where each distinct executable costs tens of
+        # seconds to compile or even to LOAD from the persistent cache
+        # (measured: 20-90 s/program for the 650M trunk), dwarfing the
+        # <=12.5% padded-row compute this trades away.
+        full = _round_up(n_chunks, super_chunks)
+        if full > n_chunks and (full - n_chunks) <= max(n_chunks // 8, 0):
+            n_chunks = full
+            n_pad = n_chunks * chunk
         if n_pad != n:
             pad_rows = np.zeros((n_pad - n, 4), np.int32)
             items = np.concatenate([items, pad_rows])
-        n_chunks = n_pad // chunk
         sids = items[:, 1].reshape(n_chunks, chunk)
         starts = items[:, 2].reshape(n_chunks, chunk)
         offs = items[:, 3].reshape(n_chunks, chunk)
@@ -379,6 +392,14 @@ def packed_segment_tables(
 
     n_rows = len(plan)
     n_rows_pad = _round_up(n_rows, chunk)
+    # collapse to one program shape (K = super_chunks) when the padding
+    # this costs is <= 1/8 of the sweep — program count dominates cold /
+    # tunneled-backend cost (see packed_masked_marginal_tables)
+    full_rows = _round_up(n_rows_pad // chunk, super_chunks) * chunk
+    if full_rows > n_rows_pad and (
+        full_rows - n_rows_pad <= max(n_rows_pad // 8, 0)
+    ):
+        n_rows_pad = full_rows
     sids = np.zeros((n_rows_pad, slots), np.int32)
     starts = np.zeros((n_rows_pad, slots), np.int32)
     begins = np.zeros((n_rows_pad, slots), np.int32)
