@@ -165,3 +165,32 @@ def test_packed_scoring_under_tp_mesh():
         )
     for e, g in zip(expected, got):
         np.testing.assert_allclose(g, e, atol=1e-4)
+
+
+def test_packed_super_chunk_collapse_boundaries():
+    """Tail collapse (pad n_chunks up to a super-chunk multiple when the
+    waste is <= 1/8) must not change results on either side of the
+    trigger: one bucket where the collapse fires (n_chunks % K == K-1 on
+    a large bucket) and one where the waste is too big (small bucket
+    keeps the K in {...,1} tail decomposition)."""
+    cfg, params, apply_fn = _mk_model()
+    # L=21 -> 23 tokens -> bucket 24 at pad 8; one masked row per position
+    # => 23 rows/assay, chunk=4.
+    # big: 10 assays x 23 = 230 rows -> 58 chunks; full = 60, waste 2 <=
+    # 58//8 = 7 -> COLLAPSE fires (one K=4 program, no tail).
+    # small: 23 rows -> 6 chunks; full = 8, waste 2 > 6//8 = 0 -> keeps
+    # the K in {4,2} tail decomposition.
+    seqs_big = [_synth(21, 100 + i)[0] for i in range(10)]   # 230 rows
+    seqs_small = [_synth(21, 200)[0]]                        # 23 rows
+    for seqs in (seqs_big, seqs_small):
+        toks = [ALPHABET.tokenize(s) for s in seqs]
+        packed = packed_masked_marginal_tables(
+            apply_fn, params, toks, chunk=4, super_chunks=4,
+            pad_to_multiple=8, window=40,
+        )
+        for t, tab in zip(toks, packed):
+            ref = np.asarray(masked_marginal_table(
+                apply_fn, t, chunk=4, params=params, pad_to_multiple=8,
+                window=40,
+            ))
+            np.testing.assert_allclose(tab, ref, atol=1e-5)
