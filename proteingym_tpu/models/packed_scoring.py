@@ -33,6 +33,7 @@ programs total.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict, defaultdict
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -51,6 +52,40 @@ _KERNEL_CACHE: "OrderedDict" = OrderedDict()
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _collapse_to_full_grid(n_chunks: int, super_chunks: int) -> bool:
+    """Should a bucket's chunk count be rounded up to a full
+    ``super_chunks`` multiple so the whole bucket runs as ONE program
+    shape (K = super_chunks) instead of a {K, K/2, ..., 1} tail cascade?
+
+    On accelerators: always. Each distinct (T_bucket, K) pair is its own
+    compiled executable, and on the tunneled TPU backend even a
+    persistent-cache HIT costs 20-90 s to deserialize/upload for the
+    650M trunk — while the padded-row compute the collapse trades away
+    is bounded by (super_chunks - 1) * chunk rows, ~0.2 s of device time
+    at T=128. The r4 slow-tunnel bench run timed out INSIDE the
+    production-mix warmup with the old relative rule (a 2-assay T=128
+    bucket cascaded into 3 extra program loads).
+
+    On CPU (tests, smoke runs): padded chunks cost real seconds and
+    compiles cost almost nothing, so collapse only when the waste is
+    <= 1/8 of the bucket (the original rule).
+
+    PGYM_PACKED_COLLAPSE={always,never,auto} overrides (contract tests
+    force both branches off-TPU).
+    """
+    full = _round_up(n_chunks, super_chunks)
+    if full == n_chunks:
+        return False
+    mode = os.environ.get("PGYM_PACKED_COLLAPSE", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    if jax.default_backend() != "cpu":
+        return True
+    return (full - n_chunks) <= n_chunks // 8
 
 
 def _packed_kernel(apply_fn: Callable, row_len: int):
@@ -179,18 +214,13 @@ def packed_masked_marginal_tables(
         # wasted compute on single-assay buckets
         n_pad = _round_up(n, chunk)
         n_chunks = n_pad // chunk
-        # ...EXCEPT when the bucket is large enough that rounding the
-        # chunk count up to a full super-chunk multiple wastes <= 1/8 of
-        # the bucket: then one program shape (K = super_chunks) covers
-        # the whole bucket and the tail programs (K in {4, 2, 1}) never
-        # exist. Program COUNT is the dominant cost on cold caches and
-        # tunneled backends, where each distinct executable costs tens of
-        # seconds to compile or even to LOAD from the persistent cache
-        # (measured: 20-90 s/program for the 650M trunk), dwarfing the
-        # <=12.5% padded-row compute this trades away.
-        full = _round_up(n_chunks, super_chunks)
-        if full > n_chunks and (full - n_chunks) <= max(n_chunks // 8, 0):
-            n_chunks = full
+        # ...EXCEPT when one program shape (K = super_chunks) should
+        # cover the whole bucket so the tail programs (K in {4, 2, 1})
+        # never exist — see _collapse_to_full_grid for the
+        # backend-dependent policy (program count dominates on
+        # accelerators, padded compute dominates on CPU).
+        if _collapse_to_full_grid(n_chunks, super_chunks):
+            n_chunks = _round_up(n_chunks, super_chunks)
             n_pad = n_chunks * chunk
         if n_pad != n:
             pad_rows = np.zeros((n_pad - n, 4), np.int32)
@@ -392,14 +422,11 @@ def packed_segment_tables(
 
     n_rows = len(plan)
     n_rows_pad = _round_up(n_rows, chunk)
-    # collapse to one program shape (K = super_chunks) when the padding
-    # this costs is <= 1/8 of the sweep — program count dominates cold /
-    # tunneled-backend cost (see packed_masked_marginal_tables)
-    full_rows = _round_up(n_rows_pad // chunk, super_chunks) * chunk
-    if full_rows > n_rows_pad and (
-        full_rows - n_rows_pad <= max(n_rows_pad // 8, 0)
-    ):
-        n_rows_pad = full_rows
+    # collapse to one program shape (K = super_chunks) per the
+    # backend-dependent policy (program count dominates cold /
+    # tunneled-backend cost — see _collapse_to_full_grid)
+    if _collapse_to_full_grid(n_rows_pad // chunk, super_chunks):
+        n_rows_pad = _round_up(n_rows_pad // chunk, super_chunks) * chunk
     sids = np.zeros((n_rows_pad, slots), np.int32)
     starts = np.zeros((n_rows_pad, slots), np.int32)
     begins = np.zeros((n_rows_pad, slots), np.int32)

@@ -194,3 +194,23 @@ def test_packed_super_chunk_collapse_boundaries():
                 window=40,
             ))
             np.testing.assert_allclose(tab, ref, atol=1e-5)
+
+
+def test_packed_collapse_always_policy(monkeypatch):
+    """PGYM_PACKED_COLLAPSE=always (the accelerator default: every bucket
+    rounds up to a full K=super_chunks grid, no tail programs) must
+    produce identical tables to the CPU-auto policy, including on a small
+    bucket where the relative rule would NOT collapse (6 chunks -> 8)."""
+    cfg, params, apply_fn = _mk_model()
+    toks = [ALPHABET.tokenize(_synth(21, 200)[0])]  # 23 rows -> 6 chunks
+    base = packed_masked_marginal_tables(
+        apply_fn, params, toks, chunk=4, super_chunks=4,
+        pad_to_multiple=8, window=40,
+    )
+    monkeypatch.setenv("PGYM_PACKED_COLLAPSE", "always")
+    collapsed = packed_masked_marginal_tables(
+        apply_fn, params, toks, chunk=4, super_chunks=4,
+        pad_to_multiple=8, window=40,
+    )
+    for b, c in zip(base, collapsed):
+        np.testing.assert_allclose(c, b, atol=1e-6)
