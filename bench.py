@@ -29,17 +29,21 @@ with a scalar fetch (block_until_ready does not synchronize through the
 tunnel).
 
 Robustness (v4, VERDICT r3 item 1b): the whole run observes a TOTAL wall
-budget (PGYM_BENCH_TOTAL, default 900s — r02 finished well inside that;
+budget (PGYM_BENCH_TOTAL, default 1200s — r02 finished well inside that;
 the r03 worst case of ~9200s is gone). Before anything heavy runs, a
 short-timeout subprocess probes backend health; a wedged TPU is detected
 once and the bench skips straight to a labeled CPU smoke instead of
 iterating 650M fallbacks against a dead chip. The core measurement runs
 in a watchdogged subprocess (process-group killed on timeout) and falls
-back 650M -> 150M -> 8M while budget remains; each family runs in its
-own watchdogged subprocess. The parent prints the merged JSON line the
-moment the core parses and again after every family, so a driver kill at
-ANY point still leaves the best-so-far numbers on stdout (the last JSON
-line wins). PGYM_BENCH_FAULT=<stage> injects a failure for the contract
+back 650M -> 150M -> 8M while budget remains; the families all run in
+ONE watchdogged subprocess (backend init through the tunnel costs
+20-120s, so per-family subprocesses burned the whole family budget on
+init alone in the r4 slow-tunnel run), with per-family retries only for
+families a timeout/crash cut off. The parent prints the merged JSON line
+the moment the core parses and again after the family batch, the
+families child prints incrementally after every stage, so a driver kill
+at ANY point still leaves the best-so-far numbers on stdout (the last
+JSON line wins). PGYM_BENCH_FAULT=<stage> injects a failure for the contract
 self-test (tests/test_bench_contract.py).
 """
 
@@ -74,7 +78,7 @@ BENCH_TOTAL = float(os.environ.get("PGYM_BENCH_TOTAL", 1200))
 # 16s to 375s; give it headroom before falling back (steady-state is fast)
 PRESET_TIMEOUTS = {"esm2_t33_650M": 600.0}
 DEFAULT_TIMEOUT = float(os.environ.get("PGYM_BENCH_TIMEOUT", 300))
-# PER-FAMILY watchdog (each family runs in its own subprocess)
+# PER-FAMILY watchdog (for the retry subprocesses after a cut-off batch)
 FAMILY_TIMEOUT = float(os.environ.get("PGYM_BENCH_FAMILY_TIMEOUT", 300))
 # health-probe subprocess: imports jax, runs one tiny matmul. TPU init
 # through the tunnel normally takes 20-40s; a wedged backend hangs >90s.
@@ -778,6 +782,12 @@ def probe_backend() -> None:
 # either way.
 FAMILIES = ["attn", "weights", "eve", "msa_transformer", "poet",
             "tranception"]
+# key prefix that proves a family's stage landed in the merged JSON
+FAMILY_MARKERS = {
+    "attn": "attn_", "weights": "weights_", "eve": "eve_",
+    "msa_transformer": "msa_transformer_", "poet": "poet_",
+    "tranception": "tranception_",
+}
 
 
 def main():
@@ -877,10 +887,37 @@ def main():
     print(json.dumps(core), flush=True)
 
     if os.environ.get("PGYM_BENCH_SKIP_FAMILIES") != "1":
-        # one watchdogged subprocess PER family: a stalled tunnel compile
-        # in one family cannot starve the rest (r2 run: MSA-T hung and
-        # EVE/PoET never executed)
-        for fam_name in FAMILIES:
+        # ALL families in ONE watchdogged subprocess: backend init through
+        # the tunnel costs 20-120 s, so six per-family subprocesses burn
+        # up to 12 minutes of pure init (the r4 slow-tunnel run exhausted
+        # its whole family budget on two subprocesses' init+compile).
+        # measure_families prints an updated JSON line after every stage,
+        # so a timeout kill still yields every completed family; families
+        # a TIMEOUT cut off (not ones that failed internally — those
+        # would fail again) are retried in per-family subprocesses while
+        # budget remains.
+        fam_budget = remaining() - 15
+        missing = list(FAMILIES)
+        if fam_budget >= 60:
+            fam, stderr, rc = _run_inner(["--families"], fam_budget, cpu_env)
+            if fam:
+                core.update(fam)
+                # updated merged line after the family batch (VERDICT r3 1b)
+                print(json.dumps(core), flush=True)
+            else:
+                print("[bench] families batch produced no JSON",
+                      file=sys.stderr)
+                print((stderr or "")[-2000:], file=sys.stderr)
+            missing = [f for f in FAMILIES
+                       if not any(k.startswith(FAMILY_MARKERS[f])
+                                  for k in core)]
+            if rc == 0:
+                # clean exit: anything missing failed inside its own
+                # stage guard and would fail again — don't burn budget.
+                # (timeout/crash exits leave later families unattempted,
+                # so those stay in the retry list)
+                missing = []
+        for fam_name in missing:
             budget = min(FAMILY_TIMEOUT, remaining() - 15)
             if budget < 60:
                 print(f"[bench] budget exhausted before family {fam_name}",
@@ -891,7 +928,6 @@ def main():
             )
             if fam:
                 core.update(fam)
-                # updated merged line after EVERY family (VERDICT r3 1b)
                 print(json.dumps(core), flush=True)
             else:
                 print(f"[bench] family {fam_name} produced no JSON",

@@ -86,6 +86,81 @@ def test_slow_probe_keeps_backend():
     assert final["value"] > 0
 
 
+def _load_bench_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _fake_run_inner(calls, batch_rc, batch_result, family_results):
+    def fake(args, timeout, extra_env=None):
+        calls.append(list(args))
+        if args[0] == "--probe":
+            return ({"probe_devices": 1, "probe_backend": "cpu",
+                     "probe_seconds": 1.0}, "", 0)
+        if args[0] == "--inner":
+            return ({"metric": "m", "value": 1.0, "unit": "u",
+                     "vs_baseline": None}, "", 0)
+        if args[0] == "--families":
+            return (dict(batch_result), "", batch_rc)
+        if args[0] == "--family":
+            return (dict(family_results.get(args[1], {})), "", 0)
+        raise AssertionError(f"unexpected args {args}")
+
+    return fake
+
+
+def test_family_batch_clean_exit_skips_retries(monkeypatch, capsys):
+    """A families batch that exits CLEANLY but with some families missing
+    (they failed inside their own stage guards) must NOT be retried —
+    retries are reserved for timeout/crash cut-offs."""
+    bench = _load_bench_module()
+    calls = []
+    monkeypatch.setattr(bench, "_run_inner", _fake_run_inner(
+        calls, 0, {"families_backend": "cpu", "weights_seconds": 0.1}, {},
+    ))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()
+             if x.strip().startswith("{")]
+    assert not [c for c in calls if c[0] == "--family"], calls
+    assert lines[-1]["weights_seconds"] == 0.1
+
+
+def test_family_batch_timeout_retries_only_missing(monkeypatch, capsys):
+    """A families batch cut off by its watchdog (rc=-1) retries exactly
+    the families whose markers are absent, and their results merge into
+    the final JSON line."""
+    bench = _load_bench_module()
+    calls = []
+    fam_results = {
+        "eve": {"eve_seq_samples_per_sec": 5.0},
+        "msa_transformer": {"msa_transformer_table_seconds": 0.2},
+        "poet": {"poet_mutants_per_sec": 3.0},
+        "tranception": {"tranception_mutants_per_sec": 4.0},
+    }
+    monkeypatch.setattr(bench, "_run_inner", _fake_run_inner(
+        calls, -1,
+        {"families_backend": "cpu", "attn_grouped_ms_t256": 1.0,
+         "weights_seconds": 0.1},
+        fam_results,
+    ))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()
+             if x.strip().startswith("{")]
+    retried = [c[1] for c in calls if c[0] == "--family"]
+    assert retried == ["eve", "msa_transformer", "poet", "tranception"]
+    final = lines[-1]
+    for d in fam_results.values():
+        for k, v in d.items():
+            assert final[k] == v
+    assert final["attn_grouped_ms_t256"] == 1.0
+
+
 def test_budget_too_small_still_prints_json():
     """With a budget too small for any measurement the bench must exit
     quickly with a labeled failure record, not hang or stay silent."""
