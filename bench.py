@@ -29,7 +29,7 @@ with a scalar fetch (block_until_ready does not synchronize through the
 tunnel).
 
 Robustness (v4, VERDICT r3 item 1b): the whole run observes a TOTAL wall
-budget (PGYM_BENCH_TOTAL, default 1200s — r02 finished well inside that;
+budget (PGYM_BENCH_TOTAL, default 1080s — r02 finished well inside that;
 the r03 worst case of ~9200s is gone). Before anything heavy runs, a
 short-timeout subprocess probes backend health; a wedged TPU is detected
 once and the bench skips straight to a labeled CPU smoke instead of
@@ -67,13 +67,16 @@ TARGETS = {
 FALLBACKS = ["esm2_t33_650M", "esm2_t30_150M", "esm2_t6_8M"]
 # TOTAL wall budget for the whole bench (probe + core + families). Every
 # subprocess timeout is clamped to the remaining budget, so the worst
-# case is bounded by this one number regardless of stage count. 1200 s:
-# a fully-warm-cache run measured 885 s wall but got cut before the last
-# two families; tunnel-side compile/executable-load time is noisy
-# (35-500 s for the same 650M program across same-day runs), and the
-# incremental last-JSON-wins printing means even an external kill at any
-# earlier point still leaves every landed stage on stdout.
-BENCH_TOTAL = float(os.environ.get("PGYM_BENCH_TOTAL", 1200))
+# case is bounded by this one number regardless of stage count. 1080 s:
+# a fully-warm-cache run measured 885 s wall; tunnel-side
+# compile/executable-load time is noisy (35-500 s for the same 650M
+# program across same-day runs). The driver's own kill window is unknown
+# (r03 died to it at an unknowable bound) — 1080 leaves a 10% margin
+# under a plausible 20-minute window so the bench EXITS CLEANLY instead
+# of racing the external kill, and the incremental last-JSON-wins
+# printing means even an external kill at any earlier point still leaves
+# every landed stage on stdout.
+BENCH_TOTAL = float(os.environ.get("PGYM_BENCH_TOTAL", 1080))
 # tunnel-side compiles for the 650M graph have been observed anywhere from
 # 16s to 375s; give it headroom before falling back (steady-state is fast)
 PRESET_TIMEOUTS = {"esm2_t33_650M": 600.0}
