@@ -899,7 +899,13 @@ def main():
         # a TIMEOUT cut off (not ones that failed internally — those
         # would fail again) are retried in per-family subprocesses while
         # budget remains.
-        fam_budget = remaining() - 15
+        # cap the batch at 75% of what's left: a single WEDGED family
+        # (the r2 MSA-T tunnel-compile hang) stalls the whole batch until
+        # this watchdog, and in-child alarms cannot interrupt a C-level
+        # compile stall — the reserve funds per-family retries of the
+        # families the kill cut off (what landed before the kill is kept
+        # either way via incremental printing)
+        fam_budget = min(remaining() - 15, max(0.75 * remaining(), 120))
         missing = list(FAMILIES)
         if fam_budget >= 60:
             fam, stderr, rc = _run_inner(["--families"], fam_budget, cpu_env)
