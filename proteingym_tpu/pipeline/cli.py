@@ -454,7 +454,7 @@ CONVERTERS = {
     "protein_mpnn", "progen2", "rita", "unirep", "eve", "protgpt2",
     "progen3", "esm_if1", "protssn", "esm3", "esm3_structure_encoder",
     "s3f", "prosst", "prosst_quantizer", "carp", "saprot", "mulan",
-    "vespag", "prot_t5",
+    "vespag", "prot_t5", "vespa_conscnn",
 }
 
 
@@ -637,6 +637,14 @@ def cmd_convert(args) -> int:
 
         params = m.convert_torch_state_dict(sd())
         config = m.VespagArchConfig(arch=params.pop("arch"))
+    elif fam == "vespa_conscnn":
+        # the vespa package's ProtT5 conservation CNN (prott5cons
+        # checkpoint); self-describing — the two Conv2d layers are found
+        # by key layout (models/vespa_heads.py)
+        from proteingym_tpu.models import vespa_heads as m
+
+        params = m.convert_conscnn_state_dict(sd())
+        config = None
     elif fam == "prot_t5":
         # HF T5EncoderModel state dict (Rostlab/prot_t5_xl_uniref50, the
         # VESPA trunk); self-describing — dims read from the weights

@@ -645,7 +645,47 @@ def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
     from proteingym_tpu.models import vespag as vespag_mod
 
     p5 = ctx.extra.get("prot_t5_checkpoint")
-    if str(ctx.extra.get("vespa_mode", "")) == "logodds":
+    mode = str(ctx.extra.get("vespa_mode", ""))
+    if mode in ("full", "light"):
+        # the published VESPA/VESPAl pipeline (Marquet et al. 2022):
+        # ConsCNN conservation probabilities + BLOSUM62 (+ masked
+        # log-odds in full mode) through a logistic SAV blend
+        # (models/vespa_heads.py). Damage probabilities are negated so
+        # the returned column keeps the higher-is-fitter direction.
+        from proteingym_tpu.models import prot_t5, vespa_heads
+        from proteingym_tpu.pipeline.checkpoints import restore_pytree
+
+        cc = ctx.extra.get("conscnn_checkpoint")
+        if not (p5 and cc):
+            raise ValueError(
+                "vespa_mode=full/light needs --extra prot_t5_checkpoint="
+                "<dir> and --extra conscnn_checkpoint=<dir from pgym "
+                "convert --family vespa_conscnn>"
+            )
+        params, config = _load_prot_t5(p5)
+        cnn = restore_pytree(Path(cc) / "params")
+        wt = ctx.record.target_seq
+        emb = np.asarray(prot_t5.embeddings(params, config, wt))
+        cons = np.asarray(vespa_heads.conservation_probs(cnn, emb))
+        logodds = None
+        if mode == "full":
+            tab = np.asarray(prot_t5.masked_logodds(params, config, wt))
+            cols = [prot_t5.AA_TOKEN_IDS[a] for a in vespa_heads.AA20]
+            logodds = tab[:, cols]
+        blend = None
+        bpath = ctx.extra.get("vespa_blend")
+        if bpath:
+            import json as _json
+
+            raw = _json.loads(Path(bpath).read_text())
+            blend = {"w": np.asarray(raw["w"], np.float32),
+                     "b": float(raw["b"])}
+        table = vespa_heads.vespa_table(wt, cons, logodds, blend)
+        scores = -vespa_heads.score_mutants(
+            table, wt, ctx.dms_frame["mutant"].tolist()
+        )
+        return _with_column(ctx, "VESPA_score", scores)
+    if mode == "logodds":
         if not p5:
             raise ValueError(
                 "vespa_mode=logodds needs --extra prot_t5_checkpoint="

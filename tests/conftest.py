@@ -114,6 +114,7 @@ _SLOW_NODE_PATTERNS = [
     "test_scorer_smoke[venusrem]",
     "test_scorer_smoke[carp]",
     "test_prot_t5.py",
+    "test_vespa_heads.py::test_vespa_full_scoring_mode",
 ]
 
 
