@@ -470,115 +470,6 @@ def measure_families(only: str = "all") -> None:
     except Exception as e:  # noqa: BLE001
         log(f"weights stage failed: {e!r}")
 
-    # ---- Tranception-L AR scoring with retrieval fusion ------------------
-    try:
-        if not wanted("tranception"):
-            raise _Skip
-        from proteingym_tpu.models import tranception as tr
-        from proteingym_tpu.models.trancepteve import (
-            RetrievalConfig, score_trancepteve,
-        )
-
-        config = (tr.TranceptionConfig("tr_smoke", 2, 128, 4) if tiny
-                  else tr.PRESETS["tranception_large"])
-        params = jax.jit(lambda k: tr.init_params(k, config))(
-            jax.random.PRNGKey(1))
-        jax.block_until_ready(params)
-        n_params = _param_count(params)
-        log(f"tranception params ready ({n_params / 1e6:.0f}M)")
-
-        L = 250
-        n_mut = 600 if not tiny else 40
-        seq, all_muts = _synth_assay(L, 20)
-        # random normalized retrieval prior over the full protein span —
-        # the fusion math (ref tranception model_pytorch.py:792-846) is
-        # exercised at production shape
-        prior = rs.randn(L, 25).astype(np.float32)
-        prior = prior - np.log(np.exp(prior).sum(-1, keepdims=True))
-        rcfg = RetrievalConfig(retrieval_type="Tranception",
-                               msa_start=0, msa_end=L)
-
-        def mutseqs(muts):
-            out = []
-            for m in muts:
-                p, a = int(m[1:-1]) - 1, m[-1]
-                out.append(seq[:p] + a + seq[p + 1:])
-            return out
-
-        def run_tr(muts):
-            return score_trancepteve(
-                params, config, muts, mutseqs(muts), seq,
-                rcfg=rcfg, msa_log_prior=prior, alpha=0.6,
-                batch_size=64,
-            )
-
-        sets = [all_muts[:n_mut], all_muts[n_mut:2 * n_mut]]
-        run_tr(sets[0])
-        log("tranception warmup done")
-        t0 = time.perf_counter()
-        for muts in sets:
-            run_tr(muts)
-        dt = (time.perf_counter() - t0) / 2
-        result["tranception_model"] = config.name
-        result["tranception_mutants_per_sec"] = round(n_mut / dt, 2)
-        # both directions, mutants + WT rows, L+1 scored tokens per row
-        flops = 2.0 * n_params * 2 * (n_mut + 1) * (L + 2)
-        if peak and not tiny:
-            result["tranception_mfu"] = round(flops / dt / peak, 4)
-        log(f"tranception steady: {dt:.2f}s for {n_mut} mutants")
-        print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
-    except Exception as e:  # noqa: BLE001
-        log(f"tranception stage failed: {e!r}")
-
-    # ---- MSA Transformer masked table ------------------------------------
-    try:
-        if not wanted("msa_transformer"):
-            raise _Skip
-        from proteingym_tpu.models import msa_transformer as mt
-
-        config = (mt.PRESETS["msa_tiny"] if tiny
-                  else mt.PRESETS["esm_msa1b_t12_100M"])
-        params = jax.jit(lambda k: mt.init_params(k, config))(
-            jax.random.PRNGKey(2))
-        jax.block_until_ready(params)
-        n_params = _param_count(params)
-        log(f"msa transformer params ready ({n_params / 1e6:.0f}M)")
-
-        L = 250 if not tiny else 40
-        nseq = 384 if not tiny else 16
-        seq, muts = _synth_assay(L, 30)
-        fam = []
-        for i in range(nseq + 64):
-            s = list(seq)
-            for p in rs.choice(L, max(2, L // 10), replace=False):
-                s[p] = AA[rs.randint(20)]
-            fam.append("".join(s))
-        weights = np.ones(len(fam))
-
-        def run_msa(seed):
-            return mt.score_assay_msa_transformer(
-                params, config, seq, muts[:64], fam, weights,
-                nseq=nseq, seeds=(seed,), chunk=2 if not tiny else 1,
-            )
-
-        run_msa(1)
-        log("msa transformer warmup done")
-        t0 = time.perf_counter()
-        run_msa(2)
-        dt = time.perf_counter() - t0
-        # the (L+2)-forward table amortizes over the full single-sub DMS
-        result["msa_transformer_model"] = config.name
-        result["msa_transformer_table_seconds"] = round(dt, 2)
-        result["msa_transformer_mutants_per_sec"] = round(19 * L / dt, 2)
-        log(f"msa transformer table: {dt:.2f}s")
-        print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
-    except Exception as e:  # noqa: BLE001
-        log(f"msa transformer stage failed: {e!r}")
-
     # ---- EVE: 20k-sample ELBO scoring + train step -----------------------
     try:
         if not wanted("eve"):
@@ -646,6 +537,53 @@ def measure_families(only: str = "all") -> None:
     except Exception as e:  # noqa: BLE001
         log(f"eve stage failed: {e!r}")
 
+    # ---- MSA Transformer masked table ------------------------------------
+    try:
+        if not wanted("msa_transformer"):
+            raise _Skip
+        from proteingym_tpu.models import msa_transformer as mt
+
+        config = (mt.PRESETS["msa_tiny"] if tiny
+                  else mt.PRESETS["esm_msa1b_t12_100M"])
+        params = jax.jit(lambda k: mt.init_params(k, config))(
+            jax.random.PRNGKey(2))
+        jax.block_until_ready(params)
+        n_params = _param_count(params)
+        log(f"msa transformer params ready ({n_params / 1e6:.0f}M)")
+
+        L = 250 if not tiny else 40
+        nseq = 384 if not tiny else 16
+        seq, muts = _synth_assay(L, 30)
+        fam = []
+        for i in range(nseq + 64):
+            s = list(seq)
+            for p in rs.choice(L, max(2, L // 10), replace=False):
+                s[p] = AA[rs.randint(20)]
+            fam.append("".join(s))
+        weights = np.ones(len(fam))
+
+        def run_msa(seed):
+            return mt.score_assay_msa_transformer(
+                params, config, seq, muts[:64], fam, weights,
+                nseq=nseq, seeds=(seed,), chunk=2 if not tiny else 1,
+            )
+
+        run_msa(1)
+        log("msa transformer warmup done")
+        t0 = time.perf_counter()
+        run_msa(2)
+        dt = time.perf_counter() - t0
+        # the (L+2)-forward table amortizes over the full single-sub DMS
+        result["msa_transformer_model"] = config.name
+        result["msa_transformer_table_seconds"] = round(dt, 2)
+        result["msa_transformer_mutants_per_sec"] = round(19 * L / dt, 2)
+        log(f"msa transformer table: {dt:.2f}s")
+        print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
+    except Exception as e:  # noqa: BLE001
+        log(f"msa transformer stage failed: {e!r}")
+
     # ---- PoET family-context scoring --------------------------------------
     try:
         if not wanted("poet"):
@@ -699,6 +637,68 @@ def measure_families(only: str = "all") -> None:
         pass
     except Exception as e:  # noqa: BLE001
         log(f"poet stage failed: {e!r}")
+
+    # ---- Tranception-L AR scoring with retrieval fusion ------------------
+    try:
+        if not wanted("tranception"):
+            raise _Skip
+        from proteingym_tpu.models import tranception as tr
+        from proteingym_tpu.models.trancepteve import (
+            RetrievalConfig, score_trancepteve,
+        )
+
+        config = (tr.TranceptionConfig("tr_smoke", 2, 128, 4) if tiny
+                  else tr.PRESETS["tranception_large"])
+        params = jax.jit(lambda k: tr.init_params(k, config))(
+            jax.random.PRNGKey(1))
+        jax.block_until_ready(params)
+        n_params = _param_count(params)
+        log(f"tranception params ready ({n_params / 1e6:.0f}M)")
+
+        L = 250
+        n_mut = 600 if not tiny else 40
+        seq, all_muts = _synth_assay(L, 20)
+        # random normalized retrieval prior over the full protein span —
+        # the fusion math (ref tranception model_pytorch.py:792-846) is
+        # exercised at production shape
+        prior = rs.randn(L, 25).astype(np.float32)
+        prior = prior - np.log(np.exp(prior).sum(-1, keepdims=True))
+        rcfg = RetrievalConfig(retrieval_type="Tranception",
+                               msa_start=0, msa_end=L)
+
+        def mutseqs(muts):
+            out = []
+            for m in muts:
+                p, a = int(m[1:-1]) - 1, m[-1]
+                out.append(seq[:p] + a + seq[p + 1:])
+            return out
+
+        def run_tr(muts):
+            return score_trancepteve(
+                params, config, muts, mutseqs(muts), seq,
+                rcfg=rcfg, msa_log_prior=prior, alpha=0.6,
+                batch_size=64,
+            )
+
+        sets = [all_muts[:n_mut], all_muts[n_mut:2 * n_mut]]
+        run_tr(sets[0])
+        log("tranception warmup done")
+        t0 = time.perf_counter()
+        for muts in sets:
+            run_tr(muts)
+        dt = (time.perf_counter() - t0) / 2
+        result["tranception_model"] = config.name
+        result["tranception_mutants_per_sec"] = round(n_mut / dt, 2)
+        # both directions, mutants + WT rows, L+1 scored tokens per row
+        flops = 2.0 * n_params * 2 * (n_mut + 1) * (L + 2)
+        if peak and not tiny:
+            result["tranception_mfu"] = round(flops / dt / peak, 4)
+        log(f"tranception steady: {dt:.2f}s for {n_mut} mutants")
+        print(json.dumps(result), flush=True)
+    except _Skip:
+        pass
+    except Exception as e:  # noqa: BLE001
+        log(f"tranception stage failed: {e!r}")
 
     # always leave a parseable line, even if every selected stage skipped
     print(json.dumps(result), flush=True)
