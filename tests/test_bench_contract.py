@@ -176,3 +176,33 @@ def test_budget_too_small_still_prints_json():
     assert "metric" in final and "unit" in final
     # 12s budget + probe-kill slack; far under the driver window
     assert wall < 90, f"budget not respected: {wall:.0f}s"
+
+
+def test_family_blocks_execute_in_cheapest_first_order():
+    """measure_families must run its stage blocks in the FAMILIES order
+    (cheapest compile first): a cold-tunnel budget cut then drops the
+    most expensive stage, not the cheap ones. Guards against a block
+    being moved/added without updating the declared order."""
+    import re
+
+    import bench
+
+    src = open(BENCH).read()
+    fn = src[src.index("def measure_families"):src.index(
+        "# Parent orchestration")]
+    markers = {
+        "attn": "attention-kernel A/B",
+        "weights": "MSA sequence-weights kernel",
+        "eve": "EVE: 20k-sample ELBO",
+        "msa_transformer": "MSA Transformer masked table",
+        "poet": "PoET family-context scoring",
+        "tranception": "Tranception-L AR scoring",
+    }
+    assert set(markers) == set(bench.FAMILIES)
+    textual = sorted(markers, key=lambda f: fn.index(markers[f]))
+    assert textual == bench.FAMILIES, (
+        f"stage blocks run as {textual}, FAMILIES declares {bench.FAMILIES}"
+    )
+    # every family's wanted() guard exists exactly once
+    for fam in bench.FAMILIES:
+        assert len(re.findall(rf'wanted\("{fam}"\)', fn)) == 1
