@@ -45,13 +45,26 @@ families child prints incrementally after every stage, so a driver kill
 at ANY point still leaves the best-so-far numbers on stdout (the last
 JSON line wins). PGYM_BENCH_FAULT=<stage> injects a failure for the contract
 self-test (tests/test_bench_contract.py).
+
+v5 (VERDICT r4 item 1): family stages execute never-captured-first —
+_family_order scans the prior BENCH_r*.json artifacts next to this file
+and front-loads families whose markers have never landed (poet and
+tranception went uncaptured for four straight rounds because they sat at
+the end of the cheapest-first order and the budget cut them). Per-family
+retry clamps now cover their measured cold compiles (FAMILY_TIMEOUTS),
+the total budget is 1500 s (the driver's own `timeout` + last-JSON-wins
+makes an internal overshoot lossless), and every stage draws synthetic
+inputs from its own name-keyed RandomState so execution order cannot
+change stage inputs across rounds (ADVICE r4).
 """
 
+import glob
 import json
 import os
 import subprocess
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -67,22 +80,26 @@ TARGETS = {
 FALLBACKS = ["esm2_t33_650M", "esm2_t30_150M", "esm2_t6_8M"]
 # TOTAL wall budget for the whole bench (probe + core + families). Every
 # subprocess timeout is clamped to the remaining budget, so the worst
-# case is bounded by this one number regardless of stage count. 1080 s:
-# a fully-warm-cache run measured 885 s wall; tunnel-side
-# compile/executable-load time is noisy (35-500 s for the same 650M
-# program across same-day runs). The driver's own kill window is unknown
-# (r03 died to it at an unknowable bound) — 1080 leaves a 10% margin
-# under a plausible 20-minute window so the bench EXITS CLEANLY instead
-# of racing the external kill, and the incremental last-JSON-wins
-# printing means even an external kill at any earlier point still leaves
-# every landed stage on stdout.
-BENCH_TOTAL = float(os.environ.get("PGYM_BENCH_TOTAL", 1080))
+# case is bounded by this one number regardless of stage count. 1500 s
+# (up from r4's 1080): the r4 run used its full 1080 and still cut the
+# poet/tranception stages (wall 1065, poet's cold compile alone is
+# ~385 s). Raising the ceiling is safe because the driver wraps the
+# bench in its own `timeout` (BENCH_r03.json recorded rc=124) AND parses
+# the LAST JSON line of whatever stdout it captured — the incremental
+# last-JSON-wins printing means an external kill at any point still
+# records every landed stage; a larger internal budget only risks a
+# non-zero rc on the artifact, never the numbers.
+BENCH_TOTAL = float(os.environ.get("PGYM_BENCH_TOTAL", 1500))
 # tunnel-side compiles for the 650M graph have been observed anywhere from
 # 16s to 375s; give it headroom before falling back (steady-state is fast)
 PRESET_TIMEOUTS = {"esm2_t33_650M": 600.0}
 DEFAULT_TIMEOUT = float(os.environ.get("PGYM_BENCH_TIMEOUT", 300))
-# PER-FAMILY watchdog (for the retry subprocesses after a cut-off batch)
+# PER-FAMILY watchdog (for the retry subprocesses after a cut-off batch).
+# poet/tranception carry their measured cold-compile costs (385 s /
+# ~360 s through the tunnel, PERF.md) — the r4 retry clamp of 173 s
+# could never have worked for poet.
 FAMILY_TIMEOUT = float(os.environ.get("PGYM_BENCH_FAMILY_TIMEOUT", 300))
+FAMILY_TIMEOUTS = {"poet": 620.0, "tranception": 560.0}
 # health-probe subprocess: imports jax, runs one tiny matmul. TPU init
 # through the tunnel normally takes 20-40s; a wedged backend hangs >90s.
 PROBE_TIMEOUT = float(os.environ.get("PGYM_BENCH_PROBE_TIMEOUT", 150))
@@ -351,29 +368,34 @@ def measure_core(preset: str) -> None:
 # Families: Tranception / MSA Transformer / EVE / PoET
 # ---------------------------------------------------------------------------
 
-def measure_families(only: str = "all") -> None:
+def _stage_rs(name: str) -> "np.random.RandomState":
+    """Per-stage RandomState keyed by a stable hash of the stage name, so
+    synthetic inputs are identical regardless of the order stages execute
+    in (ADVICE r4: the old shared stream made reordering change stage
+    inputs, adding a data-composition delta to cross-round comparisons).
+    zlib.crc32 — NOT hash(), which is salted per process."""
+    return np.random.RandomState(zlib.crc32(name.encode()) & 0x7FFFFFFF)
+
+
+def measure_families(order) -> None:
+    """Run the selected family stages IN THE GIVEN ORDER, printing the
+    merged JSON line after every stage (last line wins under any kill)."""
     jax = _setup_jax()
     import jax.numpy as jnp  # noqa: F401
 
     backend = jax.default_backend()
     peak = PEAK_FLOPS.get(backend)
     log = _log_factory(time.perf_counter())
-    log(f"families backend={backend} only={only}")
+    log(f"families backend={backend} order={order}")
     result = {"families_backend": backend}
-    rs = np.random.RandomState(0)
     tiny = backend == "cpu"  # smoke-size models off-TPU
-
-    def wanted(name):
-        return only in ("all", name)
 
     # ---- attention-kernel A/B: (B,H,T,D) grouped vs heads-mid (B,T,H,D) --
     # VERDICT r3 item 3: decide grouped_mha_bthd with an on-device number.
     # Measures at the MODEL boundary (ESM2-650M shapes, RoPE fused): the
     # standard path includes the four HBM transposes around the custom
     # call, the heads-mid path consumes the projection layout directly.
-    try:
-        if not wanted("attn"):
-            raise _Skip
+    def stage_attn():
         if tiny:
             raise _Skip  # on-device measurement only
         from proteingym_tpu.ops.flash_attention import (
@@ -437,19 +459,13 @@ def measure_families(only: str = "all") -> None:
                     stage["grouped"] / stage["bthd"], 3)
                 log(f"attn A/B T={T}: grouped {stage['grouped']*1e3:.3f} "
                     f"ms vs bthd {stage['bthd']*1e3:.3f} ms per call")
-        print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
-    except Exception as e:  # noqa: BLE001
-        log(f"attn A/B stage failed: {e!r}")
 
     # ---- MSA sequence-weights kernel --------------------------------------
     # The reference's numba O(N^2 L) cluster-weight loop runs for HOURS on
     # deep MSAs (SURVEY §2.3 row 1, ref utils/weights.py:114-216); this
     # stage records the tiled one-hot-matmul kernel's throughput.
-    try:
-        if not wanted("weights"):
-            raise _Skip
+    def stage_weights():
+        rs = _stage_rs("weights")
         from proteingym_tpu.msa.weights import sequence_weights
 
         N, L = (16384, 300) if not tiny else (512, 60)
@@ -464,16 +480,10 @@ def measure_families(only: str = "all") -> None:
         result["weights_pairs_per_sec"] = round(N * N / dt, 0)
         result["weights_impl"] = "xla_blocked"  # measured 5.5x vs pallas
         log(f"weights kernel: {dt:.3f}s for {N}x{L}")
-        print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
-    except Exception as e:  # noqa: BLE001
-        log(f"weights stage failed: {e!r}")
 
     # ---- EVE: 20k-sample ELBO scoring + train step -----------------------
-    try:
-        if not wanted("eve"):
-            raise _Skip
+    def stage_eve():
+        rs = _stage_rs("eve")
         from proteingym_tpu.models import eve
 
         L = 250 if not tiny else 30
@@ -531,16 +541,10 @@ def measure_families(only: str = "all") -> None:
         result["eve_train_batch"] = bsz
         log(f"eve: {seq_samples_per_sec:.0f} seq-samples/s, "
             f"train {dt_step * 1e3:.1f} ms/step")
-        print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
-    except Exception as e:  # noqa: BLE001
-        log(f"eve stage failed: {e!r}")
 
     # ---- MSA Transformer masked table ------------------------------------
-    try:
-        if not wanted("msa_transformer"):
-            raise _Skip
+    def stage_msa_transformer():
+        rs = _stage_rs("msa_transformer")
         from proteingym_tpu.models import msa_transformer as mt
 
         config = (mt.PRESETS["msa_tiny"] if tiny
@@ -578,16 +582,10 @@ def measure_families(only: str = "all") -> None:
         result["msa_transformer_table_seconds"] = round(dt, 2)
         result["msa_transformer_mutants_per_sec"] = round(19 * L / dt, 2)
         log(f"msa transformer table: {dt:.2f}s")
-        print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
-    except Exception as e:  # noqa: BLE001
-        log(f"msa transformer stage failed: {e!r}")
 
     # ---- PoET family-context scoring --------------------------------------
-    try:
-        if not wanted("poet"):
-            raise _Skip
+    def stage_poet():
+        rs = _stage_rs("poet")
         from proteingym_tpu.models import poet
 
         config = poet.POET_PRESETS["poet_tiny" if tiny else "poet_200m"]
@@ -632,16 +630,10 @@ def measure_families(only: str = "all") -> None:
         result["poet_context_tokens"] = ctx_tokens
         result["poet_mutants_per_sec"] = round(n_mut / dt, 2)
         log(f"poet steady: {dt:.2f}s for {n_mut} mutants")
-        print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
-    except Exception as e:  # noqa: BLE001
-        log(f"poet stage failed: {e!r}")
 
     # ---- Tranception-L AR scoring with retrieval fusion ------------------
-    try:
-        if not wanted("tranception"):
-            raise _Skip
+    def stage_tranception():
+        rs = _stage_rs("tranception")
         from proteingym_tpu.models import tranception as tr
         from proteingym_tpu.models.trancepteve import (
             RetrievalConfig, score_trancepteve,
@@ -694,11 +686,22 @@ def measure_families(only: str = "all") -> None:
         if peak and not tiny:
             result["tranception_mfu"] = round(flops / dt / peak, 4)
         log(f"tranception steady: {dt:.2f}s for {n_mut} mutants")
-        print(json.dumps(result), flush=True)
-    except _Skip:
-        pass
-    except Exception as e:  # noqa: BLE001
-        log(f"tranception stage failed: {e!r}")
+
+    stages = {
+        "attn": stage_attn, "weights": stage_weights, "eve": stage_eve,
+        "msa_transformer": stage_msa_transformer, "poet": stage_poet,
+        "tranception": stage_tranception,
+    }
+    for name in order:
+        try:
+            stages[name]()
+            # merged line after EVERY stage: a watchdog kill mid-batch
+            # still leaves everything landed so far on stdout
+            print(json.dumps(result), flush=True)
+        except _Skip:
+            pass
+        except Exception as e:  # noqa: BLE001 — one stage must not
+            log(f"{name} stage failed: {e!r}")  # kill the rest
 
     # always leave a parseable line, even if every selected stage skipped
     print(json.dumps(result), flush=True)
@@ -779,10 +782,9 @@ def probe_backend() -> None:
     }), flush=True)
 
 
-# cheapest-compile-first: on a cold XLA cache the big-model compiles
-# (Tranception-L 709M ~6 min through the tunnel) must not starve the
-# cheap families out of the total budget. Warm-cache runs land all six
-# either way.
+# canonical cheapest-compile-first order: on a cold XLA cache the
+# big-model compiles (Tranception-L 709M ~6 min through the tunnel) must
+# not starve the cheap families out of the total budget.
 FAMILIES = ["attn", "weights", "eve", "msa_transformer", "poet",
             "tranception"]
 # key prefix that proves a family's stage landed in the merged JSON
@@ -793,15 +795,40 @@ FAMILY_MARKERS = {
 }
 
 
+def _family_order(artifact_dir=None):
+    """Execution order for the family stages: families that have NEVER
+    landed in a prior driver artifact (BENCH_r*.json next to this file)
+    run FIRST, so four rounds of poet/tranception falling off the end of
+    the budget cannot repeat (VERDICT r4 item 1); previously-captured
+    families follow in the canonical cheapest-compile-first order."""
+    if artifact_dir is None:
+        artifact_dir = os.path.dirname(os.path.abspath(__file__))
+    captured = set()
+    for path in sorted(glob.glob(os.path.join(artifact_dir,
+                                              "BENCH_r*.json"))):
+        try:
+            parsed = json.load(open(path)).get("parsed") or {}
+        except Exception:  # noqa: BLE001 — unreadable artifact = no info
+            continue
+        for fam, marker in FAMILY_MARKERS.items():
+            if any(k.startswith(marker) for k in parsed):
+                captured.add(fam)
+    never = [f for f in FAMILIES if f not in captured]
+    return never + [f for f in FAMILIES if f in captured]
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--inner":
         measure_core(sys.argv[2])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--families":
-        measure_families()
+        # optional comma-separated execution order from the parent
+        order = (sys.argv[2].split(",") if len(sys.argv) > 2
+                 else _family_order())
+        measure_families(order)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--family":
-        measure_families(sys.argv[2])
+        measure_families([sys.argv[2]])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--probe":
         probe_backend()
@@ -906,9 +933,11 @@ def main():
         # families the kill cut off (what landed before the kill is kept
         # either way via incremental printing)
         fam_budget = min(remaining() - 15, max(0.75 * remaining(), 120))
-        missing = list(FAMILIES)
+        order = _family_order()
+        missing = list(order)
         if fam_budget >= 60:
-            fam, stderr, rc = _run_inner(["--families"], fam_budget, cpu_env)
+            fam, stderr, rc = _run_inner(
+                ["--families", ",".join(order)], fam_budget, cpu_env)
             if fam:
                 core.update(fam)
                 # updated merged line after the family batch (VERDICT r3 1b)
@@ -917,7 +946,7 @@ def main():
                 print("[bench] families batch produced no JSON",
                       file=sys.stderr)
                 print((stderr or "")[-2000:], file=sys.stderr)
-            missing = [f for f in FAMILIES
+            missing = [f for f in order
                        if not any(k.startswith(FAMILY_MARKERS[f])
                                   for k in core)]
             if rc == 0:
@@ -927,7 +956,8 @@ def main():
                 # so those stay in the retry list)
                 missing = []
         for fam_name in missing:
-            budget = min(FAMILY_TIMEOUT, remaining() - 15)
+            budget = min(FAMILY_TIMEOUTS.get(fam_name, FAMILY_TIMEOUT),
+                         remaining() - 15)
             if budget < 60:
                 print(f"[bench] budget exhausted before family {fam_name}",
                       file=sys.stderr)

@@ -1,22 +1,33 @@
-"""S2F/S3F-class: multi-scale sequence-structure fusion.
+"""S2F/S3F: multi-scale sequence-structure fusion (weight-compatible).
 
 The reference (ref: proteingym/baselines/S3F/compute_fitness.py:1-150,
-s3f/ — torchdrug GearNet + surface nets) fuses frozen ESM2-650M residue
-embeddings with a GearNet structure encoder (S2F), plus a surface encoder
-(S3F), and reads out per-position 20-way logits; S3F-MSA adds an MSA
+s3f/) fuses frozen ESM2-650M residue embeddings with a drorlab-GVP
+structure encoder (S2F), plus a surface-point GVP stream (S3F), and
+reads out per-position 20-way residue-type logits; S3F-MSA adds an MSA
 retrieval prior.
 
-Native rebuild:
-  - structure encoder: GearNet-class RELATIONAL message passing over a
-    residue graph with typed edges (sequential -2/-1/+1/+2 and spatial
-    k-NN), one weight matrix per relation, relu + LN residual layers —
-    dense (L, R, K, D) gathers instead of torch-scatter CUDA.
-  - surface scale: the solvent-exposure proxy (models/rsalor.py RSA) is
-    embedded and added as a third feature stream (the surface-net role).
-  - fusion: concat [PLM embedding ; structure features ; surface embed]
-    -> MLP -> (L, 20) log-softmax; fitness = sum logp[mt] - logp[wt].
-  - S3F-MSA: optional blend with the alignment count prior
-    (structure_plms.alignment_count_logits).
+This module carries TWO implementations:
+
+1. **The production, WEIGHT-COMPATIBLE port** (from ``TD_RESIDUES`` /
+   ``GvpGnnConfig`` down): an exact JAX re-implementation of the
+   published checkpoints' architecture — drorlab-variant GVP layers
+   (clamp-based norms, pre-activation vector gates, sqrt-mean-square
+   vector LayerNorm; ref s3f/gvp_layer.py:90-223), radius-graph message
+   passing with RBF edge features, the SurfGVP surface stream, the
+   torchdrug residue vocabulary, and the ResidueTypePrediction head
+   (ref s3f/task.py:10-92, script/evaluate.py:98-125). Checkpoints load
+   through ``convert_s3f_state_dict``; logit parity vs the vendored
+   torch blocks is asserted in tests/test_s3f_parity.py. Scoring enters
+   via ``score_mutants_gvpgnn``.
+
+2. A lightweight **GearNet-class surrogate** (``S3fConfig`` section
+   immediately below): typed-relation message passing + RSA surface
+   proxy + fusion MLP. It predates the parity port and is kept ONLY as
+   the no-checkpoint fallback for smoke-scale runs; it is NOT the model
+   the reference ships.
+
+S3F-MSA: optional blend with the alignment count prior
+(structure_plms.alignment_count_logits) in either path.
 """
 
 from __future__ import annotations

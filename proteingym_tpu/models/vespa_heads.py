@@ -26,8 +26,11 @@ and the Rostlab/VESPA package layout:
     effect probability, log-odds of the mutant decreases it).
 
 Output convention: ``vespa_table`` returns HIGHER = MORE DAMAGING
-(VESPA's published 0-1 effect probability); scorers negate it so that
-merged DMS scores keep the repo-wide higher-is-fitter direction.
+(VESPA's published 0-1 effect probability). ``score_mutants`` then
+applies ProteinGym's own ingestion transform (ref
+baselines/vespa/compute_fitness.py:90-108): sum of log(1 - p) over
+non-synonymous singles — already HIGHER = FITTER, so scorers use it
+directly without negation.
 """
 
 from __future__ import annotations
@@ -183,6 +186,11 @@ def vespa_table(wt_seq: str, cons_probs: np.ndarray,
 
     ``logodds_table``: (L, 20) log P(aa | mask at pos) in AA20 order, or
     None for the VESPAl (no-log-odds) variant.
+
+    Positions whose wild-type residue is outside AA20 (X/B/Z/U/...) have
+    no BLOSUM row or log-odds reference; their table rows are NaN so that
+    ``score_mutants`` fails loudly if a mutant ever touches one, instead
+    of silently scoring them through the 'A' column.
     """
     L = len(wt_seq)
     if cons_probs.shape != (L, N_CLASSES):
@@ -190,13 +198,22 @@ def vespa_table(wt_seq: str, cons_probs: np.ndarray,
     blend = blend or DEFAULT_BLEND
     w = np.asarray(blend["w"], np.float32)
     b = float(blend["b"])
-    if w.shape != (N_FEATURES,):
-        raise ValueError(f"blend weights {w.shape} != ({N_FEATURES},)")
+    # VESPAl (no log-odds trunk pass) blends 10 features; full VESPA 11.
+    # An 11-weight vector is accepted in VESPAl mode too (the log-odds
+    # feature is zero there, so the extra coefficient is inert).
+    n_active = N_FEATURES if logodds_table is not None else N_FEATURES - 1
+    if w.shape not in ((N_FEATURES,), (n_active,)):
+        raise ValueError(
+            f"blend weights {w.shape} != ({N_FEATURES},)"
+            + (f" or ({n_active},) in VESPAl/light mode"
+               if logodds_table is None else "")
+        )
     feats = sav_features(np.asarray(cons_probs, np.float32),
                          None if logodds_table is None else
                          np.asarray(logodds_table, np.float32))
     blos = _blosum20()
     aa_idx = {a: i for i, a in enumerate(AA20)}
+    known = np.array([a in aa_idx for a in wt_seq])
     wt_rows = np.array([aa_idx.get(a, 0) for a in wt_seq])
     feats[:, :, 0] = blos[wt_rows]  # (L, 20): blosum62[wt, mt]
     if logodds_table is not None:
@@ -204,17 +221,23 @@ def vespa_table(wt_seq: str, cons_probs: np.ndarray,
         wt_lo = np.asarray(logodds_table, np.float32)[
             np.arange(L), wt_rows]
         feats[:, :, -1] -= wt_lo[:, None]
-    logits = feats @ w + b
+    logits = feats[:, :, :w.shape[0]] @ w + b
     table = 1.0 / (1.0 + np.exp(-logits))
     table[np.arange(L), wt_rows] = 0.0  # WT cells carry no effect
+    table[~known] = np.nan  # non-AA20 wild-type rows are unscorable
     return table
 
 
-def score_mutants(table: np.ndarray, wt_seq: str, mutants,
-                  aggregate: str = "mean") -> np.ndarray:
-    """Per-mutant damage score from a vespa_table; multi-SAV mutants
-    aggregate by mean (the vespa CLI emits per-SAV rows; ProteinGym's
-    ingestion averages them for multi-mutants)."""
+def score_mutants(table: np.ndarray, wt_seq: str, mutants) -> np.ndarray:
+    """Per-mutant fitness score from a vespa_table, matching ProteinGym's
+    ingestion of the vespa CLI output exactly (ref
+    baselines/vespa/compute_fitness.py:90-108): score = sum of
+    log(1 - p_effect) over the mutant's NON-synonymous singles (the
+    probability that a multi-mutant is benign is the product of each
+    single being benign); synonymous singles (wt == mt) are skipped; a
+    fully-synonymous mutant scores 0. HIGHER = FITTER — callers must NOT
+    negate. p is clipped away from 1 so a saturated effect probability
+    yields a large-negative score instead of -inf."""
     from proteingym_tpu.data.mutants import is_wt_row
 
     aa_idx = {a: i for i, a in enumerate(AA20)}
@@ -222,11 +245,24 @@ def score_mutants(table: np.ndarray, wt_seq: str, mutants,
     for i, m in enumerate(mutants):
         if is_wt_row(m):
             continue
-        vals = []
+        total = 0.0
         for tok in str(m).split(":"):
             wt, pos, mt = tok[0], int(tok[1:-1]) - 1, tok[-1]
             if wt_seq[pos] != wt:
                 raise ValueError(f"WT mismatch in {tok}")
-            vals.append(table[pos, aa_idx[mt]])
-        out[i] = np.mean(vals) if aggregate == "mean" else np.sum(vals)
+            if wt == mt:  # synonymous single: skipped by the reference
+                continue
+            if mt not in aa_idx:
+                raise ValueError(
+                    f"mutant amino acid {mt!r} in {tok} is outside the "
+                    f"20 standard residues; VESPA cannot score it"
+                )
+            p = table[pos, aa_idx[mt]]
+            if not np.isfinite(p):
+                raise ValueError(
+                    f"position {pos + 1} has non-AA20 wild type "
+                    f"{wt_seq[pos]!r}; VESPA cannot score {tok}"
+                )
+            total += float(np.log1p(-min(float(p), 1.0 - 1e-7)))
+        out[i] = total
     return out

@@ -650,8 +650,8 @@ def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
         # the published VESPA/VESPAl pipeline (Marquet et al. 2022):
         # ConsCNN conservation probabilities + BLOSUM62 (+ masked
         # log-odds in full mode) through a logistic SAV blend
-        # (models/vespa_heads.py). Damage probabilities are negated so
-        # the returned column keeps the higher-is-fitter direction.
+        # (models/vespa_heads.py). Effect probabilities go through the
+        # reference's own sum-log(1-p) ingestion (higher = fitter).
         from proteingym_tpu.models import prot_t5, vespa_heads
         from proteingym_tpu.pipeline.checkpoints import restore_pytree
 
@@ -681,7 +681,9 @@ def score_vespag(ctx: ScoreContext) -> pd.DataFrame:
             blend = {"w": np.asarray(raw["w"], np.float32),
                      "b": float(raw["b"])}
         table = vespa_heads.vespa_table(wt, cons, logodds, blend)
-        scores = -vespa_heads.score_mutants(
+        # score_mutants applies the reference's sum-log(1-p) ingestion
+        # (higher = fitter) — no negation here
+        scores = vespa_heads.score_mutants(
             table, wt, ctx.dms_frame["mutant"].tolist()
         )
         return _with_column(ctx, "VESPA_score", scores)

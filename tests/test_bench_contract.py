@@ -132,8 +132,8 @@ def test_family_batch_clean_exit_skips_retries(monkeypatch, capsys):
 
 def test_family_batch_timeout_retries_only_missing(monkeypatch, capsys):
     """A families batch cut off by its watchdog (rc=-1) retries exactly
-    the families whose markers are absent, and their results merge into
-    the final JSON line."""
+    the families whose markers are absent, IN the declared execution
+    order, and their results merge into the final JSON line."""
     bench = _load_bench_module()
     calls = []
     fam_results = {
@@ -142,6 +142,9 @@ def test_family_batch_timeout_retries_only_missing(monkeypatch, capsys):
         "poet": {"poet_mutants_per_sec": 3.0},
         "tranception": {"tranception_mutants_per_sec": 4.0},
     }
+    order = ["poet", "tranception", "attn", "weights", "eve",
+             "msa_transformer"]
+    monkeypatch.setattr(bench, "_family_order", lambda *a, **k: list(order))
     monkeypatch.setattr(bench, "_run_inner", _fake_run_inner(
         calls, -1,
         {"families_backend": "cpu", "attn_grouped_ms_t256": 1.0,
@@ -152,8 +155,11 @@ def test_family_batch_timeout_retries_only_missing(monkeypatch, capsys):
     bench.main()
     lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()
              if x.strip().startswith("{")]
+    # the batch subprocess receives the full execution order
+    batch = [c for c in calls if c[0] == "--families"]
+    assert batch and batch[0][1] == ",".join(order)
     retried = [c[1] for c in calls if c[0] == "--family"]
-    assert retried == ["eve", "msa_transformer", "poet", "tranception"]
+    assert retried == ["poet", "tranception", "eve", "msa_transformer"]
     final = lines[-1]
     for d in fam_results.values():
         for k, v in d.items():
@@ -178,11 +184,49 @@ def test_budget_too_small_still_prints_json():
     assert wall < 90, f"budget not respected: {wall:.0f}s"
 
 
-def test_family_blocks_execute_in_cheapest_first_order():
-    """measure_families must run its stage blocks in the FAMILIES order
-    (cheapest compile first): a cold-tunnel budget cut then drops the
-    most expensive stage, not the cheap ones. Guards against a block
-    being moved/added without updating the declared order."""
+def test_family_order_prioritizes_never_captured(tmp_path):
+    """_family_order must put families that have NEVER landed in a prior
+    BENCH_r*.json artifact FIRST (VERDICT r4 item 1: poet/tranception
+    fell off the budget four rounds running), with captured families
+    following in the canonical cheapest-compile-first order."""
+    import bench
+
+    def art(name, keys):
+        (tmp_path / name).write_text(json.dumps(
+            {"parsed": {k: 1.0 for k in keys}}))
+
+    # r1 captured weights+eve, r2 captured attn+msa_transformer; poet and
+    # tranception have never landed
+    art("BENCH_r01.json", ["weights_seconds", "eve_train_ms_per_step"])
+    art("BENCH_r02.json", ["attn_grouped_ms_t256",
+                           "msa_transformer_table_seconds"])
+    order = bench._family_order(str(tmp_path))
+    assert order == ["poet", "tranception", "attn", "weights", "eve",
+                     "msa_transformer"]
+
+    # no artifacts at all -> canonical order, every family exactly once
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert bench._family_order(str(empty)) == bench.FAMILIES
+    assert sorted(order) == sorted(bench.FAMILIES)
+
+    # an unreadable artifact is ignored, not fatal
+    (tmp_path / "BENCH_r03.json").write_text("not json{")
+    assert bench._family_order(str(tmp_path)) == order
+
+    # the REAL repo artifacts must leave poet/tranception first until a
+    # driver run finally captures them (this assertion self-retires: once
+    # BENCH_r05 lands their keys, _family_order reverts them to the tail
+    # and the canonical-order branch above covers the logic)
+    repo_order = bench._family_order()
+    for fam in bench.FAMILIES:
+        assert fam in repo_order
+
+
+def test_family_stage_dispatch_is_complete():
+    """measure_families must have a stage function for every declared
+    family, dispatched from the order list (no stage may be orphaned by
+    a rename)."""
     import re
 
     import bench
@@ -190,19 +234,8 @@ def test_family_blocks_execute_in_cheapest_first_order():
     src = open(BENCH).read()
     fn = src[src.index("def measure_families"):src.index(
         "# Parent orchestration")]
-    markers = {
-        "attn": "attention-kernel A/B",
-        "weights": "MSA sequence-weights kernel",
-        "eve": "EVE: 20k-sample ELBO",
-        "msa_transformer": "MSA Transformer masked table",
-        "poet": "PoET family-context scoring",
-        "tranception": "Tranception-L AR scoring",
-    }
-    assert set(markers) == set(bench.FAMILIES)
-    textual = sorted(markers, key=lambda f: fn.index(markers[f]))
-    assert textual == bench.FAMILIES, (
-        f"stage blocks run as {textual}, FAMILIES declares {bench.FAMILIES}"
-    )
-    # every family's wanted() guard exists exactly once
     for fam in bench.FAMILIES:
-        assert len(re.findall(rf'wanted\("{fam}"\)', fn)) == 1
+        assert f"def stage_{fam}(" in fn, f"missing stage fn for {fam}"
+        assert re.search(rf'"{fam}": stage_{fam}', fn), (
+            f"stage_{fam} not wired into the dispatch dict"
+        )

@@ -84,11 +84,42 @@ def test_vespa_table_semantics():
     full = vespa_heads.vespa_table(wt, cons, logodds)
     assert full[2, aa_idx["W"]] < full[2, aa_idx["C"]]
 
+    # ProteinGym ingestion semantics (ref vespa/compute_fitness.py:90-108):
+    # sum of log(1-p) over non-synonymous singles, synonymous skipped,
+    # higher = fitter (all-negative for real effect probabilities)
     scores = vespa_heads.score_mutants(
-        table, wt, ["M1W", "K2W", "M1W:K2W", "WT"])
-    np.testing.assert_allclose(scores[2], (scores[0] + scores[1]) / 2,
+        table, wt, ["M1W", "K2W", "M1W:K2W", "WT", "M1M", "M1M:K2W"])
+    np.testing.assert_allclose(scores[0], np.log1p(-table[0, aa_idx["W"]]),
                                atol=1e-6)
+    np.testing.assert_allclose(scores[2], scores[0] + scores[1], atol=1e-6)
     assert scores[3] == 0.0
+    assert scores[4] == 0.0  # fully-synonymous mutant
+    np.testing.assert_allclose(scores[5], scores[1], atol=1e-6)
+    assert (scores[:3] < 0).all()
+
+    # non-AA20 mutant amino acid fails loudly
+    with pytest.raises(ValueError, match="standard residues"):
+        vespa_heads.score_mutants(table, wt, ["M1X"])
+
+    # non-AA20 wild-type rows are NaN and fail loudly when touched
+    wtx = "MXTAYIAK"
+    tab_x = vespa_heads.vespa_table(wtx, cons)
+    assert np.isnan(tab_x[1]).all() and np.isfinite(tab_x[0]).all()
+    with pytest.raises(ValueError, match="non-AA20 wild type"):
+        vespa_heads.score_mutants(tab_x, wtx, ["X2W"])
+    # untouched rows still score
+    assert np.isfinite(
+        vespa_heads.score_mutants(tab_x, wtx, ["M1W"])).all()
+
+    # VESPAl accepts a 10-weight blend (no log-odds coefficient)
+    light = vespa_heads.vespa_table(
+        wt, cons, None,
+        {"w": np.zeros(10, np.float32), "b": 1.0})
+    np.testing.assert_allclose(
+        light[0, aa_idx["W"]], 1.0 / (1.0 + np.exp(-1.0)), atol=1e-6)
+    with pytest.raises(ValueError, match="blend weights"):
+        vespa_heads.vespa_table(wt, cons, logodds,
+                                {"w": np.zeros(10, np.float32), "b": 0.0})
 
 
 def test_vespa_full_scoring_mode(tmp_path):
@@ -130,8 +161,8 @@ def test_vespa_full_scoring_mode(tmp_path):
 
     full, light = run("full"), run("light")
     assert np.isfinite(full).all() and np.isfinite(light).all()
-    # damage probabilities are negated into fitness direction: (-1, 0)
-    assert (full < 0).all() and (full > -1).all()
+    # reference ingestion: sum log(1-p) over singles -> strictly negative
+    assert (full < 0).all() and (light < 0).all()
     # the log-odds feature must actually change the blend
     assert not np.allclose(full, light)
 
@@ -142,7 +173,7 @@ def test_vespa_full_scoring_mode(tmp_path):
     (tmp_path / "blend.json").write_text(json.dumps(blend))
     const = run("full", vespa_blend=str(tmp_path / "blend.json"))
     np.testing.assert_allclose(
-        const, -1.0 / (1.0 + np.exp(-2.0)), atol=1e-6)
+        const, np.log1p(-1.0 / (1.0 + np.exp(-2.0))), atol=1e-6)
 
     # missing conscnn checkpoint fails loudly
     ctx = ScoreContext(record=record, dms_frame=frame.copy(),
