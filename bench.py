@@ -497,11 +497,15 @@ def measure_families(order) -> None:
         n_params = _param_count(params)
         log(f"eve params ready ({n_params / 1e6:.0f}M)")
 
-        # scoring throughput: measure (sequences x samples)/sec on a
-        # steady batch, report mutants/sec at the reference's 20k samples
-        # (ref VAE_model.py:466-481)
-        n_seqs = 16 if not tiny else 4
-        n_samples = 512 if not tiny else 32
+        # scoring throughput at PRODUCTION batch: all mutants of an assay
+        # score together against each decoder weight draw (the
+        # reference's own batching, VAE_model.py:470-477 — VERDICT r4
+        # item 3: the per-draw Bayesian weight sampling is a fixed cost,
+        # so mutant-axis batching is free parallelism). 2048 mutants is
+        # a TPU-sized batch (reference CLI default is 256); mutants/sec
+        # at the reference's 20k-sample protocol is batch-rate / 20k.
+        n_seqs = 2048 if not tiny else 8
+        n_samples = 256 if not tiny else 16
         batches = [
             np.eye(20, dtype=np.float32)[rs.randint(0, 20, (n_seqs, L))]
             for _ in range(3)
@@ -516,6 +520,7 @@ def measure_families(order) -> None:
         dt = (time.perf_counter() - t0) / 2
         seq_samples_per_sec = n_seqs * n_samples / dt
         result["eve_seq_samples_per_sec"] = round(seq_samples_per_sec, 1)
+        result["eve_scoring_batch"] = n_seqs
         result["eve_mutants_per_sec_at_20k_samples"] = round(
             seq_samples_per_sec / 20_000, 3
         )
@@ -566,10 +571,17 @@ def measure_families(order) -> None:
             fam.append("".join(s))
         weights = np.ones(len(fam))
 
+        # k=8 multi-column masking (VERDICT r4 item 4): 8 max-stride
+        # first-row columns masked per forward, each column's own logits
+        # read — (L+2)/8 forwards per table; parity vs the k=1 reference
+        # protocol is asserted in tests/test_msa_transformer.py
+        k_cols = 8 if not tiny else 2
+
         def run_msa(seed):
             return mt.score_assay_msa_transformer(
                 params, config, seq, muts[:64], fam, weights,
                 nseq=nseq, seeds=(seed,), chunk=2 if not tiny else 1,
+                cols_per_forward=k_cols,
             )
 
         run_msa(1)
@@ -577,11 +589,12 @@ def measure_families(order) -> None:
         t0 = time.perf_counter()
         run_msa(2)
         dt = time.perf_counter() - t0
-        # the (L+2)-forward table amortizes over the full single-sub DMS
+        # the table amortizes over the full single-sub DMS
         result["msa_transformer_model"] = config.name
+        result["msa_transformer_cols_per_forward"] = k_cols
         result["msa_transformer_table_seconds"] = round(dt, 2)
         result["msa_transformer_mutants_per_sec"] = round(19 * L / dt, 2)
-        log(f"msa transformer table: {dt:.2f}s")
+        log(f"msa transformer table: {dt:.2f}s (k={k_cols})")
 
     # ---- PoET family-context scoring --------------------------------------
     def stage_poet():

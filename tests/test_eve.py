@@ -69,6 +69,27 @@ def test_elbo_finite_and_kld_positive(tiny_params):
     assert float(kld_decoder_params(tiny_params, TINY)) >= 0
 
 
+def test_mean_elbos_matches_per_draw_elbo_components(tiny_params):
+    """The hoisted-encoder scoring path (encode + latent KL once per
+    batch, only z-noise + decoder draws inside the sample loop) must
+    reproduce the naive mean of per-draw elbo_components on the SAME key
+    stream — the VERDICT r4 item-3 speedup is a refactor, not a
+    semantics change (ref VAE_model.py:470-477 re-encodes every draw)."""
+    from proteingym_tpu.models.eve import mean_elbos
+
+    rs = np.random.RandomState(3)
+    x = np.eye(20, dtype=np.float32)[rs.randint(0, 20, (5, 12))]
+    num_samples, chunk, seed = 6, 2, 7
+    got = mean_elbos(tiny_params, TINY, x, num_samples=num_samples,
+                     chunk=chunk, seed=seed)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+    naive = np.mean(
+        [np.asarray(elbo_components(tiny_params, TINY, jnp.asarray(x), k)[0])
+         for k in keys], axis=0)
+    np.testing.assert_allclose(got, naive, rtol=1e-5, atol=1e-5)
+
+
 def test_kld_latent_zero_for_standard_normal():
     mu = jnp.zeros((2, 8))
     logvar = jnp.zeros((2, 8))
