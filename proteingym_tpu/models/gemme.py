@@ -325,3 +325,49 @@ def score_mutants(
                 raise ValueError(f"WT mismatch in {tok}")
             out[i] += table[pos, aa_idx[mt]] - table[pos, aa_idx[wt]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# ESCOTT: exact reference ingestion recipe
+# (ref escott/compute_fitness.py — the predictor itself runs in the
+# authors' Docker image; the importable pure-Python pieces are the MSA
+# sanitization and the landscape->per-mutant score extraction, both
+# replicated verbatim here and parity-tested against the imported
+# reference functions in tests/test_reference_recipe_parity.py)
+# ---------------------------------------------------------------------------
+
+ESCOTT_AA_VOCAB = "ACDEFGHIKLMNPQRSTVWY"
+_ESCOTT_AA2IDX = {a: i for i, a in enumerate(ESCOTT_AA_VOCAB)}
+
+
+def escott_extract_scores(predictions: np.ndarray, mutants: Sequence[str],
+                          offset: int) -> list:
+    """Per-mutant scores from a full (L, 20) mutational landscape —
+    verbatim reference extraction (ref escott/compute_fitness.py:92-101,
+    extract_scores): RAW landscape entries summed over sub-mutants (the
+    evolCombi landscape is already a delta-vs-WT surface, so no WT
+    subtraction), positions shifted by the first PDB chunk's start."""
+    scores = []
+    for mut in mutants:
+        score = 0
+        for m in str(mut).split(":"):
+            pos, mut_aa = int(m[1:-1]) - offset, m[-1]
+            score += predictions[pos, _ESCOTT_AA2IDX[mut_aa]]
+        scores.append(score)
+    return scores
+
+
+def escott_parse_alignment(lines: Sequence[str]) -> dict:
+    """FASTA-alignment sanitization exactly as the reference feeds ESCOTT
+    (ref escott/compute_fitness.py:75-88, parse_alignment): header '_'
+    and '.' characters dropped (they break ESCOTT), sequence lines
+    uppercased with '.' gaps rewritten to '-'."""
+    seqs: dict = {}
+    seq_id = None
+    for line in lines:
+        if line[:1] == ">":
+            seq_id = line[1:].strip().replace("_", "").replace(".", "")
+            seqs[seq_id] = ""
+        else:
+            seqs[seq_id] += line.strip().upper().replace(".", "-")
+    return seqs

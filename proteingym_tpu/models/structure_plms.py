@@ -356,49 +356,122 @@ def aido_apply(params, c: AidoConfig, tokens: jnp.ndarray) -> jnp.ndarray:
                    preferred_element_type=jnp.float32)
 
 
+def aido_sliding_starts(seq_len: int, window: int = 768,
+                        step_size: int = 768) -> list:
+    """Window starts exactly as the reference's sliding loop (ref AIDO
+    utils/misc.py get_logits_table_sliding:298-306): non-overlapping
+    steps; when a step would overrun (strict >) AND the sequence is
+    longer than the window, the LAST window snaps to the sequence end.
+    Parity-asserted against the imported reference loop in
+    tests/test_reference_recipe_parity.py."""
+    starts = []
+    is_last = False
+    for f_start in range(0, seq_len, step_size):
+        if is_last:
+            break
+        if f_start + window > seq_len and seq_len > window:
+            f_start = seq_len - window
+            is_last = True
+        starts.append(f_start)
+    return starts
+
+
+def aido_logits_table_sliding(
+    logits_fn,
+    res_tokens: np.ndarray,
+    vocab_size: int,
+    mask_id: int,
+    window: int = 768,
+    step_size: int = 768,
+    chunk: int = 8,
+    positions=None,
+) -> np.ndarray:
+    """(T, V) masked-logits table in RESIDUE coordinates — the exact
+    reference recipe (ref AIDO utils/misc.py
+    get_logits_table_sliding:276-345): per sliding window, each selected
+    position is masked (one grid per position, ``chunk`` grids batched
+    per call) and its own raw logits recorded; positions covered by
+    several windows (the snapped last window overlaps) AVERAGE their
+    logits. ``logits_fn`` takes (B, W) int32 masked windows and returns
+    (B, W, V) logits; ``positions`` defaults to every residue (the
+    reference tables only the mutated positions — identical values,
+    more rows here)."""
+    res_tokens = np.asarray(res_tokens, np.int32)
+    T = len(res_tokens)
+    positions = sorted(range(T) if positions is None else set(positions))
+    table = np.zeros((T, vocab_size), np.float64)
+    counts = np.zeros(T, np.int64)
+    for f_start in aido_sliding_starts(T, window, step_size):
+        f_end = min(f_start + window, T)
+        win = res_tokens[f_start:f_end]
+        pos_in = [p for p in positions if f_start <= p < f_end]
+        for blk in range(0, len(pos_in), chunk):
+            idx = pos_in[blk:blk + chunk]
+            grids = np.tile(win, (chunk, 1))
+            for bi, p in enumerate(idx):
+                grids[bi, p - f_start] = mask_id
+            logits = np.asarray(logits_fn(grids))
+            for bi, p in enumerate(idx):
+                table[p] += logits[bi, p - f_start]
+                counts[p] += 1
+    return table / np.maximum(counts, 1)[:, None]
+
+
+def aido_scores_from_table(
+    sequence: str,
+    table: np.ndarray,
+    mutants: Sequence[str],
+    aa_to_idx,
+    start: int = 1,
+    temp_mt: float = 1.0,
+    temp_wt: float = 1.5,
+) -> np.ndarray:
+    """Exact reference score assembly (ref AIDO utils/misc.py
+    get_scores_from_table:347-382): the MEANED logits table goes through
+    log-softmax at TWO temperatures, score = sum over sub-mutants of
+    table_mt[pos, mt] - table_wt[pos, wt]. ``table`` rows are residue
+    coordinates; ``start`` is the 1-based offset of the first residue."""
+
+    def log_softmax(z, temp):
+        z = np.asarray(z, np.float64) / temp
+        z = z - z.max(-1, keepdims=True)
+        return z - np.log(np.exp(z).sum(-1, keepdims=True))
+
+    table_mt = log_softmax(table, temp_mt)
+    table_wt = log_softmax(table, temp_wt)
+    out = np.zeros(len(mutants))
+    for i, m in enumerate(mutants):
+        for tok in str(m).split(":"):
+            wt, pos, mt = tok[0], int(tok[1:-1]) - start, tok[-1]
+            if sequence[pos] != wt:
+                raise ValueError(f"WT mismatch in {tok}")
+            out[i] += table_mt[pos, aa_to_idx[mt]] - table_wt[pos, aa_to_idx[wt]]
+    return out
+
+
 def _aido_raw_logits_table(params, c: AidoConfig, tokens: np.ndarray,
                            chunk: int, window: int) -> np.ndarray:
-    """Raw masked-position logits, scored per 768-token sliding window like
-    the reference (ref AIDO utils/misc.py get_logits_table_sliding:299-345:
-    non-overlapping steps plus a final window snapped to the sequence end;
-    positions covered by several windows average their logits)."""
+    """Residue-coordinate masked-logits table over the native MoE trunk:
+    the reference recipe (aido_logits_table_sliding) with a jitted
+    logits_fn that adds CLS/EOS around each residue window on device."""
     from proteingym_tpu.models.ar_scoring import stable_params_fn
     from proteingym_tpu.models import esm2
     from proteingym_tpu.models.esm_scoring import _cached_jit
 
-    mask_idx = esm2.ALPHABET.mask_idx
-    step = _cached_jit(
-        stable_params_fn(aido_apply, c), "step_build_logits_params"
-    )
-    T = len(tokens)
-    V = c.alphabet_size
-    table = np.zeros((T, V), np.float64)
-    counts = np.zeros(T, np.int64)
+    al = esm2.ALPHABET
+    step = _cached_jit(stable_params_fn(aido_apply, c), "fwd_params")
 
-    starts = []
-    s = 0
-    while True:
-        if s + window >= T:
-            starts.append(max(0, T - window))
-            break
-        starts.append(s)
-        s += window
-    mask_val = jnp.asarray(mask_idx, np.int32)
-    for f_start in starts:
-        f_end = min(f_start + window, T)
-        base = jnp.asarray(tokens[f_start:f_end])
-        W = f_end - f_start
-        for blk in range(0, W, chunk):
-            idx = np.arange(blk, min(blk + chunk, W))
-            offs = np.zeros(chunk, np.int32)
-            offs[: len(idx)] = idx
-            logits = np.asarray(
-                step(params, base, jnp.asarray(offs), mask_val)
-            )
-            for bi, p in enumerate(idx):
-                table[f_start + p] += logits[bi]
-                counts[f_start + p] += 1
-    return table / np.maximum(counts, 1)[:, None]
+    def logits_fn(grids: np.ndarray) -> np.ndarray:
+        b, w = grids.shape
+        full = np.full((b, w + 2), al.eos_idx, np.int32)
+        full[:, 0] = al.cls_idx
+        full[:, 1:-1] = grids
+        return np.asarray(step(params, jnp.asarray(full)))[:, 1:-1]
+
+    return aido_logits_table_sliding(
+        logits_fn, tokens, c.alphabet_size, al.mask_idx,
+        window=window, chunk=chunk,
+    )
 
 
 def aido_score_assay(
@@ -414,41 +487,29 @@ def aido_score_assay(
     temp_mt: float = 1.0,
     temp_wt: float = 1.5,
 ) -> np.ndarray:
-    """Masked marginals with the reference's asymmetric-temperature scoring
-    — score = log_softmax(logits/temp_mt)[mt] -
-    log_softmax(logits/temp_wt)[wt] (ref AIDO utils/misc.py
-    get_scores_from_table:347-382, temp_wt=1.5 at compute_fitness.py:96) —
-    plus the MSA count-prior fusion standing in for the 16B model's
-    in-context MSA retrieval."""
+    """The reference's sliding-table recipe + asymmetric-temperature
+    scoring — table rows averaged per 768-residue sliding window
+    (aido_logits_table_sliding, ref AIDO utils/misc.py:276-345), score =
+    log_softmax(logits/temp_mt)[mt] - log_softmax(logits/temp_wt)[wt]
+    (aido_scores_from_table, ref :347-382, temp_wt=1.5 at
+    compute_fitness.py:96) — plus the MSA count-prior fusion standing in
+    for the 16B model's in-context MSA retrieval."""
     from proteingym_tpu.models import esm2
 
-    tokens = esm2.ALPHABET.tokenize(sequence)
-    table = _aido_raw_logits_table(params, c, tokens, chunk, window)
+    res_tokens = np.asarray(
+        [esm2.ALPHABET.get_idx(a) for a in sequence], np.int32)
+    table = _aido_raw_logits_table(params, c, res_tokens, chunk, window)
     if msa_sequences:
         L = len(sequence)
         aa_cols = np.asarray([esm2.ALPHABET.get_idx(a) for a in AA20])
-        rows = np.arange(1, 1 + L)
+        rows = np.arange(L)
         prior = alignment_count_logits(msa_sequences, msa_weights)
         table[np.ix_(rows, aa_cols)] = (
             (1 - retrieval_alpha) * table[np.ix_(rows, aa_cols)]
             + retrieval_alpha * prior
         )
-
-    def log_softmax(z, temp):
-        z = z / temp
-        z = z - z.max(-1, keepdims=True)
-        return z - np.log(np.exp(z).sum(-1, keepdims=True))
-
-    table_mt = log_softmax(table, temp_mt)
-    table_wt = log_softmax(table, temp_wt)
-    out = np.zeros(len(mutants))
-    for i, m in enumerate(mutants):
-        for tok in m.split(":"):
-            wt, pos, mt = tok[0], int(tok[1:-1]) - 1, tok[-1]
-            if sequence[pos] != wt:
-                raise ValueError(f"WT mismatch in {tok}")
-            out[i] += (
-                table_mt[pos + 1, esm2.ALPHABET.get_idx(mt)]
-                - table_wt[pos + 1, esm2.ALPHABET.get_idx(wt)]
-            )
-    return out
+    aa_to_idx = {a: esm2.ALPHABET.get_idx(a) for a in AA20}
+    return aido_scores_from_table(
+        sequence, table, mutants, aa_to_idx,
+        temp_mt=temp_mt, temp_wt=temp_wt,
+    )

@@ -16,6 +16,7 @@ This reproduces both published scoring contracts with one parameter set.
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Dict, Sequence
 
 import jax
@@ -85,6 +86,135 @@ def apply(params, c: EsmcConfig, tokens: jnp.ndarray, mode: str = "mlm"
                    preferred_element_type=jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Exact reference scoring recipes (ref xtrimopglm/compute_fitness.py),
+# parameterized by a model-boundary callable so the same code path is
+# parity-tested against the imported reference functions with a stubbed
+# model (tests/test_reference_recipe_parity.py) and drives the native
+# trunk in production.
+# ---------------------------------------------------------------------------
+
+AA_VOCAB = "ACDEFGHIKLMNPQRSTVWY"
+_MUT_RE = re.compile(r"([A-Z])(\d+)([A-Z])")
+
+
+def mlm_window_for_position(seq_len: int, seq_pos: int,
+                            window_size: int = 1024):
+    """(start, end, rel_pos) of the masked-marginal context window for a
+    0-based position — verbatim reference logic (ref
+    compute_fitness.py:169-181) INCLUDING its quirk: when the window
+    reaches the sequence end, start snaps left but ``end`` keeps the
+    pre-snap value, so the final windows all end at seq_len."""
+    if seq_len > window_size - 2:  # account for special tokens
+        half = (window_size - 2) // 2
+        start = max(0, seq_pos - half)
+        end = min(seq_len, start + window_size - 2)
+        if end == seq_len:
+            start = max(0, seq_len - (window_size - 2))
+        return start, end, seq_pos - start
+    return 0, seq_len, seq_pos
+
+
+def parse_mutations(sequence: str, mutations: Sequence[str]):
+    """Reference mutation parsing/validation (ref :45-126): sub-mutants
+    split on ':', regex-validated, positions bounds- and wt-checked; an
+    INVALID mutation is skipped (dropped from the result), not an error.
+    Returns (parsed, unique_positions): parsed rows are
+    (pos_list_1based, mt_string, name)."""
+    parsed, unique_positions = [], set()
+    for mutation in mutations:
+        rows, ok = [], True
+        for sub in str(mutation).split(":"):
+            m = _MUT_RE.fullmatch(sub)
+            if not m:
+                ok = False
+                break
+            wt, pos_str, mt = m.groups()
+            pos = int(pos_str)
+            if not (0 <= pos - 1 < len(sequence)) or sequence[pos - 1] != wt:
+                ok = False
+                break
+            rows.append((pos, mt))
+        if ok and rows:
+            parsed.append(([p for p, _ in rows],
+                           "".join(mt for _, mt in rows), mutation))
+            unique_positions.update(p for p, _ in rows)
+    return parsed, sorted(unique_positions)
+
+
+def score_mutations_mlm_recipe(
+    sequence: str,
+    mutations: Sequence[str],
+    mask_logprobs_fn,
+    window_size: int = 1024,
+):
+    """The reference's optimized MLM protocol (ref score_mutations_mlm,
+    compute_fitness.py:15-266): pre-compute a masked log-prob row for
+    every UNIQUE mutated position (one forward per position, centered
+    window for long sequences), then score each mutation as the sum of
+    logp[mt] - logp[wt] over its sub-mutants. ``mask_logprobs_fn`` takes
+    (window_str, rel_pos) and returns log-probs over AA_VOCAB at the
+    masked position. Returns {mutation: score} with invalid mutations
+    dropped, exactly like the reference."""
+    parsed, positions = parse_mutations(sequence, mutations)
+    aa_index = {a: i for i, a in enumerate(AA_VOCAB)}
+    pos_scores = {}
+    for pos in positions:
+        start, end, rel = mlm_window_for_position(
+            len(sequence), pos - 1, window_size)
+        logps = np.asarray(mask_logprobs_fn(sequence[start:end], rel))
+        pos_scores[pos] = logps
+    out = {}
+    for pos_list, mts, name in parsed:
+        total = 0.0
+        for pos, mt in zip(pos_list, mts):
+            row = pos_scores[pos]
+            total += float(row[aa_index[mt]] - row[aa_index[sequence[pos - 1]]])
+        out[name] = total
+    return out
+
+
+def clm_sequence_score(sequence: str, chunk_nll_fn,
+                       window_size: int = 1024) -> float:
+    """Reference CLM sequence score (ref calc_sequence_clm_score_batch,
+    compute_fitness.py:373-419): long sequences split into
+    NON-overlapping (window_size - 2)-residue chunks, each chunk
+    tokenized INDEPENDENTLY (so each gets its own special tokens);
+    score = -(total teacher-forced CE) / (total target tokens).
+    ``chunk_nll_fn(chunk_str) -> (sum_ce, n_target_tokens)``."""
+    w = window_size - 2
+    chunks = ([sequence[i:i + w] for i in range(0, len(sequence), w)]
+              if len(sequence) > w else [sequence])
+    total, count = 0.0, 0
+    for chunk in chunks:
+        s, n = chunk_nll_fn(chunk)
+        total += float(s)
+        count += int(n)
+    return -total / count
+
+
+def score_mutations_clm_recipe(
+    sequence: str,
+    mutations: Sequence[str],
+    chunk_nll_fn,
+    window_size: int = 1024,
+):
+    """Reference CLM protocol (ref score_mutations_clm,
+    compute_fitness.py:294-370): score(mutation) =
+    clm_score(mutated_seq) - clm_score(wt); invalid mutations dropped.
+    Returns {mutation: score}."""
+    wt_score = clm_sequence_score(sequence, chunk_nll_fn, window_size)
+    parsed, _ = parse_mutations(sequence, mutations)
+    out = {}
+    for pos_list, mts, name in parsed:
+        mutated = list(sequence)
+        for pos, mt in zip(pos_list, mts):
+            mutated[pos - 1] = mt
+        out[name] = clm_sequence_score(
+            "".join(mutated), chunk_nll_fn, window_size) - wt_score
+    return out
+
+
 def score_assay(
     params,
     c: EsmcConfig,
@@ -94,27 +224,43 @@ def score_assay(
     mode: str = "mlm",
     chunk: int = 16,
     batch_size: int = 16,
+    window_size: int = 1024,
 ) -> np.ndarray:
-    """MLM: masked marginals (ref score_mutations_mlm); AR: mirrored
-    teacher-forced log-lik delta vs WT."""
-    if mode == "mlm":
-        return esmc.score_assay(params, c, sequence, mutants, chunk=chunk)
-    from proteingym_tpu.models.ar_scoring import score_mutants_ar, stable_params_fn
+    """MLM: the reference's unique-position masked-marginal protocol over
+    the bidirectional trunk; AR: the reference's chunked CLM
+    delta-log-likelihood over the causal trunk. Both route through the
+    parity-tested recipe functions above; an unscorable (invalid)
+    mutant gets NaN, where the reference drops the row."""
+    from proteingym_tpu.models.ar_scoring import stable_params_fn
+    from proteingym_tpu.models.esm_scoring import _cached_jit
 
-    frame = score_mutants_ar(
-        stable_params_fn(apply, c, (("mode", "ar"),)),
-        ALPHABET.tokenize,
-        ALPHABET.padding_idx,
-        mutants,
-        mutated_sequences,
-        sequence,
-        model_context_len=1024,
-        scoring_mirror=False,  # GLM is L->R only
-        batch_size=batch_size,
-        params=params,
-    )
-    # map back by sequence: the AR harness dedups identical
-    # mutated_sequences, so positional alignment would shift every score
-    # after a duplicate row
-    score_of = dict(zip(frame["mutated_sequence"], frame["avg_score"]))
-    return np.asarray([score_of[s] for s in mutated_sequences])
+    if mode == "mlm":
+        step = _cached_jit(stable_params_fn(apply, c), "fwd_params")
+        aa_cols = np.asarray([ALPHABET.get_idx(a) for a in AA_VOCAB])
+
+        def mask_logprobs(window_str, rel):
+            toks = ALPHABET.tokenize(window_str)
+            toks[1 + rel] = ALPHABET.mask_idx  # CLS offset
+            logits = np.asarray(
+                step(params, jnp.asarray(toks)[None]))[0, 1 + rel]
+            logps = logits - logits.max()
+            logps = logps - np.log(np.exp(logps).sum())
+            return logps[aa_cols]
+
+        scores = score_mutations_mlm_recipe(
+            sequence, mutants, mask_logprobs, window_size)
+    else:
+        step = _cached_jit(
+            stable_params_fn(apply, c, (("mode", "ar"),)), "fwd_params")
+
+        def chunk_nll(chunk_str):
+            toks = ALPHABET.tokenize(chunk_str)
+            inp, tgt = toks[:-1], toks[1:]
+            logits = np.asarray(step(params, jnp.asarray(inp)[None]))[0]
+            logps = logits - logits.max(-1, keepdims=True)
+            logps = logps - np.log(np.exp(logps).sum(-1, keepdims=True))
+            return -logps[np.arange(len(tgt)), tgt].sum(), len(tgt)
+
+        scores = score_mutations_clm_recipe(
+            sequence, mutants, chunk_nll, window_size)
+    return np.asarray([scores.get(m, np.nan) for m in mutants])

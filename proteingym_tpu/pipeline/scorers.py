@@ -228,12 +228,36 @@ def score_gemme(ctx: ScoreContext) -> pd.DataFrame:
     msa = ctx.load_msa()
     model = gemme_mod.fit_gemme(msa.matrix, msa.weights)
     muts = ctx.dms_frame["mutant"].tolist()
-    scores = _score_focus_model(
-        ctx, msa, lambda wt, remapped: gemme_mod.score_mutants(
-            model, wt, remapped, mode=ctx.extra.get("mode", "combined")
-        ), muts,
-    )
     name = ctx.extra.get("_scorer_name", "gemme")
+    if name == "escott":
+        # ESCOTT ingests a full (L, 20) delta landscape and sums RAW
+        # entries per sub-mutant (ref escott/compute_fitness.py:92-101,
+        # parity-tested in tests/test_reference_recipe_parity.py); build
+        # the delta surface (WT cells 0, like evolCombi) and route
+        # through the exact reference extraction
+        mode = ctx.extra.get("mode", "combined")
+
+        def escott_fn(wt, remapped):
+            table = {
+                "combined": model.combined(),
+                "epistatic": model.pred_epi,
+                "independent": model.pred_ind,
+            }[mode]
+            aa_cols = [model.alphabet.index(a)
+                       for a in gemme_mod.ESCOTT_AA_VOCAB]
+            wt_rows = np.asarray([model.alphabet.index(a) for a in wt])
+            land = (table[:, aa_cols]
+                    - table[np.arange(len(wt)), wt_rows][:, None])
+            return np.asarray(gemme_mod.escott_extract_scores(
+                land, remapped, offset=1))
+
+        scores = _score_focus_model(ctx, msa, escott_fn, muts)
+    else:
+        scores = _score_focus_model(
+            ctx, msa, lambda wt, remapped: gemme_mod.score_mutants(
+                model, wt, remapped, mode=ctx.extra.get("mode", "combined")
+            ), muts,
+        )
     if name == "escott" and ctx.structure_dir is not None:
         from proteingym_tpu.data.structures import parse_pdb_backbone
         from proteingym_tpu.models.rsalor import rsa_from_structure

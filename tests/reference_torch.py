@@ -1041,3 +1041,77 @@ def load_ref_kermut():
         sys.modules["omegaconf"] = oc
     _ensure_path(REF / "kermut")
     return importlib.import_module("kermut.model.kernel")
+
+
+def load_ref_aido_misc():
+    """Import the reference AIDO recipe module (ref AIDO/utils/misc.py).
+
+    The module imports Bio.SeqIO and modelgenerator's structure
+    tokenizer at module scope; neither is installed offline and neither
+    is touched by the recipe functions under test
+    (get_logits_table_sliding / get_scores_from_table / greedy_select /
+    tokenize), so they are satisfied with attribute stubs."""
+    import importlib.util
+
+    for name, attrs in (
+        ("Bio", {"SeqIO": types.SimpleNamespace()}),
+        ("modelgenerator", {}),
+        ("modelgenerator.structure_tokenizer", {}),
+        ("modelgenerator.structure_tokenizer.models",
+         {"EquiformerEncoderLightning": object,
+          "ESMFoldDecoderLightning": object}),
+        ("modelgenerator.structure_tokenizer.datasets", {}),
+        ("modelgenerator.structure_tokenizer.datasets.protein_dataset",
+         {"ProteinDataset": object}),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    spec = importlib.util.spec_from_file_location(
+        "aido_ref_misc", REF / "AIDO" / "utils" / "misc.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ref_xtrimo():
+    """Import the reference xTrimoPGLM scoring module
+    (ref xtrimopglm/compute_fitness.py — plain torch/transformers/scipy
+    imports, all available offline)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "xtrimo_ref_cf", REF / "xtrimopglm" / "compute_fitness.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ref_escott():
+    """Import the reference ESCOTT wrapper (ref escott/compute_fitness.py).
+
+    Its pdb_utils helper imports Bio.PDB (not installed offline, not
+    touched by parse_alignment / extract_scores); stub it."""
+    import importlib.util
+
+    if "Bio.PDB" not in sys.modules:
+        bio = sys.modules.get("Bio") or types.ModuleType("Bio")
+        pdb = types.ModuleType("Bio.PDB")
+
+        class _Select:  # subclassable stand-in for Bio.PDB.Select
+            pass
+
+        pdb.PDBParser = object
+        pdb.PDBIO = object
+        pdb.Select = _Select
+        bio.PDB = pdb
+        sys.modules["Bio"] = bio
+        sys.modules["Bio.PDB"] = pdb
+    _ensure_path(REF / "escott")
+    spec = importlib.util.spec_from_file_location(
+        "escott_ref_cf", REF / "escott" / "compute_fitness.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
