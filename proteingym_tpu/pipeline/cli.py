@@ -115,6 +115,21 @@ def cmd_score(args) -> int:
                         apply_mutant(rec.target_seq, m)
                         for m in dms_frame["mutant"]
                     ]
+                # clinical reference rows name a per-protein EVE
+                # checkpoint (EVE_model_path column, ref
+                # reference_files/clinical_substitutions.csv); with
+                # --checkpoint-root the per-record path overrides the
+                # global --checkpoint
+                checkpoint = args.checkpoint
+                eve_path = (rec.raw or {}).get("EVE_model_path")
+                if getattr(args, "checkpoint_root", None):
+                    if eve_path is None or (isinstance(eve_path, float)
+                                            and pd.isna(eve_path)):
+                        log.emit("task_missing_input", task=task,
+                                 path="EVE_model_path (reference column)")
+                        continue
+                    checkpoint = str(Path(args.checkpoint_root)
+                                     / str(eve_path))
                 ctx = ScoreContext(
                     record=rec,
                     dms_frame=dms_frame,
@@ -122,7 +137,7 @@ def cmd_score(args) -> int:
                     weights_dir=(
                         Path(args.weights_dir) if args.weights_dir else None
                     ),
-                    checkpoint=args.checkpoint,
+                    checkpoint=checkpoint,
                     structure_dir=(
                         Path(args.structure_dir) if args.structure_dir
                         else None
@@ -697,6 +712,13 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("score", help="score assays with one model")
     s.add_argument("--model", required=True)
     s.add_argument("--checkpoint", default=None)
+    s.add_argument("--checkpoint-root", default=None, metavar="DIR",
+                   help="per-protein checkpoint routing: resolve each "
+                        "record's checkpoint as DIR/<EVE_model_path> from "
+                        "the reference file (the clinical reference's "
+                        "EVE_model_path column, ref "
+                        "reference_files/clinical_substitutions.csv); "
+                        "records without the column are skipped")
     s.add_argument("--dms-reference", required=True)
     s.add_argument("--dms-dir", required=True)
     s.add_argument("--dms-id", default=None)
