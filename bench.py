@@ -206,7 +206,11 @@ def measure_core(preset: str) -> None:
     n_params = _param_count(params)
     log(f"params initialized on device ({n_params / 1e6:.0f}M)")
 
-    chunk = 32 if backend != "cpu" else 8
+    # chunk 16 + 64-multiple row bucketing: the r5 on-device trace showed
+    # 5.9% of device time in q/k/v pad ops at T=252 (tools/read_trace.py,
+    # PERF.md) — tile-aligned rows + the smaller chunk measured
+    # 7,165-7,277 mut/s vs 6,272 for the r4 settings (chunk 32, unpadded)
+    chunk = 16 if backend != "cpu" else 8
     apply_fn = make_apply_fn(config)  # stable across runs -> one compile
 
     # ---- headline: L=250 single assay -----------------------------------
@@ -223,6 +227,7 @@ def measure_core(preset: str) -> None:
         tokens = ALPHABET.tokenize(seq)
         table = masked_marginal_table(
             apply_fn, tokens, chunk=chunk, params=params,
+            pad_to_multiple=64,
         )
         return score_mutants_from_table(table, mutants, seq)
 

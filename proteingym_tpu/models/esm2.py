@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -221,7 +222,43 @@ def _attention(x, layer, config: EsmConfig, padding_mask, segment_ids=None):
     """Bidirectional multi-head self-attention, (B, T, D)."""
     b, t, d = x.shape
     h, hd = config.num_heads, config.head_dim
-    q = _dense(x, layer["q"]).reshape(b, t, h, hd)
+    # softmax scale folded into the q projection EPILOGUE: the scalar
+    # multiply fuses into the matmul output fusion for free, where
+    # scaling inside the attention entry costs a standalone (B, T, H, D)
+    # HBM pass (measured 0.84 s per L=1500 table, r5 trace). Linearity
+    # of RoPE keeps this exact in the rotated path.
+    scale = jnp.asarray(hd ** -0.5, x.dtype)
+    key_mask = None if padding_mask is None else ~padding_mask
+    rope_base = 10000.0 if config.use_rotary else None
+    if os.environ.get("PGYM_ATTN_EINSUM") == "1":
+        # EXPERIMENT (tools/ab_scale.py): project straight into the
+        # kernel's (B, H, T, D) layout via einsum so XLA can fold the
+        # layout change into the matmuls instead of materializing four
+        # per-layer HBM transposes (r5 long-path trace: 1.8 s/table in
+        # transpose/data-formatting around the custom call)
+        from proteingym_tpu.ops.flash_attention import mha
+
+        def proj_heads(p, s=None):
+            w = p["kernel"].astype(x.dtype).reshape(d, h, hd)
+            y = jnp.einsum("bte,ehd->bhtd", x, w,
+                           preferred_element_type=jnp.float32)
+            y = y + p["bias"].reshape(h, 1, hd)
+            if s is not None:
+                y = y * s
+            return y.astype(x.dtype)
+
+        q = proj_heads(layer["q"], scale)
+        k = proj_heads(layer["k"])
+        v = proj_heads(layer["v"])
+        ctx = mha(q, k, v, key_mask=key_mask, sm_scale=1.0,
+                  rope_base=rope_base, segment_ids=segment_ids)
+        wo = layer["out"]["kernel"].astype(x.dtype).reshape(d, d)
+        out = jnp.einsum(
+            "bhtd,hde->bte", ctx.astype(x.dtype),
+            wo.reshape(h, hd, d), preferred_element_type=jnp.float32,
+        ) + layer["out"]["bias"]
+        return out.astype(x.dtype)
+    q = (_dense(x, layer["q"]) * scale).reshape(b, t, h, hd)
     k = _dense(x, layer["k"]).reshape(b, t, h, hd)
     v = _dense(x, layer["v"]).reshape(b, t, h, hd)
     # fused Pallas attention on TPU, XLA einsum elsewhere. RoPE rides into
@@ -232,12 +269,11 @@ def _attention(x, layer, config: EsmConfig, padding_mask, segment_ids=None):
     # HBM transposes around the custom call.
     from proteingym_tpu.ops.flash_attention import mha_natural
 
-    key_mask = None if padding_mask is None else ~padding_mask
     ctx = mha_natural(
         q, k, v,
         key_mask=key_mask,
-        sm_scale=hd ** -0.5,
-        rope_base=10000.0 if config.use_rotary else None,
+        sm_scale=1.0,  # q is pre-scaled above
+        rope_base=rope_base,
         segment_ids=segment_ids,
     )
     ctx = ctx.astype(x.dtype).reshape(b, t, d)

@@ -280,7 +280,8 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
 # double-buffers the q/k/v/kbias input blocks, so 5 MB of scores keeps
 # the total comfortably under it (an 8 MB budget OOMed at T=512, G=8:
 # 16.4 MB scoped allocation).
-_SCORES_VMEM_BUDGET = 5 << 20
+_SCORES_VMEM_BUDGET = int(os.environ.get(
+    "PGYM_ATTN_SCORES_VMEM", 5 << 20))
 _GROUP_MAX = 16
 
 
@@ -314,8 +315,12 @@ def grouped_mha(
     # (G, T, T) pass over the scores block in the kernel. Linearity of
     # RoPE makes this valid in the rotated path too. Folding inside the
     # kernel instead miscompiles (Mosaic "limits[i] <= dim(i)" check
-    # failure when combined with the kbias broadcast add).
-    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    # failure when combined with the kbias broadcast add). Callers that
+    # pre-scale q at the projection epilogue (esm2._attention — there
+    # the multiply fuses into the matmul output for FREE) pass
+    # sm_scale=1.0, which skips the pass entirely.
+    if sm_scale != 1.0:
+        q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     t_pad = _round_up(t, 128)
     if t_pad != t:
         pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]

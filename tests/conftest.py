@@ -37,11 +37,12 @@ def rng():
 
 # ---------------------------------------------------------------------------
 # Test tiering: `pytest -m "not slow"` is the fast development tier —
-# measured 12:48 wall on an idle 8-core host (2026-08, 306 tests); the
-# full suite (default) adds the vendored-torch parity and training-loop
-# tests. The list is curated from --durations of a full run (tests >=
-# ~12 s); spine + kernel coverage and the graded-surface contract tests
-# (bench, dryrun, entry) stay in the fast tier.
+# re-curated r5 to stay under ~6 minutes idle (measured 12:34 under
+# heavy load before the r5 cut, ~250 s of rows moved out); the full
+# suite (default) adds the vendored-torch parity and training-loop
+# tests. The list is curated from --durations of a full run; spine +
+# kernel coverage and the graded-surface contract tests (bench, dryrun,
+# entry) stay in the fast tier.
 # ---------------------------------------------------------------------------
 
 _SLOW_NODE_PATTERNS = [
@@ -100,6 +101,35 @@ _SLOW_NODE_PATTERNS = [
     "test_tridi_saprot.py::TestSaProtFileVocab",
     "test_ring_attention.py",
     "test_siterm_gemme.py::TestSiteRm::test_expm_path",
+    # r5 re-curation (fast tier measured 12:34 under load / target <6 min
+    # idle; heaviest rows whose coverage other fast rows or the slow-tier
+    # parity suites repeat — e.g. test_score_merge_evaluate keeps the CLI
+    # spine fast while the indel variant moves, the clinical CLI e2e is
+    # the slow-tier twin of test_clinical.py's fast synthetic layer)
+    "test_clinical_cli_e2e.py",
+    "test_scorer_smoke[s3f_msa]",
+    "test_cli.py::test_indel_score_merge_evaluate",
+    "test_rsalor_vespag.py::TestVespagConvertedCheckpoint::"
+    "test_cli_convert_and_score",
+    "test_packed_segments.py::TestSegmentedApply::"
+    "test_packed_row_matches_solo_forwards[esm2]",
+    "test_progen3.py::TestForward::test_restricted_logits",
+    "test_progen3.py::TestForward::test_causal",
+    "test_cli_train.py::test_supervised_score_embeddings_and_aug",
+    "test_scorer_smoke[progen3]",
+    "test_cli.py::test_convert_esm_roundtrip",
+    "test_protein_mpnn.py::TestConversion::test_torch_state_dict_shapes",
+    "test_ar_zoo.py::TestProGen2::test_causal",
+    "test_structure_models.py::TestS3f::test_s2f_variant_ignores_surface",
+    "test_scorer_smoke[ohe_ridge]",
+    "test_kermut.py::TestGP::test_zero_shot_mean_helps",
+    "test_structure_models.py::TestCarp::"
+    "test_not_causal_and_context_sensitive",
+    "test_msa_transformer.py::TestMultiColumnMasking::"
+    "test_k_masked_scores_agree_with_reference_protocol",
+    "test_indel_retrieval.py::TestPerRowIndelFusion::"
+    "test_make_indel_fusion_tables_and_scoring",
+    "test_hmm.py::TestForwardParity::test_matches_brute_force[6]",
     # r4 re-curation (fast tier measured 18:41 under load; these are the
     # heaviest rows whose coverage the slow tier / parity suites repeat)
     "test_scorer_smoke[s3f]",
