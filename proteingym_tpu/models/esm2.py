@@ -230,12 +230,16 @@ def _attention(x, layer, config: EsmConfig, padding_mask, segment_ids=None):
     scale = jnp.asarray(hd ** -0.5, x.dtype)
     key_mask = None if padding_mask is None else ~padding_mask
     rope_base = 10000.0 if config.use_rotary else None
-    if os.environ.get("PGYM_ATTN_EINSUM") == "1":
-        # EXPERIMENT (tools/ab_scale.py): project straight into the
-        # kernel's (B, H, T, D) layout via einsum so XLA can fold the
-        # layout change into the matmuls instead of materializing four
-        # per-layer HBM transposes (r5 long-path trace: 1.8 s/table in
-        # transpose/data-formatting around the custom call)
+    if os.environ.get("PGYM_ATTN_EINSUM", "1") != "0":
+        # DEFAULT path (r5): project straight into the kernel's
+        # (B, H, T, D) layout via einsum so XLA folds the layout change
+        # into the matmuls instead of materializing four per-layer HBM
+        # transposes (r5 long-path trace: 1.8 s/table of
+        # transpose/data-formatting around the custom call). Measured on
+        # v5e vs the transpose route: headline 7,465 vs 7,083-7,277
+        # mut/s, L=1500 window path 1,603 vs 1,466, production mix
+        # 2,107 vs 1,961 (tools/ab_scale.py). PGYM_ATTN_EINSUM=0
+        # restores the transpose route for re-measurement.
         from proteingym_tpu.ops.flash_attention import mha
 
         def proj_heads(p, s=None):
