@@ -267,7 +267,12 @@ def _grouped_attention_kernel(q_ref, k_ref, v_ref, kbias_ref, *rest,
     e = jnp.exp(scores - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     # deferred normalization: divide the (G, T, D) output instead of the
-    # (G, T, T) probs (same bf16 rounding point as normalizing e)
+    # (G, T, T) probs (same bf16 rounding point as normalizing e).
+    # NOTE (r5, measured): computing the denominator on the MXU (dot
+    # with an all-ones (T, 8) operand, exp written straight to bf16) is
+    # 4% SLOWER end-to-end at T=1024 — the extra dot's operand streaming
+    # outweighs the saved VPU row-sum, i.e. Mosaic already overlaps
+    # these passes well. Keep the straightforward form.
     o = jax.lax.dot_general(
         e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
