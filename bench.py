@@ -705,10 +705,57 @@ def measure_families(order) -> None:
             result["tranception_mfu"] = round(flops / dt / peak, 4)
         log(f"tranception steady: {dt:.2f}s for {n_mut} mutants")
 
+    # ---- k-column packed production mix (OPT-IN table approximation) ----
+    # cols_per_forward=8 masks 8 max-stride columns per forward, reading
+    # each masked column's own logits: ~1/8 the forwards of the
+    # reference-exact k=1 protocol that production_mix_mutants_per_sec
+    # measures (models/packed_scoring.py cols_per_forward docstring; same
+    # approximation as the msa_transformer stage's k=8 number). Sits LAST
+    # in the canonical order so it can never displace a reference-exact
+    # family from the budget.
+    def stage_kcol():
+        from proteingym_tpu.models.esm2 import (
+            EsmConfig, PRESETS, init_params, make_apply_fn,
+        )
+        from proteingym_tpu.models.packed_scoring import (
+            score_assays_packed,
+        )
+
+        if tiny:
+            config = EsmConfig(name="esm2_smoke", num_layers=4,
+                               embed_dim=256, num_heads=8)
+            lengths, chunk, pad, k = [12, 17, 25, 41], 4, 8, 3
+        else:
+            config = PRESETS["esm2_t33_650M"]
+            lengths, chunk, pad, k = [72, 118, 250, 448, 709, 1500], 16, 64, 8
+        params = jax.jit(lambda key: init_params(key, config))(
+            jax.random.PRNGKey(7))
+        jax.block_until_ready(params)
+        log(f"kcol params ready ({_param_count(params) / 1e6:.0f}M)")
+        assays = [_synth_assay(n, 700 + i) for i, n in enumerate(lengths)]
+
+        def run():
+            scores = score_assays_packed(
+                apply_fn=make_apply_fn(config), params=params,
+                assays=assays, chunk=chunk, super_chunks=8,
+                pad_to_multiple=pad, cols_per_forward=k,
+            )
+            return sum(len(s) for s in scores)
+
+        run()
+        log("kcol warmup done")
+        t0 = time.perf_counter()
+        n = run()
+        dt = time.perf_counter() - t0
+        result["kcol_cols_per_forward"] = k
+        result["kcol_production_mix_lengths"] = lengths
+        result["kcol_production_mix_mutants_per_sec"] = round(n / dt, 2)
+        log(f"kcol mix: {dt:.2f}s for {n} mutants")
+
     stages = {
         "attn": stage_attn, "weights": stage_weights, "eve": stage_eve,
         "msa_transformer": stage_msa_transformer, "poet": stage_poet,
-        "tranception": stage_tranception,
+        "tranception": stage_tranception, "kcol": stage_kcol,
     }
     for name in order:
         try:
@@ -804,13 +851,19 @@ def probe_backend() -> None:
 # big-model compiles (Tranception-L 709M ~6 min through the tunnel) must
 # not starve the cheap families out of the total budget.
 FAMILIES = ["attn", "weights", "eve", "msa_transformer", "poet",
-            "tranception"]
+            "tranception", "kcol"]
 # key prefix that proves a family's stage landed in the merged JSON
 FAMILY_MARKERS = {
     "attn": "attn_", "weights": "weights_", "eve": "eve_",
     "msa_transformer": "msa_transformer_", "poet": "poet_",
-    "tranception": "tranception_",
+    "tranception": "tranception_", "kcol": "kcol_",
 }
+
+
+# opt-in / non-reference-exact extras run at the very END regardless of
+# capture history: they must never displace a reference-exact family
+# from the budget
+_ALWAYS_LAST = {"kcol"}
 
 
 def _family_order(artifact_dir=None):
@@ -818,7 +871,8 @@ def _family_order(artifact_dir=None):
     landed in a prior driver artifact (BENCH_r*.json next to this file)
     run FIRST, so four rounds of poet/tranception falling off the end of
     the budget cannot repeat (VERDICT r4 item 1); previously-captured
-    families follow in the canonical cheapest-compile-first order."""
+    families follow in the canonical cheapest-compile-first order, and
+    ``_ALWAYS_LAST`` extras (opt-in approximations) close the batch."""
     if artifact_dir is None:
         artifact_dir = os.path.dirname(os.path.abspath(__file__))
     captured = set()
@@ -831,8 +885,10 @@ def _family_order(artifact_dir=None):
         for fam, marker in FAMILY_MARKERS.items():
             if any(k.startswith(marker) for k in parsed):
                 captured.add(fam)
-    never = [f for f in FAMILIES if f not in captured]
-    return never + [f for f in FAMILIES if f in captured]
+    never = [f for f in FAMILIES if f not in captured
+             and f not in _ALWAYS_LAST]
+    rest = [f for f in FAMILIES if f in captured and f not in _ALWAYS_LAST]
+    return never + rest + [f for f in FAMILIES if f in _ALWAYS_LAST]
 
 
 def main():

@@ -401,6 +401,10 @@ def masked_marginal_table_msa(
         # are spaced n_grids ~ C/k apart
         offs_grids = offs_flat.reshape(k_cols, n_grids).T  # (n_grids, k)
         valid_grids = valid_flat.reshape(k_cols, n_grids).T
+        # pad slots duplicate the GRID'S OWN first column (always valid):
+        # re-masking a masked column is a no-op, so tail grids never mask
+        # an extra unrelated column (position-0 repeats did)
+        offs_grids = np.where(valid_grids, offs_grids, offs_grids[:, :1])
         n_pad = ((n_grids + chunk - 1) // chunk) * chunk
         if n_pad != n_grids:
             offs_grids = np.concatenate(

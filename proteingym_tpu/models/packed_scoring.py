@@ -124,6 +124,86 @@ def _packed_kernel(apply_fn: Callable, row_len: int):
     return wrapped
 
 
+# k>1 multi-column mode: window starts snap DOWN to this quantum so long
+# assays' sliding windows coincide and k positions can share one forward
+# row. Capped at window//2 so every position still fits its snapped
+# window (off = i - start < window//2 + quantum <= window).
+_KCOL_START_QUANT = 128
+
+
+def _pack_k_columns(items: np.ndarray, k: int):
+    """Group per-position work items (assay, sid, start, off) that share a
+    source row (identical assay/sid/start) into work rows of k offsets
+    with MAXIMUM STRIDE — row r of an n_rows-row part masks offsets
+    {r, r + n_rows, r + 2*n_rows, ...}, so co-masked columns sit
+    ~len(part)/k positions apart (the same assignment as
+    msa_transformer.masked_marginal_table_msa). Returns
+    (sids, starts, offs, scat_assay, scat_tpos, scat_valid); offs and the
+    scat_* arrays are (n_rows_total, k). Padding slots repeat the part's
+    first offset (masking a position twice is a no-op) with
+    scat_valid False so they never scatter."""
+    uniq, inv = np.unique(items[:, :3], axis=0, return_inverse=True)
+    sids, starts = [], []
+    offs, s_a, s_t, s_v = [], [], [], []
+    for u in range(uniq.shape[0]):
+        part = items[inv == u]
+        n_p = part.shape[0]
+        n_rows = -(-n_p // k)
+        idx = np.concatenate(
+            [np.arange(n_p), np.zeros(n_rows * k - n_p, np.int64)]
+        ).reshape(k, n_rows).T  # (n_rows, k) max-stride
+        valid = np.concatenate(
+            [np.ones(n_p, bool), np.zeros(n_rows * k - n_p, bool)]
+        ).reshape(k, n_rows).T
+        # pad slots duplicate the ROW'S OWN first offset (slot 0 is
+        # always valid): re-masking an already-masked position is a true
+        # no-op, so tail rows never mask an extra unrelated column
+        idx = np.where(valid, idx, idx[:, :1])
+        sids.append(np.full(n_rows, part[0, 1], np.int32))
+        starts.append(np.full(n_rows, part[0, 2], np.int32))
+        offs.append(part[idx, 3].astype(np.int32))
+        s_a.append(part[idx, 0].astype(np.int32))
+        s_t.append((part[idx, 2] + part[idx, 3]).astype(np.int32))
+        s_v.append(valid)
+    return (np.concatenate(sids), np.concatenate(starts),
+            np.concatenate(offs), np.concatenate(s_a),
+            np.concatenate(s_t), np.concatenate(s_v))
+
+
+def _packed_kernel_multi(apply_fn: Callable, row_len: int, k_cols: int):
+    """Multi-column variant of _packed_kernel: offs is (K, chunk, k) and
+    each work row masks all k of its offsets in ONE forward, reading each
+    masked offset's own log-softmax row -> (K*chunk*k, V) in slot-major
+    order. Same opt-in table approximation as
+    msa_transformer.masked_marginal_table_msa(cols_per_forward=k)."""
+    key = (apply_fn, row_len, k_cols, "kcol")
+    if key in _KERNEL_CACHE:
+        _KERNEL_CACHE.move_to_end(key)
+        return _KERNEL_CACHE[key]
+
+    from proteingym_tpu.ops.gather_logprobs import multi_log_softmax_gather
+
+    @jax.jit
+    def wrapped(params, stacked, sids, starts, offs, mask_val):
+        def body(args):
+            sid, st, off = args  # (chunk,), (chunk,), (chunk, k)
+
+            def cut(s_, t_, o_):
+                row = jax.lax.dynamic_slice(stacked[s_], (t_,), (row_len,))
+                return row.at[o_].set(mask_val)
+
+            rows = jax.vmap(cut)(sid, st, off)
+            return multi_log_softmax_gather(apply_fn(params, rows), off)
+
+        out = jax.lax.map(body, (sids, starts, offs))  # (K, chunk, k, V)
+        return out.reshape(-1, out.shape[-1])
+
+    _KERNEL_CACHE[key] = wrapped
+    while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
+        _KERNEL_CACHE.popitem(last=False)
+    return wrapped
+
+
 def packed_masked_marginal_tables(
     apply_fn: Callable,
     params,
@@ -136,6 +216,7 @@ def packed_masked_marginal_tables(
     pad_to_multiple: int = 32,
     seqs_pad: int = 8,
     buckets: Optional[Sequence[int]] = None,
+    cols_per_forward: int = 1,
 ) -> List[np.ndarray]:
     """Build every assay's (T_i, V) masked-marginal log-prob table in
     shared cross-assay forward batches.
@@ -150,9 +231,23 @@ def packed_masked_marginal_tables(
     (measured on v5e: a T=448 forward runs at ~0.33 MFU vs ~0.50 at
     T=256), so snapping to a few known-good lengths can beat minimal
     padding. Falls back to round_up(pad_to_multiple) above the ladder.
+
+    ``cols_per_forward`` (k): OPT-IN k-column masking — each forward
+    masks k positions of one source row (max-stride assignment, so
+    co-masked columns sit ~T/k apart) and reads each masked position's
+    own logits, cutting the sweep to ~1/k of the forwards. k=1 (the
+    default) is the reference's exact one-column-per-forward protocol
+    (ref esm/compute_fitness.py:489-504) and leaves this function's
+    behavior bit-identical to previous releases. k>1 additionally snaps
+    long assays' optimal-window starts DOWN to _KCOL_START_QUANT so
+    sliding windows coincide (each position's context shifts by
+    < min(128, window//2) tokens from its optimal window). Agreement
+    with k=1 is asserted in tests/test_packed_scoring.py.
     """
     mask_idx = ALPHABET.mask_idx if mask_idx is None else mask_idx
     pad_idx = ALPHABET.padding_idx if pad_idx is None else pad_idx
+    k_cols = max(1, int(cols_per_forward))
+    start_quant = max(1, min(_KCOL_START_QUANT, window // 2))
     n_assays = len(token_list)
     lengths = [int(np.asarray(t).shape[0]) for t in token_list]
 
@@ -191,6 +286,14 @@ def packed_masked_marginal_tables(
             g["seqs"].append(padded)
             for i in range(total):
                 start, _end = get_optimal_window(i, total, window)
+                if k_cols > 1:
+                    # snap the window start down to the quantum so rows
+                    # coincide — but never past the point where the
+                    # position falls out of the window (end-clamped
+                    # starts can sit just under a quantum boundary)
+                    snapped = start - start % start_quant
+                    if i - snapped < window:
+                        start = snapped
                 g["items"].append((a, sid, start, i - start))
 
     tables = [None] * n_assays
@@ -206,7 +309,14 @@ def packed_masked_marginal_tables(
             stacked[i, : s.shape[0]] = s
 
         items = np.asarray(g["items"], dtype=np.int32)  # (N, 4)
-        n = items.shape[0]
+        if k_cols > 1:
+            (w_sids, w_starts, w_offs,
+             sc_a, sc_t, sc_v) = _pack_k_columns(items, k_cols)
+            n = w_sids.shape[0]
+        else:
+            w_sids, w_starts = items[:, 1], items[:, 2]
+            w_offs = items[:, 3]
+            n = items.shape[0]
         # pad the work queue only to a CHUNK multiple; full K-chunk
         # super-dispatches amortize dispatch overhead, and the tail runs
         # as single-chunk dispatches (K=1 grid) so a group never pays for
@@ -223,13 +333,26 @@ def packed_masked_marginal_tables(
             n_chunks = _round_up(n_chunks, super_chunks)
             n_pad = n_chunks * chunk
         if n_pad != n:
-            pad_rows = np.zeros((n_pad - n, 4), np.int32)
-            items = np.concatenate([items, pad_rows])
-        sids = items[:, 1].reshape(n_chunks, chunk)
-        starts = items[:, 2].reshape(n_chunks, chunk)
-        offs = items[:, 3].reshape(n_chunks, chunk)
+            pad = n_pad - n
+            w_sids = np.concatenate([w_sids, np.zeros(pad, np.int32)])
+            w_starts = np.concatenate([w_starts, np.zeros(pad, np.int32)])
+            w_offs = np.concatenate(
+                [w_offs, np.zeros((pad,) + w_offs.shape[1:], np.int32)]
+            )
+            if k_cols > 1:
+                sc_a = np.concatenate([sc_a, np.zeros((pad, k_cols),
+                                                      np.int32)])
+                sc_t = np.concatenate([sc_t, np.zeros((pad, k_cols),
+                                                      np.int32)])
+                sc_v = np.concatenate([sc_v, np.zeros((pad, k_cols), bool)])
+        sids = w_sids.reshape(n_chunks, chunk)
+        starts = w_starts.reshape(n_chunks, chunk)
+        offs = w_offs.reshape((n_chunks, chunk) + w_offs.shape[1:])
 
-        kernel = _packed_kernel(apply_fn, row_len)
+        if k_cols > 1:
+            kernel = _packed_kernel_multi(apply_fn, row_len, k_cols)
+        else:
+            kernel = _packed_kernel(apply_fn, row_len)
         stacked_j = jnp.asarray(stacked)
         mask_j = jnp.asarray(mask_idx, stacked.dtype)
         outs = []
@@ -249,6 +372,21 @@ def packed_masked_marginal_tables(
                 mask_j,
             ))
             c += k
+        if k_cols > 1:
+            # multi-column output is (n_pad * k, V) slot-major; the
+            # scat_* arrays carry each slot's target (padding slots have
+            # scat_valid False and never land)
+            out = np.asarray(jnp.concatenate(outs, axis=0))
+            vocab = out.shape[-1]
+            flat_a = sc_a.reshape(-1)
+            flat_t = sc_t.reshape(-1)
+            flat_v = sc_v.reshape(-1)
+            for a in np.unique(flat_a[flat_v]):
+                sel = flat_v & (flat_a == a)
+                tab = np.zeros((lengths[a], vocab), np.float32)
+                tab[flat_t[sel]] = out[sel]
+                tables[a] = tab
+            continue
         out = np.asarray(jnp.concatenate(outs, axis=0)[:n])
         vocab = out.shape[-1]
 
@@ -507,6 +645,7 @@ def score_assays_packed(
     seg_apply_fn: Optional[Callable] = None,
     row_len: int = 1024,
     seg_chunk: int = 8,
+    cols_per_forward: int = 1,
 ) -> List[np.ndarray]:
     """Masked-marginal scoring of many (sequence, mutants) assays with
     cross-assay row packing. Per-assay scores match
@@ -516,7 +655,15 @@ def score_assays_packed(
     esm2.make_segmented_apply_fn), rows additionally pack SEGMENTS of
     different assays into fixed ``row_len`` rows (block-diagonal
     attention) — one compiled shape for the whole sweep.
+
+    ``cols_per_forward`` > 1 enables the opt-in k-column table
+    approximation (see packed_masked_marginal_tables); it applies to the
+    bucketed path only and cannot combine with ``seg_apply_fn``.
     """
+    if cols_per_forward > 1 and seg_apply_fn is not None:
+        raise ValueError(
+            "cols_per_forward > 1 does not combine with segment packing"
+        )
     token_list = [alphabet.tokenize(seq) for seq, _ in assays]
     if seg_apply_fn is not None:
         tables = packed_segment_tables(
@@ -531,6 +678,7 @@ def score_assays_packed(
             mask_idx=alphabet.mask_idx, pad_idx=alphabet.padding_idx,
             chunk=chunk, super_chunks=super_chunks, window=window,
             pad_to_multiple=pad_to_multiple, buckets=buckets,
+            cols_per_forward=cols_per_forward,
         )
     return [
         np.asarray(score_mutants_from_table(

@@ -579,6 +579,9 @@ def score_esm_packed_batch(
     scores = score_assays_packed(
         apply_fn, params, assays, chunk=batch_size,
         window=config.max_positions,
+        # opt-in k-column masking (--extra cols_per_forward=k): ~1/k the
+        # forwards; k=1 (default) is the reference-exact protocol
+        cols_per_forward=int(extra.get("cols_per_forward", 1)),
     )
     out = {}
     for (rec, frame), s in zip(tasks, scores):

@@ -201,8 +201,10 @@ def test_family_order_prioritizes_never_captured(tmp_path):
     art("BENCH_r02.json", ["attn_grouped_ms_t256",
                            "msa_transformer_table_seconds"])
     order = bench._family_order(str(tmp_path))
+    # kcol is an _ALWAYS_LAST opt-in extra: it closes the batch even
+    # though it has never been captured
     assert order == ["poet", "tranception", "attn", "weights", "eve",
-                     "msa_transformer"]
+                     "msa_transformer", "kcol"]
 
     # no artifacts at all -> canonical order, every family exactly once
     empty = tmp_path / "empty"
