@@ -145,6 +145,10 @@ _SLOW_NODE_PATTERNS = [
     "test_scorer_smoke[carp]",
     "test_prot_t5.py",
     "test_vespa_heads.py::test_vespa_full_scoring_mode",
+    # r5: trains 400 MLM steps on CPU (~1 min) to demonstrate k-column
+    # fidelity on a locally-structured model
+    "test_packed_scoring.py::TestKColumns::"
+    "test_k_scores_track_on_locally_trained_model",
 ]
 
 

@@ -344,3 +344,76 @@ class TestKColumns:
                 apply_fn, params, [("ACDEF", ["A1C"])],
                 seg_apply_fn=lambda *a: None, cols_per_forward=2,
             )
+
+    def test_k_scores_track_on_locally_trained_model(self):
+        """The k>1 fidelity claim, demonstrated rather than assumed:
+        after brief MLM training on first-order-Markov sequences (strong
+        LOCAL structure, the regime trained protein LMs live in), the
+        tiny model's masked predictions become context-local and the
+        k=4 scores track the reference-exact k=1 protocol tightly
+        (rho ~0.99 measured) — unlike the random-weights case above,
+        where diffuse attention overstates co-masked column
+        interaction. Slow tier (trains ~400 steps on CPU)."""
+        import jax.numpy as jnp
+        import optax
+        from scipy.stats import spearmanr
+
+        rs = np.random.RandomState(0)
+        trans = np.full((20, 20), 1e-3)
+        for i in range(20):
+            nxt = rs.choice(20, 3, replace=False)
+            trans[i, nxt] = [0.6, 0.3, 0.1]
+        trans /= trans.sum(1, keepdims=True)
+
+        def markov_seq(L, r):
+            s = [r.randint(20)]
+            for _ in range(L - 1):
+                s.append(r.choice(20, p=trans[s[-1]]))
+            return "".join(AA[i] for i in s)
+
+        L = 30
+        cfg, params, apply_fn = _mk_model()
+        toks = np.stack(
+            [ALPHABET.tokenize(markov_seq(L, rs)) for _ in range(256)])
+        opt = optax.adam(1e-3)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state, key, batch):
+            def loss_fn(p):
+                mask = jax.random.uniform(key, batch.shape) < 0.2
+                mask = mask & (batch != ALPHABET.padding_idx)
+                x = jnp.where(mask, ALPHABET.mask_idx, batch)
+                lp = jax.nn.log_softmax(
+                    apply_fn(p, x).astype(jnp.float32), -1)
+                ll = jnp.take_along_axis(lp, batch[..., None], -1)[..., 0]
+                return -(ll * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, state = opt.update(g, state)
+            return optax.apply_updates(params, up), state, loss
+
+        key = jax.random.PRNGKey(1)
+        batch_j = jnp.asarray(toks)
+        first = last = None
+        for i in range(400):
+            key, k2 = jax.random.split(key)
+            idx = rs.choice(256, 32, replace=False)
+            params, state, loss = step(params, state, k2, batch_j[idx])
+            first = float(loss) if first is None else first
+            last = float(loss)
+        assert last < 0.6 * first, (first, last)  # it actually learned
+
+        seq = markov_seq(L, np.random.RandomState(99))
+        muts = [f"{seq[p]}{p + 1}{a}" for p in range(L)
+                for a in AA[:6] if a != seq[p]]
+        common = dict(chunk=4, super_chunks=2, pad_to_multiple=8,
+                      window=40)
+        s1 = score_assays_packed(
+            apply_fn, params, [(seq, muts)], **common)[0]
+        sk = score_assays_packed(
+            apply_fn, params, [(seq, muts)], cols_per_forward=4,
+            **common)[0]
+        rho = spearmanr(s1, sk).statistic
+        assert rho > 0.98, rho
+        assert np.max(np.abs(s1 - sk)) < 0.2 * (s1.max() - s1.min())
