@@ -1064,11 +1064,16 @@ def load_ref_aido_misc():
         ("modelgenerator.structure_tokenizer.datasets.protein_dataset",
          {"ProteinDataset": object}),
     ):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
+        # MERGE into any existing stub rather than skipping: other
+        # loaders in this file install partial "Bio" stubs (PDB-only for
+        # ProtSSN/ESCOTT, Align-only for the MSA tools), and whichever
+        # parity test ran first used to poison this one with a Bio that
+        # lacked SeqIO (full-suite-order-only failure, r5)
+        mod = sys.modules.get(name) or types.ModuleType(name)
+        for k, v in attrs.items():
+            if not hasattr(mod, k):
                 setattr(mod, k, v)
-            sys.modules[name] = mod
+        sys.modules[name] = mod
     spec = importlib.util.spec_from_file_location(
         "aido_ref_misc", REF / "AIDO" / "utils" / "misc.py")
     mod = importlib.util.module_from_spec(spec)
@@ -1096,19 +1101,22 @@ def load_ref_escott():
     touched by parse_alignment / extract_scores); stub it."""
     import importlib.util
 
-    if "Bio.PDB" not in sys.modules:
-        bio = sys.modules.get("Bio") or types.ModuleType("Bio")
-        pdb = types.ModuleType("Bio.PDB")
+    # merge into any existing Bio/Bio.PDB stub (ProtSSN's loader installs
+    # a Bio.PDB without Select/PDBIO; skipping on presence poisoned this
+    # loader under full-suite ordering, r5)
+    bio = sys.modules.get("Bio") or types.ModuleType("Bio")
+    pdb = sys.modules.get("Bio.PDB") or types.ModuleType("Bio.PDB")
 
-        class _Select:  # subclassable stand-in for Bio.PDB.Select
-            pass
+    class _Select:  # subclassable stand-in for Bio.PDB.Select
+        pass
 
-        pdb.PDBParser = object
-        pdb.PDBIO = object
-        pdb.Select = _Select
-        bio.PDB = pdb
-        sys.modules["Bio"] = bio
-        sys.modules["Bio.PDB"] = pdb
+    for k, v in (("PDBParser", object), ("PDBIO", object),
+                 ("Select", _Select)):
+        if not hasattr(pdb, k):
+            setattr(pdb, k, v)
+    bio.PDB = pdb
+    sys.modules["Bio"] = bio
+    sys.modules["Bio.PDB"] = pdb
     _ensure_path(REF / "escott")
     spec = importlib.util.spec_from_file_location(
         "escott_ref_cf", REF / "escott" / "compute_fitness.py")
